@@ -1,0 +1,50 @@
+"""Table catalog over the driver's parquet test data.
+
+One place to resolve table names → DataFrames so every query reads
+through the same path (and so a future cluster deployment can swap the
+``sf_dir`` convention for a metastore without touching query code).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table. Lazy — the scan only materializes columns/rows the
+    downstream plan needs (Catalyst prunes + pushes down into parquet).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS) which Spark's
+    reader rejects by default; we read it as raw int64 nanoseconds
+    (legacy nanosAsLong) and convert with integer arithmetic to a
+    microsecond timestamp — matching DuckDB's micro truncation exactly
+    (no double round-trip, no precision loss at 1e18 magnitudes).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql() queries."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

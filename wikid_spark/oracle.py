@@ -1,0 +1,82 @@
+"""DuckDB-oracle comparator — local mirror of the driver's t2 gate.
+
+Canonicalization matches the driver's description: columns sorted by
+name, rows compared order-insensitively, values normalized (floats to a
+fixed decimal rendering, timestamps/dates to ISO strings, NULL marker).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+
+import duckdb
+
+from wikid_spark.catalog import TABLES
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon_value(v) -> str:
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # Queries round explicitly; 6 fractional digits absorbs double
+        # representation noise without hiding real mismatches.
+        return f"{v:.6f}"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    return str(v)
+
+
+def canonical_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
+    """Sort columns by name, canonicalize every cell, sort rows."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_canon_value(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
+    """Run both sides, return (match, diagnostic)."""
+    con = duckdb_connection(sf_dir)
+    try:
+        cur = con.execute(oracle_sql)
+        o_cols = [d[0] for d in cur.description]
+        o_rows = cur.fetchall()
+    finally:
+        con.close()
+
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+
+    if sorted(s_cols) != sorted(o_cols):
+        return False, f"column mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}"
+    if len(s_rows) != len(o_rows):
+        return False, f"row count mismatch: spark={len(s_rows)} oracle={len(o_rows)}"
+
+    s_canon = canonical_rows(s_cols, s_rows)
+    o_canon = canonical_rows(o_cols, o_rows)
+    if s_canon != o_canon:
+        diffs = [
+            f"  spark={s} oracle={o}"
+            for s, o in zip(s_canon, o_canon)
+            if s != o
+        ][:5]
+        return False, "value mismatch (first diffs):\n" + "\n".join(diffs)
+    return True, "ok"

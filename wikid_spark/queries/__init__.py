@@ -1,0 +1,6 @@
+"""Declared query set (SURVEY.md §2.1) + extensions.
+
+Importing this package populates ``wikid_spark.registry``.
+"""
+
+from wikid_spark.queries import relational  # noqa: F401
