@@ -1,0 +1,107 @@
+"""Text kernels from the reference, as JVM-side column expressions.
+
+Each function documents the reference behavior it reproduces
+(file:line into /root/reference/). These are pure Column→Column
+combinators — they inline into whole-stage codegen; no Python UDFs in
+this module. The one inherently procedural kernel (offset-preserving
+link removal, wikipedia.py:577-652) lives in
+wikid_spark.operators.annotate as a pandas UDF.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# Max template-nesting depth unrolled by clean_wikitext. The reference
+# loops to a fixpoint (wikipedia.py:526-537); real wikitext nests a
+# handful deep, so a bounded unroll keeps the whole chain in codegen.
+TEMPLATE_UNROLL = 10
+
+LINK_PATTERN = r"\[\[([^\[\]]*)\]\]"  # wikipedia.py:40
+
+
+def capitalize_first(col: Column | str) -> Column:
+    """Uppercase ONLY the first character, preserving the rest — unlike
+    initcap, which lowercases the tail and splits words. Mirrors
+    wikipedia.py:246-256 (_capitalize_first)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.isNull(), None).otherwise(
+        F.concat(F.upper(F.substring(c, 1, 1)), F.substring(c, 2, 2147483646))
+    )
+
+
+def strip_anchor(col: Column | str) -> Column:
+    """Drop a '#anchor' suffix (sub-page links): split('#')[0].
+    Mirrors wikipedia.py:190-195."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring_index(c, "#", 1)
+
+
+def extract_links(col: Column | str) -> Column:
+    """All [[...]] interwiki-link bodies in a text column → array<string>.
+    Mirrors the findall at wikipedia.py:204-210 (link_regex)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(LINK_PATTERN), F.lit(1))
+
+
+def parse_link(body: Column) -> Column:
+    """Parse one link body 'entity|alias' → struct(entity, alias).
+
+    Rules (wikipedia.py:211-243):
+      - entity = text before '|', '_'→' ', '#anchor' stripped;
+      - alias  = text after '|' if present, else the entity itself;
+      - '[[Entity (spec)|]]' (empty alias, entity has a paren
+        qualifier) → alias = entity with the ' (spec)' suffix dropped.
+    """
+    entity_raw = F.substring_index(body, "|", 1)
+    entity = strip_anchor(F.regexp_replace(entity_raw, "_", " "))
+    has_pipe = body.contains("|")
+    alias_raw = F.when(has_pipe, F.substring_index(body, "|", -1)).otherwise(entity)
+    spec_alias = F.trim(F.substring_index(entity, "(", 1))
+    alias = F.when(
+        (alias_raw == "") & entity.contains("("), spec_alias
+    ).otherwise(F.when(alias_raw == "", entity).otherwise(alias_raw))
+    return F.struct(entity.alias("entity"), alias.alias("alias"))
+
+
+def clean_wikitext(col: Column | str) -> Column:
+    """Wikitext → plain text. Mirrors the cleanup chain at
+    wikipedia.py:515-574: bold/italic quotes, nested {{templates}} and
+    {|tables|} to a bounded fixpoint, HTML comments, Category/File
+    links, ==headings==, <ref> spans, html entities, space collapse."""
+    c = F.col(col) if isinstance(col, str) else col
+    # innermost-brace deletion, unrolled: each pass removes one nesting
+    # level of {...} / {{...}} (non-greedy, no inner braces).
+    for _ in range(TEMPLATE_UNROLL):
+        c = F.regexp_replace(c, r"\{[^{}]*\}", "")
+    c = F.regexp_replace(c, r"'''", "")
+    c = F.regexp_replace(c, r"''", "")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", "")
+    c = F.regexp_replace(c, r"\[\[(?:Category|File|Image):[^\[\]]*\]\]", "")
+    c = F.regexp_replace(c, r"==+[^=]*==+", "")
+    c = F.regexp_replace(c, r"(?s)<ref[^>]*/>", "")
+    c = F.regexp_replace(c, r"(?s)<ref[^>]*>.*?</ref>", "")
+    c = F.regexp_replace(c, r"</?blockquote>", "")
+    c = F.replace(c, F.lit("&lt;"), F.lit("<"))
+    c = F.replace(c, F.lit("&gt;"), F.lit(">"))
+    c = F.replace(c, F.lit("&quot;"), F.lit('"'))
+    c = F.replace(c, F.lit("&amp;nbsp;"), F.lit(" "))
+    c = F.replace(c, F.lit("&amp;"), F.lit("&"))
+    c = F.regexp_replace(c, r" +", " ")
+    return F.trim(c)
+
+
+def truncate_on_word(col: Column | str, n_chars: int = 1000) -> Column:
+    """Truncate to n_chars then drop the final (possibly cut) word and
+    fix stray punctuation. Mirrors wikipedia.py:361-381 [L2, X9]."""
+    c = F.col(col) if isinstance(col, str) else col
+    cut = F.substring(c, 1, n_chars)
+    words = F.split(cut, " ")
+    trimmed = F.when(
+        F.length(c) > n_chars,
+        F.array_join(F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(1))), " "),
+    ).otherwise(cut)
+    for lit, rep in [("(;", " "), ("(,", " "), (" ; ", " "), (" , ", ""), ("()", "")]:
+        trimmed = F.replace(trimmed, F.lit(lit), F.lit(rep))
+    return trimmed

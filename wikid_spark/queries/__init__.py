@@ -3,4 +3,4 @@
 Importing this package populates ``wikid_spark.registry``.
 """
 
-from wikid_spark.queries import relational  # noqa: F401
+from wikid_spark.queries import relational, scalars, windows  # noqa: F401

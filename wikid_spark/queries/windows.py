@@ -1,0 +1,229 @@
+"""Window layer: ranking, analytic, frame, sessionization, time buckets.
+
+Q09–Q12, Q23, Q24 from SURVEY.md §2.1. The reference computes its one
+windowed quantity (alias prior probabilities, __init__.py:218-223) as a
+Python second pass over collected rows; here every windowed computation
+is a Spark window spec — executor-side, spillable, one shuffle per
+partitioning key reused across all window functions sharing the spec.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from wikid_spark.catalog import table
+from wikid_spark.registry import query
+
+
+@query(
+    "q09_ratio_to_report",
+    oracle="""
+    SELECT event_id,
+           ROUND(value / GREATEST(SUM(value) OVER (PARTITION BY user_id), 1e-9), 4) AS ratio
+    FROM events
+    ORDER BY event_id
+    LIMIT 1000
+    """,
+    tags=("window",),
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report window [A5] — the reference's prior-probability
+    normalization (count_i / Σcount per alias, __init__.py:218-223)
+    expressed as a window aggregate instead of a driver-side pass."""
+    ev = table(spark, sf_dir, "events")
+    total = F.sum("value").over(Window.partitionBy("user_id"))
+    return (
+        ev.select(
+            "event_id",
+            F.round(F.col("value") / F.greatest(total, F.lit(1e-9)), 4).alias("ratio"),
+        )
+        .orderBy("event_id")
+        .limit(1000)
+    )
+
+
+@query(
+    "q10_ranking_windows",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER w AS rn,
+             RANK() OVER w AS rnk,
+             DENSE_RANK() OVER w AS drnk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    )
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    tags=("window", "topk"),
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranking windows. One shuffle on o_custkey
+    serves all three rank functions (same window spec)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "q11_lag_analytic",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT)
+             - CAST(floor(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+             AS secs_since_prev
+    FROM events
+    ORDER BY user_id, ts, event_id
+    LIMIT 1000
+    """,
+    tags=("window", "analytic"),
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG analytic: integer seconds since the user's previous event
+    (NULL for the first). Epoch values floored in both engines so the
+    subtraction is exact integer arithmetic."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias(
+                "secs_since_prev"
+            ),
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .limit(1000)
+        .drop("ts")
+    )
+
+
+@query(
+    "q12_rolling_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS rolling_sum
+    FROM events
+    ORDER BY user_id, ts, event_id
+    LIMIT 1000
+    """,
+    tags=("window", "frame"),
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frame: rolling 3-event sum per user."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(F.sum("value").over(w), 4).alias("rolling_sum"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .limit(1000)
+        .drop("ts")
+    )
+
+
+@query(
+    "q23_sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events
+    FROM per_session GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("window", "session", "streaming-twin"),
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization — the batch twin of the
+    streaming session window (30-minute gap). LAG flags session starts,
+    a running SUM assigns session ids, two aggregations summarize.
+    All three windows share the user_id partitioning → one shuffle."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0).alias("is_new"),
+    )
+    with_session = flagged.select(
+        "user_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )
+    per_session = with_session.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q24_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY hour, event_type
+    """,
+    tags=("window", "streaming-twin"),
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window batch twin [streaming]: hourly event counts per
+    type. The streaming version is F.window(ts, '1 hour') with a
+    watermark (see wikid_spark.streaming); semantics identical."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("hour", "event_type")
+    )
