@@ -3,4 +3,12 @@
 Importing this package populates ``wikid_spark.registry``.
 """
 
-from wikid_spark.queries import relational, scalars, windows  # noqa: F401
+from wikid_spark.queries import (  # noqa: F401
+    dedup,
+    extensions,
+    relational,
+    scalars,
+    similarity,
+    textstats,
+    windows,
+)

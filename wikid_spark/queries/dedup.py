@@ -1,0 +1,308 @@
+"""Near-duplicate detection family (north-star dedup, SURVEY.md §2/§7.6).
+
+Four mechanisms, all as declarative DataFrame programs:
+  - exact hash dedup        → queries/extensions.py (q25_*)
+  - n-gram Jaccard          → inverted-index self-join (exact, the oracle)
+  - MinHash + LSH banding   → the scale path for near-dedup
+  - SimHash                 → bitwise signature dedup
+  - embedding cosine        → near-dup over vectors (brute-force here,
+                              LSH-bucketed scale path in similarity.py)
+
+Hash parity: every signature is built from md5() (present in both Spark
+and DuckDB with identical output), so even the MinHash/SimHash pipelines
+are fully oracle-checked — not just rows-only.
+
+Scale notes: the inverted-index Jaccard join is exact but quadratic in
+hot shingles; at 100 TB you cap document frequency or go straight to
+MinHash-LSH, whose cost is rows × permutations with one groupBy and one
+band-equality self-join (AQE handles banding skew).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from wikid_spark.catalog import table
+from wikid_spark.registry import query
+
+N_PERM = 16  # minhash permutations
+BAND_R = 2  # rows per band → 8 bands; P(cand) = 1-(1-j^r)^b
+
+
+def _shingles(col, n: int = 3):
+    """Distinct n-word shingles of a text column (array<string>)."""
+    words = F.split(col, " ")
+    k = F.size(words) - (n - 1)
+    return F.array_distinct(
+        F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array(col))
+    )
+
+
+def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("sh"))
+
+
+@query(
+    "nd_ngram_jaccard",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct([string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                            || ' ' || string_split(text,' ')[i+2]
+                            FOR i IN range(1, len(string_split(text,' ')) - 1)]) AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM s a, s b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "jaccard"),
+)
+def nd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.2) via an
+    inverted-index self-join: explode shingles, equi-join on shingle,
+    count co-occurrences — never materializes the n² pair space the
+    oracle's cross join does. |A∩B| from the join; |A∪B| = |A|+|B|-∩."""
+    sh = shingle_table(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "nd_minhash_signatures",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             unnest(list_distinct([string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                                   || ' ' || string_split(text,' ')[i+2]
+                                   FOR i IN range(1, len(string_split(text,' ')) - 1)])) AS sh
+      FROM documents
+    )
+    SELECT doc_id, i AS perm, MIN(md5(i::VARCHAR || ':' || sh)) AS minhash
+    FROM s, range({N_PERM}) t(i)
+    GROUP BY doc_id, i
+    ORDER BY doc_id, perm
+    """,
+    tags=("dedup", "minhash"),
+)
+def nd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature table: per (doc, permutation), the minimum of
+    md5(perm ':' shingle). One explode + one groupBy with map-side
+    partial MIN — cost grows linearly in corpus size, never quadratic."""
+    sh = shingle_table(spark, sf_dir)
+    perms = F.explode(F.array(*[F.lit(i) for i in range(N_PERM)])).alias("perm")
+    exploded = sh.select("doc_id", "sh", perms)
+    return (
+        exploded.groupBy("doc_id", "perm")
+        .agg(
+            F.min(
+                F.md5(
+                    F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("sh")).cast(
+                        "binary"
+                    )
+                )
+            ).alias("minhash")
+        )
+        .orderBy("doc_id", "perm")
+    )
+
+
+@query(
+    "nd_minhash_lsh_candidates",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             unnest(list_distinct([string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                                   || ' ' || string_split(text,' ')[i+2]
+                                   FOR i IN range(1, len(string_split(text,' ')) - 1)])) AS sh
+      FROM documents
+    ), mh AS (
+      SELECT doc_id, i AS perm, MIN(md5(i::VARCHAR || ':' || sh)) AS minhash
+      FROM s, range({N_PERM}) t(i)
+      GROUP BY doc_id, i
+    ), bands AS (
+      SELECT doc_id, perm // {BAND_R} AS band,
+             md5(string_agg(minhash, '|' ORDER BY perm)) AS sig
+      FROM mh GROUP BY doc_id, perm // {BAND_R}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+    WHERE a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def nd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature ({N_PERM} perms,
+    {BAND_R} per band), hash each band, self-join on band equality.
+    Only same-bucket pairs are generated — the candidate space is the
+    LSH guarantee (P = 1-(1-j^r)^b), not the n² pair space."""
+    sh = shingle_table(spark, sf_dir)
+    perms = F.explode(F.array(*[F.lit(i) for i in range(N_PERM)])).alias("perm")
+    mh = (
+        sh.select("doc_id", "sh", perms)
+        .groupBy("doc_id", "perm")
+        .agg(
+            F.min(
+                F.md5(
+                    F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("sh")).cast(
+                        "binary"
+                    )
+                )
+            ).alias("minhash")
+        )
+    )
+    bands = (
+        mh.withColumn("band", F.floor(F.col("perm") / BAND_R))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
+                        lambda x: x.minhash,
+                    ),
+                    "|",
+                ).cast("binary")
+            ).alias("sig")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "nd_simhash_signatures",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+      FROM documents
+    ), wv AS (
+      SELECT doc_id, word,
+             (CASE WHEN ascii(substr(md5(word),1,1)) >= 97 THEN ascii(substr(md5(word),1,1)) - 87 ELSE ascii(substr(md5(word),1,1)) - 48 END) * 4096
+           + (CASE WHEN ascii(substr(md5(word),2,1)) >= 97 THEN ascii(substr(md5(word),2,1)) - 87 ELSE ascii(substr(md5(word),2,1)) - 48 END) * 256
+           + (CASE WHEN ascii(substr(md5(word),3,1)) >= 97 THEN ascii(substr(md5(word),3,1)) - 87 ELSE ascii(substr(md5(word),3,1)) - 48 END) * 16
+           + (CASE WHEN ascii(substr(md5(word),4,1)) >= 97 THEN ascii(substr(md5(word),4,1)) - 87 ELSE ascii(substr(md5(word),4,1)) - 48 END) AS v
+      FROM w
+    ), bits AS (
+      SELECT doc_id, k,
+             SUM(CASE WHEN (v // POWER(2, k)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s
+      FROM wv, range(16) t(k)
+      GROUP BY doc_id, k
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN s > 0 THEN POWER(2, k)::BIGINT ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "simhash"),
+)
+def nd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: word-level md5 → 16-bit value, each
+    bit votes ±1, sign of the vote is the signature bit. Near-dups
+    share signatures (equal or low-Hamming). Linear cost: one explode
+    over (distinct word × 16 bits), two groupBys."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word"))
+
+    def nib(pos: int):
+        ch = F.ascii(F.substring(F.md5(F.col("word").cast("binary")), pos, 1))
+        return F.when(ch >= 97, ch - 87).otherwise(ch - 48)
+
+    v = (nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)).alias("v")
+    wv = w.select("doc_id", v)
+    bits = (
+        wv.select(
+            "doc_id",
+            "v",
+            F.explode(F.array(*[F.lit(k) for k in range(16)])).alias("k"),
+        )
+        .groupBy("doc_id", "k")
+        .agg(
+            F.sum(
+                F.when(
+                    F.floor(F.col("v") / F.pow(F.lit(2), F.col("k")).cast("long")) % 2 == 1, 1
+                ).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("k")).cast("long")).otherwise(0)
+            ).alias("simhash")
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "nd_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("dedup", "vector"),
+)
+def nd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.4). Brute-force
+    pair generation here (correct at any SF, quadratic); the LSH-
+    bucketed scale path is sim_lsh_bucketed in queries/similarity.py."""
+    from wikid_spark.functions.vectors import cosine_similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    sim = cosine_similarity(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim_raw", sim)
+        .filter(F.col("sim_raw") >= 0.4)
+        .select("vec_a", "vec_b", F.round("sim_raw", 4).alias("sim"))
+        .orderBy("vec_a", "vec_b")
+    )

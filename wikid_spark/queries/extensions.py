@@ -1,0 +1,206 @@
+"""North-star extensions: dedup, as-of join, similarity, text stats.
+
+Q25–Q28 from SURVEY.md §2.1 — the training-data-pipeline operators the
+100 TB target needs beyond the reference's own surface.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from wikid_spark.catalog import table
+from wikid_spark.functions.vectors import cosine_similarity
+from wikid_spark.operators.asof import asof_join_backward
+from wikid_spark.registry import query
+
+
+@query(
+    "q25_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS dup_hash, COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+    ORDER BY dup_hash
+    """,
+    tags=("dedup",),
+)
+def q25a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash [J5, A7]: duplicate groups on
+    MD5(text). Hash first, group on the 32-byte digest — at 100 TB the
+    shuffle moves hashes, not document bodies."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.col("text").cast("binary")).alias("dup_hash"))
+        .groupBy("dup_hash")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("dup_hash")
+    )
+
+
+@query(
+    "q25_distinct_texts",
+    oracle="""
+    SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct,
+           COUNT(*) - COUNT(DISTINCT text) AS n_dupes
+    FROM documents
+    """,
+    tags=("dedup",),
+)
+def q25b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count companion to exact dedup."""
+    d = table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct"),
+        (F.count("*") - F.countDistinct("text")).alias("n_dupes"),
+    )
+
+
+@query(
+    "q25_exact_dedup_events",
+    oracle="""
+    SELECT props AS payload, COUNT(*) AS n_rows
+    FROM events
+    GROUP BY props
+    HAVING COUNT(*) > 1
+    ORDER BY payload
+    """,
+    tags=("dedup",),
+)
+def q25c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with real collisions (events.props repeats) — the
+    non-vacuous twin of q25_exact_dedup's mechanism."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("props").alias("payload"))
+        .agg(F.count("*").alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+        .orderBy("payload")
+    )
+
+
+@query(
+    "q26_asof_join",
+    oracle="""
+    SELECT e.event_id, p.ts AS last_purchase_ts
+    FROM (SELECT * FROM events WHERE event_id % 10 = 0) e
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    ORDER BY e.event_id
+    """,
+    tags=("asof", "join"),
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of backward join [Q26 north-star]: for each sampled event,
+    the latest preceding (or simultaneous) purchase timestamp of the
+    same user. Implemented as union+window (one shuffle on user_id) —
+    see operators/asof.py; the oracle uses DuckDB's native ASOF JOIN."""
+    ev = table(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_id") % 10 == 0).select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    joined = asof_join_backward(
+        probes,
+        purchases,
+        by=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        value_col="ts",
+        out_col="last_purchase_ts",
+    )
+    return joined.select("event_id", "last_purchase_ts").orderBy("event_id")
+
+
+@query(
+    "q27_cosine_topk",
+    oracle="""
+    SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding, q.embedding), 4) AS sim
+    FROM embeddings e,
+         (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+    ORDER BY sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    tags=("similarity", "vector"),
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k [Q27 north-star, U3-adjacent]: the
+    1-row query side broadcasts; similarity is zip_with/aggregate
+    (JVM-side, no Python); top-k plans as TakeOrderedAndProject. The
+    LSH-bucketed scale path lives in queries/similarity.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), F.col("q_emb")), 4).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "q28_text_stats",
+    oracle="""
+    WITH per_doc AS (
+      SELECT
+        lang, source,
+        LENGTH(text) AS n_chars_actual,
+        len(string_split(text, ' ')) AS n_words,
+        LENGTH(REPLACE(text, ' ', '')) AS n_nonspace,
+        CASE WHEN LENGTH(text) > 10 AND LENGTH(text) < 30000 THEN 1 ELSE 0 END AS is_valid,
+        CASE WHEN LENGTH(text) = n_chars THEN 1 ELSE 0 END AS n_chars_ok
+      FROM documents
+    )
+    SELECT
+      lang, source,
+      COUNT(*) AS n_docs,
+      SUM(is_valid) AS n_valid,
+      SUM(n_chars_ok) AS n_chars_consistent,
+      ROUND(AVG(n_chars_actual), 4) AS avg_chars,
+      ROUND(AVG(n_words), 4) AS avg_words,
+      ROUND(AVG(CAST(n_nonspace AS DOUBLE) / n_words), 4) AS avg_word_len
+    FROM per_doc
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    tags=("textstats",),
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-stats profile [Q28 north-star, F10]: per-document length /
+    word-count / validity (the reference's 10<len<30000 gate,
+    wikipedia.py:665-687) aggregated per (lang, source)."""
+    d = table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    n_chars_actual = F.length("text")
+    n_nonspace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    per_doc = d.select(
+        "lang",
+        "source",
+        n_chars_actual.alias("n_chars_actual"),
+        n_words.alias("n_words"),
+        n_nonspace.alias("n_nonspace"),
+        F.when((n_chars_actual > 10) & (n_chars_actual < 30000), 1)
+        .otherwise(0)
+        .alias("is_valid"),
+        F.when(n_chars_actual == F.col("n_chars"), 1).otherwise(0).alias("n_chars_ok"),
+    )
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("is_valid").alias("n_valid"),
+            F.sum("n_chars_ok").alias("n_chars_consistent"),
+            F.round(F.avg("n_chars_actual"), 4).alias("avg_chars"),
+            F.round(F.avg("n_words"), 4).alias("avg_words"),
+            F.round(F.avg(F.col("n_nonspace").cast("double") / F.col("n_words")), 4).alias(
+                "avg_word_len"
+            ),
+        )
+        .orderBy("lang", "source")
+    )

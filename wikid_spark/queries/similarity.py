@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (north-star, SURVEY.md §7.6).
+
+Brute-force cosine top-k is the exactness baseline (and the oracle);
+random-hyperplane LSH bucketing is the scale path — at 100 TB the
+bucket equi-join touches only same-bucket pairs instead of the n² pair
+space. Hyperplane weights are deterministic integer functions of
+(plane, dim) so Spark and DuckDB compute identical buckets.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from wikid_spark.catalog import table
+from wikid_spark.functions.vectors import cosine_similarity
+from wikid_spark.registry import query
+
+N_PLANES = 8  # 2^8 = 256 buckets
+# w(p, d) = ((17p + 31d) mod 7) - 3 ∈ [-3, 3]: a fixed pseudo-random
+# projection matrix both engines can compute with integer arithmetic.
+
+
+def _bucket_expr(emb_col):
+    """LSH bucket id: for each hyperplane p, bit_p = [Σ_d emb[d]·w(p,d) >= 0]."""
+    bucket = F.lit(0)
+    for p in range(N_PLANES):
+        dot_p = F.aggregate(
+            F.zip_with(
+                emb_col,
+                F.sequence(F.lit(0), F.size(emb_col) - 1),
+                lambda x, d: x.cast("double") * (((F.lit(17 * p) + 31 * d) % 7) - 3),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot_p >= 0, F.lit(2**p)).otherwise(0)
+    return bucket
+
+
+@query(
+    "sim_ann_brute_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+    sims AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(e.embedding, q.qe), 4) AS sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, sim, rn
+    FROM ranked WHERE rn <= 3
+    ORDER BY query_id, rn
+    """,
+    tags=("similarity", "ann"),
+)
+def sim_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force ANN baseline: top-3 cosine neighbors for each sampled
+    query vector. The query side (vec_id % 50 = 0) broadcasts; ranking
+    happens on the ROUNDED similarity so cross-engine float noise can't
+    reorder ties."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("embedding"), F.col("qe")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("query_id", "rn")
+    )
+
+
+@query(
+    "sim_lsh_buckets",
+    oracle=f"""
+    WITH dims AS (
+      SELECT vec_id, d, embedding[d + 1] AS x
+      FROM embeddings, range(64) t(d)
+    ), planes AS (
+      SELECT vec_id, p, SUM(x * (((17 * p + 31 * d) % 7) - 3)) AS dot_p
+      FROM dims, range({N_PLANES}) u(p)
+      GROUP BY vec_id, p
+    )
+    SELECT vec_id,
+           SUM(CASE WHEN dot_p >= 0 THEN POWER(2, p)::BIGINT ELSE 0 END) AS bucket
+    FROM planes GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+    tags=("similarity", "lsh"),
+)
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment ({N_PLANES} planes → 256
+    buckets). Pure zip_with/aggregate arithmetic — no explode, no UDF;
+    one pass over the table."""
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", _bucket_expr(F.col("embedding")).cast("long").alias("bucket")
+    ).orderBy("vec_id")
+
+
+@query(
+    "sim_lsh_ann_topk",
+    oracle=f"""
+    WITH dims AS (
+      SELECT vec_id, d, embedding[d + 1] AS x
+      FROM embeddings, range(64) t(d)
+    ), planes AS (
+      SELECT vec_id, p, SUM(x * (((17 * p + 31 * d) % 7) - 3)) AS dot_p
+      FROM dims, range({N_PLANES}) u(p)
+      GROUP BY vec_id, p
+    ), buckets AS (
+      SELECT vec_id, SUM(CASE WHEN dot_p >= 0 THEN POWER(2, p)::BIGINT ELSE 0 END) AS bucket
+      FROM planes GROUP BY vec_id
+    ), q AS (
+      SELECT e.vec_id AS query_id, e.embedding AS qe, b.bucket
+      FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+      WHERE e.vec_id % 50 = 0
+    ), cands AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(e.embedding, q.qe), 4) AS sim
+      FROM q
+      JOIN buckets b ON b.bucket = q.bucket
+      JOIN embeddings e ON e.vec_id = b.vec_id
+      WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+      FROM cands
+    )
+    SELECT query_id, neighbor_id, sim, rn
+    FROM ranked WHERE rn <= 3
+    ORDER BY query_id, rn
+    """,
+    tags=("similarity", "lsh", "ann"),
+)
+def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: candidates restricted to the query's LSH bucket,
+    then exact cosine re-rank of the candidates. The bucket equi-join is
+    the scale win — shuffle on bucket id instead of an n² cross join."""
+    emb = table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id", "embedding", _bucket_expr(F.col("embedding")).cast("long").alias("bucket")
+    )
+    q = bucketed.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cands = (
+        bucketed.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("embedding"), F.col("qe")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("query_id", "rn")
+    )

@@ -1,0 +1,186 @@
+"""Text analysis family (north-star, SURVEY.md §7.6): language ID,
+quality scoring, token counting, document fingerprinting.
+
+All JVM-side expressions; every query is oracle-checked (md5 and the
+scoring arithmetic are computed identically by DuckDB).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from wikid_spark.catalog import table
+from wikid_spark.registry import query
+
+# English function-word markers for the n-gram language heuristic.
+EN_MARKERS = ("the", "a", "of", "and", "in")
+# BPE-ish segmentation: letter runs, digit runs, single other glyphs.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@query(
+    "tx_langid",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the', 'a', 'of', 'and', 'in')))::DOUBLE
+               / len(string_split(text, ' ')) AS marker_ratio
+      FROM documents
+    )
+    SELECT doc_id, lang AS declared_lang,
+           CASE WHEN marker_ratio >= 0.03 THEN 'en' ELSE 'und' END AS predicted_lang,
+           ROUND(marker_ratio, 4) AS marker_ratio
+    FROM scored
+    ORDER BY doc_id
+    LIMIT 500
+    """,
+    tags=("textstats", "langid"),
+)
+def tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language heuristic: ratio of English function words
+    among tokens; >= 3% → 'en', else 'und'. (On real corpora the marker
+    sets extend per language; the mechanism — filter/size/ratio over the
+    token array — is what scales.)"""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    markers = F.filter(words, lambda w: w.isin(*EN_MARKERS))
+    ratio = F.size(markers).cast("double") / F.size(words)
+    return (
+        d.select(
+            "doc_id",
+            F.col("lang").alias("declared_lang"),
+            F.when(ratio >= 0.03, "en").otherwise("und").alias("predicted_lang"),
+            F.round(ratio, 4).alias("marker_ratio"),
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
+@query(
+    "tx_quality_score",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             LEAST(LENGTH(text) / 1000.0, 1.0) AS len_score,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the', 'a', 'of', 'and', 'in')))::DOUBLE
+               / len(string_split(text, ' ')) AS stop_ratio,
+             len(list_distinct(string_split(text, ' ')))::DOUBLE
+               / len(string_split(text, ' ')) AS distinct_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(0.3 * len_score + 0.3 * LEAST(stop_ratio * 10, 1.0)
+                 + 0.4 * distinct_ratio, 4) AS quality
+    FROM feats
+    ORDER BY doc_id
+    LIMIT 500
+    """,
+    tags=("textstats", "quality"),
+)
+def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality score: length saturation + stopword presence +
+    vocabulary diversity, weighted. The reference's validity gates
+    (wikipedia.py:665-687, F10) are the binary ancestor of this."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    len_score = F.least(F.length("text") / 1000.0, F.lit(1.0))
+    stop_ratio = (
+        F.size(F.filter(words, lambda w: w.isin(*EN_MARKERS))).cast("double")
+        / F.size(words)
+    )
+    distinct_ratio = F.size(F.array_distinct(words)).cast("double") / F.size(words)
+    quality = F.round(
+        0.3 * len_score + 0.3 * F.least(stop_ratio * 10, F.lit(1.0)) + 0.4 * distinct_ratio,
+        4,
+    )
+    return d.select("doc_id", quality.alias("quality")).orderBy("doc_id").limit(500)
+
+
+@query(
+    "tx_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS re_tokens
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 500
+    """,
+    tags=("textstats", "tokens"),
+)
+def tx_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    segmentation (letter runs / digit runs / single symbols)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+            F.size(
+                F.regexp_extract_all(
+                    F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), F.lit(0)
+                )
+            ).alias("re_tokens"),
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
+@query(
+    "tx_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 500
+    """,
+    tags=("textstats", "fingerprint"),
+)
+def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary fingerprint: md5 of the sorted distinct token set —
+    order-insensitive content identity (catches shuffled/reordered
+    near-dups that exact text hashing misses)."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return (
+        d.select(
+            "doc_id",
+            F.md5(
+                F.array_join(F.array_sort(F.array_distinct(words)), " ").cast("binary")
+            ).alias("fingerprint"),
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
+@query(
+    "tx_fingerprint_dupes",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    ORDER BY fingerprint
+    """,
+    tags=("textstats", "fingerprint", "dedup"),
+)
+def tx_fingerprint_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint collision groups — bag-of-words duplicate sets."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(words)), " ").cast("binary"))
+    return (
+        d.select(fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fingerprint")
+    )
