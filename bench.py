@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query executes to completion through the noop sink (full plan runs
+on executors, nothing collects to the driver), timed after a small
+warmup action so JVM/codegen startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from wikid_spark.registry import all_queries
+from wikid_spark.session import get_spark
+
+HEADLINE = [
+    "q01_scan_filter_project",
+    "q02_pricing_summary",
+    "q04_profile_join_agg",
+    "q07_broadcast_dim_join",
+    "q10_ranking_windows",
+    "q13_global_topk",
+    "q22_explode_wordcount",
+    "q23_sessionization",
+    "q25_exact_dedup",
+    "q28_text_stats",
+    "nd_minhash_lsh_candidates",
+    "sim_ann_brute_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="wikid_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+
+    # Warmup: JVM + codegen + parquet footer reads, not billed below.
+    specs["q01_scan_filter_project"].fn(spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = specs[name].fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
