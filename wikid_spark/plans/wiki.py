@@ -1,0 +1,347 @@
+"""The wiki ETL pipeline — the reference's own surface, Spark-first.
+
+Three stage jobs (SURVEY.md §3.1) and the two query APIs (§3.2), each a
+pure DataFrame → DataFrame program. Stage boundaries are Parquet writes
+owned by the caller; nothing here collects to the driver.
+
+Reference parity notes (all citations into /root/reference/scripts/):
+
+* Only entities with a ``{lang}wiki`` sitelink are persisted — the
+  reference's ``_write_to_db`` iterates ``title_to_id``
+  (wiki/wikidata.py:227-247), so sitelink presence is the effective
+  keep-gate for every output table, not just the title map.
+* ``claims`` stays TYPED (map of the filtered P31/P279 claim arrays)
+  instead of the reference's ``json.dumps`` TEXT (wikidata.py:233);
+  export with ``F.to_json`` at a sink boundary if needed.
+* Alias counts are aggregation, not upsert: the reference's additive
+  ``ON CONFLICT`` merge (wikidata.py:262-269, wikipedia.py:108-115)
+  re-expressed as union → groupBy → sum, which is associative and
+  therefore batch-partition independent (tested property).
+* The prior pass runs page-granular, not raw-line-granular. The
+  reference scans XML lines and attributes links to the most recently
+  seen article id (wikipedia.py:128-152); with structured pages the
+  attribution is exact rather than incidental.
+
+Scale design: the only big shuffles are the alias/link groupBys (keyed
+on alias — Zipfian, covered by AQE skew handling) and the profile
+aggregation (keyed on entity id — near-uniform). The title→id map is a
+~10⁷-row, two-narrow-column dimension at full-wiki scale: broadcast.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from wikid_spark.functions.text import (
+    capitalize_first,
+    clean_wikitext,
+    extract_links,
+    parse_link,
+    strip_anchor,
+    truncate_on_word,
+)
+from wikid_spark.operators.annotate import annotate
+from wikid_spark.sources.wikipedia import is_dev
+
+# Meta-QIDs excluded via P31/P279 (namespaces.py:6-25 + the punctuation
+# and letter classes appended at wikidata.py:75-83).
+WD_META_ITEMS = [
+    "Q163875", "Q191780", "Q224414", "Q4167836", "Q4167410", "Q4663903",
+    "Q11266439", "Q13406463", "Q15407973", "Q18616576", "Q19887878",
+    "Q22808320", "Q23894233", "Q33120876", "Q42104522", "Q47460393",
+    "Q64875536", "Q66480449",
+    # punctuation
+    "Q1383557", "Q10617810",
+    # letters etc
+    "Q188725", "Q19776628", "Q3841820", "Q17907810", "Q9788", "Q9398093",
+]
+NEG_PROP_FILTER = ("P31", "P279")
+
+# Meta-namespace title pattern (wikipedia.py:43-47; vocab
+# namespaces.py:38-129). Interwiki prefixes + named namespaces,
+# case-insensitive, optionally ':'-prefixed.
+WP_META_NAMESPACES = [
+    "Bestand", "File", "Kategori", "Category", "Categorie", "b",
+    "betawikiversity", "Book", "c", "Commons", "d", "dbdump", "download",
+    "Draft", "Education", "Foundation", "Gadget", "Gadget definition",
+    "Gebruiker", "gerrit", "Help", "Image", "Incubator", "m", "mail",
+    "mailarchive", "media", "MediaWiki", "MediaWiki talk", "Mediawikiwiki",
+    "MediaZilla", "Meta", "Metawikipedia", "Module", "mw", "n", "nost",
+    "oldwikisource", "outreach", "outreachwiki", "otrs", "OTRSwiki",
+    "Portal", "phab", "Phabricator", "Project", "q", "quality", "rev",
+    "s", "spcom", "Special", "species", "Strategy", "sulutil", "svn",
+    "Talk", "Template", "Template talk", "Testwiki", "ticket", "TimedText",
+    "Toollabs", "tools", "tswiki", "User", "User talk", "v", "voy",
+    "w", "Wikibooks", "Wikidata", "wikiHow", "Wikinvest", "wikilivres",
+    "Wikimedia", "Wikinews", "Wikipedia", "Wikipedia talk", "Wikiquote",
+    "Wikisource", "Wikispecies", "Wikitech", "Wikiversity", "Wikivoyage",
+    "wikt", "wiktionary", "wmf", "wmania", "x",
+]
+
+NS_PATTERN = (
+    "(?i)^(:?[a-z][a-z]:|"
+    + "|".join(":?" + ns.replace(" ", "\\ ") + ":" for ns in WP_META_NAMESPACES)
+    + ")"
+)
+
+
+# ---------------------------------------------------------------- stage 1
+
+
+def parse_wikidata(
+    raw: DataFrame, lang: str = "en"
+) -> dict[str, DataFrame]:
+    """Typed wikidata entities → the four stage-1 output tables.
+
+    Implements F1 (type filter), F2 (negative P31/P279 filter with the
+    deprecated-rank exemption, wikidata.py:120-139), F3/F4 (language
+    projection + sitelink gate), X8 (claims→edges explode), and the
+    alias seed rows (count=1 each, wikidata.py:242-243).
+    """
+    site = f"{lang}wiki"
+    meta = F.array(*[F.lit(q) for q in WD_META_ITEMS])
+
+    def bad_claim(c):
+        return (c["rank"] != "deprecated") & F.array_contains(
+            meta, c["mainsnak"]["datavalue"]["value"]["id"]
+        )
+
+    excluded = F.lit(False)
+    for prop in NEG_PROP_FILTER:
+        excluded = excluded | F.exists(
+            F.coalesce(F.col("claims")[prop], F.array()), bad_claim
+        )
+
+    kept = (
+        raw.filter(F.col("type") == "item")
+        .filter(~excluded)
+        .filter(F.col("sitelinks")[site].isNotNull())
+        .select(
+            F.col("id"),
+            F.col("sitelinks")[site]["title"].alias("title"),
+            F.col("labels")[lang]["value"].alias("label"),
+            F.col("descriptions")[lang]["value"].alias("description"),
+            F.transform(
+                F.coalesce(F.col("aliases")[lang], F.array()),
+                lambda a: a["value"],
+            ).alias("aliases"),
+            F.col("claims"),
+        )
+    )
+
+    entities = kept.select(
+        "id",
+        F.map_filter(
+            F.col("claims"), lambda k, _: k.isin(*NEG_PROP_FILTER)
+        ).alias("claims"),
+    )
+    entity_texts = kept.select(
+        F.col("id").alias("entity_id"),
+        F.col("title").alias("name"),
+        "description",
+        "label",
+    )
+    # X8: every claim's target QID → (property_id, src, dst) triples.
+    edges = (
+        kept.select("id", F.explode("claims").alias("prop", "cs"))
+        .select(
+            "id",
+            "prop",
+            F.explode(
+                F.transform(F.col("cs"), lambda c: c["mainsnak"]["datavalue"]["value"]["id"])
+            ).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .select(
+            F.col("prop").alias("property_id"),
+            F.col("id").alias("src"),
+            F.col("dst"),
+        )
+        .dropDuplicates()
+    )
+    alias_seed = (
+        kept.select("id", F.explode("aliases").alias("alias"))
+        .groupBy("alias", F.col("id").alias("entity_id"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    return {
+        "entities": entities,
+        "entity_texts": entity_texts,
+        "edges": edges,
+        "aliases": alias_seed,
+    }
+
+
+# ---------------------------------------------------------------- stage 2
+
+
+def wikipedia_link_counts(
+    pages: DataFrame, entity_texts: DataFrame
+) -> DataFrame:
+    """Alias→entity link counts from article wikitext (A1, X1, F9, J3).
+
+    Replaces the reference's driver-memory nested-dict aggregate
+    (wikipedia.py:28, 175-201) with a distributed groupBy — the
+    unbounded-memory defect disappears structurally.
+    """
+    links = (
+        pages.filter(~is_dev("article_id"))
+        .select(F.explode(extract_links("raw_text")).alias("raw_body"))
+        # The reference normalizes '_'→' ' on the WHOLE body (alias
+        # included) before splitting (wikipedia.py:213).
+        .select(
+            F.trim(F.regexp_replace("raw_body", "_", " ")).alias("body")
+        )
+        .select(parse_link(F.col("body")).alias("lk"))
+        .select(
+            # Simple [[link]] normalizes the alias too (anchor strip);
+            # piped links keep the alias verbatim (wikipedia.py:210-243).
+            F.when(
+                F.col("lk.alias") == F.col("lk.entity"),
+                F.trim(strip_anchor(F.col("lk.alias"))),
+            )
+            .otherwise(F.trim(F.col("lk.alias")))
+            .alias("alias"),
+            capitalize_first(
+                F.trim(strip_anchor(F.col("lk.entity")))
+            ).alias("entity_title"),
+        )
+        .filter(
+            (F.col("alias") != "")
+            & (F.col("entity_title") != "")
+            & ~F.col("entity_title").rlike(NS_PATTERN)
+        )
+    )
+    counts = links.groupBy("alias", "entity_title").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    titles = entity_texts.select(
+        F.col("name"), F.col("entity_id")
+    )
+    return (
+        counts.join(F.broadcast(titles), counts["entity_title"] == titles["name"])
+        .select("alias", "entity_id", "count")
+    )
+
+
+def merge_alias_counts(*sources: DataFrame) -> DataFrame:
+    """A2/S6: additive merge of alias-count batches as re-aggregation.
+    Associative → any batch partitioning yields identical totals."""
+    out = sources[0]
+    for s in sources[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("alias", "entity_id").agg(F.sum("count").alias("count"))
+
+
+# ---------------------------------------------------------------- stage 3
+
+
+def wikipedia_articles(
+    pages: DataFrame,
+    entity_texts: DataFrame,
+    skip_terms: list[str],
+    n_char_limit: int = 1000,
+) -> DataFrame:
+    """Clean article texts for entity-linked pages (F6–F8, X3, X4, L2).
+
+    Output: ``articles(entity_id, article_id, title, content,
+    annotations)``. The reference discards the X4 annotations in this
+    pass (wikipedia.py:357-360); we keep them — they cost nothing extra
+    and are the payload downstream NEL training actually wants.
+    """
+    terms = F.array(*[F.lit(t.lower()) for t in skip_terms])
+    viable = (
+        pages.filter(~F.col("title").rlike(NS_PATTERN))
+        .filter(
+            ~F.exists(terms, lambda t: F.contains(F.lower("raw_text"), t))
+        )
+        .filter(~F.coalesce(F.col("raw_text").startswith("#REDIRECT"), F.lit(True)))
+    )
+    cleaned = viable.withColumn("ctext", clean_wikitext("raw_text"))
+    stripped = annotate(cleaned, "ctext")
+    titles = entity_texts.select("name", "entity_id")
+    return (
+        stripped.join(F.broadcast(titles), stripped["title"] == titles["name"])
+        .select(
+            "entity_id",
+            "article_id",
+            "title",
+            truncate_on_word(F.col("clean_text"), n_char_limit).alias("content"),
+            "annotations",
+        )
+        .dropDuplicates(["entity_id"])
+    )
+
+
+# ---------------------------------------------------------------- query APIs
+
+
+def load_entities(
+    entities: DataFrame,
+    entity_texts: DataFrame,
+    articles: DataFrame,
+    aliases: DataFrame,
+    qids: list[str] | None = None,
+) -> DataFrame:
+    """Entity profiles (§3.2; __init__.py:150-183). J2 + A3 + A6.
+
+    One row per entity: name/description/label, article title+text,
+    sorted distinct alias array (name ∪ article_title ∪ label ∪ alias
+    rows — the reference's set-union, __init__.py:134-143), total count.
+    """
+    base = entities.select("id")
+    if qids:
+        base = base.filter(F.col("id").isin(qids))
+    et = entity_texts.withColumnRenamed("entity_id", "id")
+    art = articles.select(
+        F.col("entity_id").alias("id"),
+        F.col("title").alias("article_title"),
+        F.col("content").alias("article_text"),
+    )
+    al = aliases.withColumnRenamed("entity_id", "id")
+    agg = (
+        base.join(et, "id", "left")
+        .join(art, "id", "left")
+        .join(al, "id", "left")
+        .groupBy("id", "name", "description", "label", "article_title", "article_text")
+        .agg(
+            F.array_sort(F.collect_set("alias")).alias("alias_rows"),
+            F.sum("count").alias("count"),
+        )
+    )
+    alias_union = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.concat(
+                    F.array("name", "article_title", "label"),
+                    F.col("alias_rows"),
+                ),
+                lambda x: x.isNotNull() & (x != ""),
+            )
+        )
+    )
+    return agg.select(
+        F.col("id").alias("qid"),
+        "name",
+        alias_union.alias("aliases"),
+        F.coalesce("count", F.lit(0)).alias("count"),
+        "description",
+        "article_title",
+        "article_text",
+    )
+
+
+def alias_priors(aliases: DataFrame) -> DataFrame:
+    """A4/A5: per-alias prior probabilities via ratio-to-report window
+    (__init__.py:204-223) — no driver-side second pass. Σprob = 1 per
+    alias (property-tested)."""
+    w = Window.partitionBy("alias")
+    return aliases.select(
+        "alias",
+        "entity_id",
+        (
+            F.col("count")
+            / F.greatest(F.sum("count").over(w), F.lit(1))
+        ).alias("prob"),
+    )
