@@ -1,0 +1,180 @@
+"""Streaming layer tests: batch-twin equivalence + ingest idempotency.
+
+Strategy (SURVEY.md §5.5): every streaming operator also runs in batch
+mode, where semantics are exact — the streaming run over a file source
+drained with availableNow must produce the same rows. Watermark
+late-data *dropping* is wall-clock sensitive and is exercised only
+behaviorally (state bounded, query progresses), not oracle-hashed.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from wikid_spark.catalog import table
+from wikid_spark.streaming import ingest
+from wikid_spark.streaming.windows import (
+    dedup_within_watermark,
+    session_stats,
+    sliding_counts,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return table(spark, SF, "events").cache()
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, events_batch, tmp_path_factory):
+    """Events re-written as a 3-file json stream source directory."""
+    d = tmp_path_factory.mktemp("events_stream")
+    (
+        # microsecond precision: session boundaries depend on exact ts
+        events_batch.withColumn(
+            "ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        )
+        .repartition(3)
+        .write.mode("overwrite")
+        .json(str(d / "src"))
+    )
+    return str(d / "src")
+
+
+def _stream(spark, events_stream_dir, events_batch):
+    schema = (
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .json(events_stream_dir)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+
+
+def _drain(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return name
+
+
+def _sorted_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_tumbling_stream_equals_batch(spark, events_batch, events_stream_dir):
+    stream = _stream(spark, events_stream_dir, events_batch)
+    name = _drain(tumbling_counts(stream), "t_tumbling")
+    got = _sorted_rows(spark.table(name))
+    want = _sorted_rows(tumbling_counts(events_batch))
+    assert got == want and len(got) > 0
+
+
+def test_sliding_stream_equals_batch(spark, events_batch, events_stream_dir):
+    stream = _stream(spark, events_stream_dir, events_batch)
+    name = _drain(sliding_counts(stream), "t_sliding")
+    got = _sorted_rows(spark.table(name))
+    want = _sorted_rows(sliding_counts(events_batch))
+    assert got == want and len(got) > 0
+    # each event lands in window/slide = 4 overlapping windows
+    n_tumbling = spark.table("t_tumbling").agg(F.sum("n_events")).first()[0]
+    n_sliding = spark.table(name).agg(F.sum("n_events")).first()[0]
+    assert n_sliding == 4 * n_tumbling
+
+
+def test_session_stream_equals_batch_and_q23(spark, events_batch, events_stream_dir):
+    stream = _stream(spark, events_stream_dir, events_batch)
+    # Files arrive in arbitrary order across micro-batches, so a tight
+    # watermark would (correctly) drop late rows; equivalence with the
+    # batch twin needs the watermark out of the picture — what's under
+    # test is gap-merge across micro-batches.
+    name = _drain(session_stats(stream, watermark="365 days"), "t_session")
+    got = _sorted_rows(spark.table(name))
+    want = _sorted_rows(session_stats(events_batch))
+    assert got == want and len(got) > 0
+    # Batch twin of Q23: session COUNT per user from session_window ==
+    # the gaps-and-islands formulation (new session when gap > 30 min).
+    from wikid_spark.registry import get
+
+    q23 = {
+        (r["user_id"]): r["n_sessions"]
+        for r in get("q23_sessionization").fn(spark, SF).collect()
+    }
+    sess_counts = {
+        r["user_id"]: r["n"]
+        for r in session_stats(events_batch)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sess_counts == q23
+
+
+def test_streaming_dedup(spark, events_batch, events_stream_dir, tmp_path):
+    # duplicate the source dir content → exact duplicates across batches
+    dup = _stream(spark, events_stream_dir, events_batch)
+    deduped = dedup_within_watermark(dup, ["event_id"], watermark="365 days")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.table("t_dedup").count()
+    assert n == events_batch.select("event_id").distinct().count()
+
+
+def test_ingest_exactly_once_merge(spark, tmp_path):
+    """foreachBatch merge sink: totals equal the direct aggregate, and
+    re-running the drained stream (same checkpoint) changes nothing —
+    the reference's J5 restart-idempotency contract."""
+    src = tmp_path / "src"
+    src.mkdir()
+    rows1 = [("NYC", "Q60", 1), ("NYC", "Q60", 1), ("Big Apple", "Q60", 1)]
+    rows2 = [("NYC", "Q60", 3), ("Boston", "Q100", 2)]
+    for i, rows in enumerate([rows1, rows2]):
+        with open(src / f"part{i}.json", "w") as f:
+            for a, e, c in rows:
+                f.write(json.dumps({"alias": a, "entity_id": e, "count": c}) + "\n")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("alias string, entity_id string, count bigint")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = ingest.start_alias_count_ingest(stream, target, ckpt)
+    q.awaitTermination(120)
+    merged = {
+        (r["alias"], r["entity_id"]): r["count"]
+        for r in ingest.read_alias_counts(spark, target).collect()
+    }
+    assert merged == {("NYC", "Q60"): 5, ("Big Apple", "Q60"): 1, ("Boston", "Q100"): 2}
+    # restart with same checkpoint: no new input → no change
+    stream2 = (
+        spark.readStream.schema("alias string, entity_id string, count bigint")
+        .json(str(src))
+    )
+    q2 = ingest.start_alias_count_ingest(stream2, target, ckpt)
+    q2.awaitTermination(120)
+    merged2 = {
+        (r["alias"], r["entity_id"]): r["count"]
+        for r in ingest.read_alias_counts(spark, target).collect()
+    }
+    assert merged2 == merged
