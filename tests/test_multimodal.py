@@ -1,0 +1,68 @@
+"""Multimodal plumbing tests: schema, batch shape, determinism, stub gate.
+
+The decode itself is a deterministic fake (no media libs in the
+container); what these tests pin down is the Spark-side contract —
+exactly what a real decoder would slot into.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from wikid_spark.catalog import table
+from wikid_spark.operators import multimodal as mm
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = table(spark, SF, "documents").limit(50)
+    return mm.attach_fake_media(docs, "doc_id").cache()
+
+
+def test_media_schema(media):
+    # simpleString ignores nullability flags (computed cols are non-null)
+    assert media.schema.simpleString() == mm.MEDIA_SCHEMA.simpleString()
+    r = media.first()
+    assert isinstance(r["payload"], (bytes, bytearray)) and len(r["payload"]) > 0
+    assert r["meta"]["media_type"] == "image"
+
+
+def test_decode_stub_raises_without_fake(media):
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        mm.decode_media(media, fake=False).collect()
+
+
+def test_fake_decode_shape_and_determinism(media):
+    out = mm.decode_media(media, fake=True)
+    assert out.schema.simpleString() == mm.DECODED_SCHEMA.simpleString()
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r["features"]) == mm.FEATURE_DIM
+        assert all(0.0 <= x < 1.0 for x in r["features"])
+    # payload column must NOT survive into the decoded output
+    assert "payload" not in out.columns
+    # deterministic across runs
+    again = {r["doc_id"]: r["features"] for r in mm.decode_media(media, fake=True).collect()}
+    assert {r["doc_id"]: r["features"] for r in rows} == again
+
+
+def test_frame_sampling(spark, media):
+    video = media.withColumn(
+        "meta",
+        F.col("meta").withField("n_frames", F.lit(25)).withField(
+            "media_type", F.lit("video")
+        ),
+    )
+    frames = mm.sample_frames(video, every_n=10)
+    per_doc = frames.groupBy("doc_id").count().collect()
+    # frames 0, 10, 20 → 3 per doc
+    assert all(r["count"] == 3 for r in per_doc)
+    idxs = sorted(
+        r["frame_idx"] for r in frames.filter(F.col("doc_id") == per_doc[0]["doc_id"]).collect()
+    )
+    assert idxs == [0, 10, 20]

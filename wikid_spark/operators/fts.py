@@ -1,0 +1,98 @@
+"""Full-text search as inverted-index DataFrames (SURVEY.md S4).
+
+The reference gets FTS from SQLite's FTS5 virtual tables
+(ddl.sql:24-33, 46-53 in /root/reference/scripts/wiki/) — an opaque
+engine-side inverted index queried with MATCH. Spark has no FTS
+operator; the scalable re-expression is the index AS DATA: a
+``(term, doc, pos)`` DataFrame built once per corpus, partitioned by
+term. Search is then a filter + semi-join and ranking is arithmetic —
+all Catalyst-visible, all pushdown-friendly, no black box.
+
+At 100 TB: the index build is one tokenize+posexplode pass (map-only)
+followed by a single shuffle if written bucketed/partitioned by term;
+searches touch only the partitions of their query terms (partition
+pruning on ``term``), which is exactly the access pattern FTS5's
+B-tree gives the reference on one node.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+TOKEN_SPLIT = r"\W+"
+
+
+def tokenize(col: Column | str) -> Column:
+    """Lowercased word tokens (FTS5 'unicode61'-ish: split on
+    non-alphanumerics, drop empties)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT), lambda t: t != "")
+
+
+def build_inverted_index(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Corpus → ``(term, doc, pos, doc_len)`` postings. ``doc_len`` is
+    denormalized onto every posting so ranking never joins back to the
+    corpus (a second big-table shuffle avoided at the cost of one int
+    column)."""
+    toks = tokenize(text_col).alias("toks")
+    return (
+        df.select(F.col(id_col).alias("doc"), toks)
+        .select("doc", F.size("toks").alias("doc_len"), F.posexplode("toks").alias("pos", "term"))
+        .select("term", "doc", "pos", "doc_len")
+    )
+
+
+def search_all(index: DataFrame, terms: list[str]) -> DataFrame:
+    """AND-semantics match: docs containing EVERY query term. One
+    filtered scan of the postings + one aggregation — the filter on
+    ``term`` prunes partitions when the index is stored partitioned by
+    term."""
+    t = [s.lower() for s in terms]
+    return (
+        index.filter(F.col("term").isin(t))
+        .groupBy("doc")
+        .agg(F.count_distinct("term").alias("n_terms"))
+        .filter(F.col("n_terms") == len(t))
+        .select("doc")
+    )
+
+
+def bm25(
+    index: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 over the postings (the standard FTS ranking; FTS5's
+    built-in rank is bm25 too). Returns ``(doc, score)``, higher =
+    better. All inputs derive from the index itself:
+
+    idf(t)  = ln(1 + (N - df + 0.5)/(df + 0.5))
+    tf part = tf*(k1+1) / (tf + k1*(1 - b + b*doc_len/avgdl))
+    """
+    t = [s.lower() for s in terms]
+    n_docs = index.select("doc").distinct().count()
+    avgdl = (
+        index.select("doc", "doc_len").distinct().agg(F.avg("doc_len")).first()[0]
+    )
+    tf = (
+        index.filter(F.col("term").isin(t))
+        .groupBy("term", "doc", "doc_len")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count_distinct("doc").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / F.lit(float(avgdl)))
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn("contrib", contrib)
+        .groupBy("doc")
+        .agg(F.sum("contrib").alias("score"))
+    )

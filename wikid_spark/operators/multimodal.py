@@ -1,0 +1,150 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Design (north-star training-data pipeline): media travels through the
+engine as ``binary`` columns with a typed metadata struct alongside —
+the engine never interprets bytes except inside explicitly-vectorized
+decode/feature kernels. Those kernels run via ``mapInPandas`` so one
+Arrow batch of payloads is handed to the decoder at a time, which is
+the shape a real image/audio library (PIL, torchaudio, ffmpeg) wants.
+
+The decode step itself is STUBBED here — the container has no media
+libraries. ``decode_image`` raises NotImplementedError unless
+``fake=True``, in which case a clearly-marked deterministic fake
+produces pixels from a hash of the payload. Everything AROUND the stub
+— schema, batch iteration, partitioning, output shape — is real and
+tested, so swapping in a real decoder is a one-function change.
+
+Scale notes: payload columns dominate row size, so operators here
+never shuffle the binary column (feature extraction happens before any
+groupBy; metadata-only projections drop the payload as early as
+possible). ``spark.sql.files.maxPartitionBytes`` governs scan
+parallelism; for multi-GB media blobs store pointers (path + offset)
+instead and resolve inside the kernel.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pyspark import cloudpickle
+
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+MEDIA_META = StructType(
+    [
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("format", StringType()),  # png, wav, mp4, ...
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("meta", MEDIA_META),
+    ]
+)
+
+FEATURE_DIM = 16
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("meta", MEDIA_META),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def attach_fake_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Test fixture: deterministic fake payload + metadata per row
+    (sha256 of the id, repeated). Real pipelines read payloads from
+    object storage via ``spark.read.format('binaryFile')``."""
+    idc = F.col(id_col).cast("string")
+    payload = F.sha2(idc, 256).cast("binary")
+    meta = F.struct(
+        F.lit("image").alias("media_type"),
+        F.lit("fake").alias("format"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        F.lit(1).alias("n_frames"),
+        F.lit(None).cast("int").alias("sample_rate"),
+    )
+    return df.select(
+        idc.alias("doc_id"), payload.alias("payload"), meta.alias("meta")
+    )
+
+
+def _fake_decode(payload: bytes, dim: int) -> list[float]:
+    """DETERMINISTIC FAKE decode: dim floats in [0, 1) derived from a
+    hash of the payload. Stands in for pixel/spectrogram features."""
+    out = []
+    h = payload or b""
+    while len(out) < dim:
+        h = hashlib.sha256(h).digest()
+        out.extend(b / 256.0 for b in h)
+    return [float(x) for x in out[:dim]]
+
+
+def decode_media(
+    media: DataFrame, fake: bool = False, dim: int = FEATURE_DIM
+) -> DataFrame:
+    """payload → feature vector via Arrow-batched ``mapInPandas``.
+
+    ``fake=False`` raises NotImplementedError from the kernel — the
+    container ships no media codecs; plug a real decoder into
+    ``decode_fn`` below. The Spark-side contract (schema in/out, batch
+    iteration, payload dropped from the output) is identical either way.
+    """
+
+    def decode_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode requires PIL/torchaudio/ffmpeg; "
+                    "run with fake=True for the deterministic stub"
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "meta": pdf["meta"],
+                    "features": [
+                        _fake_decode(p, dim) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(decode_fn, DECODED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: one output row per
+    kept frame index, JVM-side (the payload column is repeated by
+    reference, not copied, until a decoder touches it)."""
+    idxs = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
+        F.lit(every_n),
+    )
+    return media.select(
+        "doc_id", "payload", "meta", F.explode(idxs).alias("frame_idx")
+    )

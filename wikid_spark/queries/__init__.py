@@ -6,6 +6,7 @@ Importing this package populates ``wikid_spark.registry``.
 from wikid_spark.queries import (  # noqa: F401
     dedup,
     extensions,
+    fts,
     relational,
     scalars,
     similarity,

@@ -1,0 +1,123 @@
+"""Full-text-search queries over the inverted index (SURVEY.md S4).
+
+The index itself is `operators.fts`; these queries oracle-check the
+build (posting counts), AND-search, and BM25 ranking against DuckDB
+computing the identical arithmetic from first principles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from wikid_spark.catalog import table
+from wikid_spark.operators.fts import bm25, build_inverted_index, search_all
+from wikid_spark.registry import query
+
+# DuckDB twin of operators.fts.tokenize + build_inverted_index (minus
+# positions, which only the phrase-search path needs).
+_POSTINGS_CTE = """
+    postings AS (
+      SELECT doc_id AS doc, t.term,
+             len(list_filter(string_split_regex(lower(text), '\\W+'),
+                             x -> x <> '')) AS doc_len
+      FROM documents,
+           unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                              x -> x <> '')) AS t(term)
+    )
+"""
+
+SEARCH_TERMS = ["spark", "vector"]
+
+
+def _index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_inverted_index(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@query(
+    "fts_index_stats",
+    oracle=f"""
+    WITH {_POSTINGS_CTE}
+    SELECT term, COUNT(*) AS n_postings, COUNT(DISTINCT doc) AS doc_freq
+    FROM postings
+    GROUP BY term
+    ORDER BY n_postings DESC, term
+    LIMIT 50
+    """,
+    tags=("fts",),
+)
+def fts_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-build check: per-term posting and document frequencies."""
+    return (
+        _index(spark, sf_dir)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            F.count_distinct("doc").alias("doc_freq"),
+        )
+        .orderBy(F.desc("n_postings"), "term")
+        .limit(50)
+    )
+
+
+@query(
+    "fts_search_and",
+    oracle=f"""
+    WITH {_POSTINGS_CTE}
+    SELECT doc
+    FROM postings
+    WHERE term IN ('spark', 'vector')
+    GROUP BY doc
+    HAVING COUNT(DISTINCT term) = 2
+    ORDER BY doc
+    """,
+    tags=("fts",),
+)
+def fts_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND search: documents containing every query term."""
+    return search_all(_index(spark, sf_dir), SEARCH_TERMS).orderBy("doc")
+
+
+@query(
+    "fts_bm25_topk",
+    oracle=f"""
+    WITH {_POSTINGS_CTE},
+    corpus AS (
+      SELECT COUNT(DISTINCT doc) AS n_docs,
+             AVG(doc_len) AS avgdl
+      FROM (SELECT DISTINCT doc, doc_len FROM postings)
+    ),
+    tf AS (
+      SELECT term, doc, doc_len, COUNT(*) AS tf
+      FROM postings
+      WHERE term IN ('spark', 'vector')
+      GROUP BY term, doc, doc_len
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc) AS df FROM tf GROUP BY term
+    )
+    SELECT doc,
+           ROUND(SUM(
+             ln(1 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.doc_len / corpus.avgdl))
+           ), 4) AS score
+    FROM tf, df, corpus
+    WHERE tf.term = df.term
+    GROUP BY doc
+    ORDER BY score DESC, doc
+    LIMIT 20
+    """,
+    tags=("fts",),
+)
+def fts_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the query terms; score arithmetic mirrored
+    exactly in the oracle (same operation order → same doubles)."""
+    ranked = bm25(_index(spark, sf_dir), SEARCH_TERMS)
+    return (
+        ranked.select("doc", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), "doc")
+        .limit(20)
+    )
