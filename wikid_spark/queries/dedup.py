@@ -29,6 +29,26 @@ from wikid_spark.registry import query
 N_PERM = 16  # minhash permutations
 BAND_R = 2  # rows per band → 8 bands; P(cand) = 1-(1-j^r)^b
 
+# Numeric minhash: ONE md5 per shingle, reduced to a 30-bit integer,
+# then N_PERM universal-hash permutations h_i = (a_i*h + b_i) mod P —
+# all long arithmetic. Two reasons this shape matters at scale:
+#   1. min(<string>) can't use HashAggregate (no fixed-width buffer) —
+#      Spark falls back to Sort+SortAggregate, which measured ~50x
+#      slower at sf0.1 (114s vs ~2s) than numeric min.
+#   2. One md5 per shingle instead of one per (shingle × permutation).
+# 30-bit reduction keeps a_i*h + b_i < 2^36 — safely inside BIGINT for
+# DuckDB (which errors on overflow, unlike Spark's wrapping longs).
+H_MOD = 1 << 30
+PERM_P = 1_000_000_007
+
+
+def _perm_a(i: int) -> int:
+    return 2 * i + 1
+
+
+def _perm_b(i: int) -> int:
+    return 12345 * i + 67890
+
 
 def _shingles(words, n: int = 3):
     """Distinct n-word shingles of a pre-split words column.
@@ -105,6 +125,37 @@ def nd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHINGLE_HASH_CTE = """
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 15))::BIGINT % 1073741824 AS h
+      FROM s
+    )
+"""
+
+
+def _shingle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h): 30-bit integer hash per distinct shingle — the
+    first 60 bits of md5 (identical in Spark's conv() and DuckDB's
+    '0x'-cast) reduced mod 2^30."""
+    sh = shingle_table(spark, sf_dir)
+    h60 = F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 15), 16, 10)
+    return sh.select("doc_id", (h60.cast("long") % H_MOD).alias("h"))
+
+
+def _signature_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per doc with columns m0..m{N_PERM-1}: the whole MinHash
+    signature from a SINGLE HashAggregate (16 numeric mins computed in
+    one pass — no per-permutation explode, one shuffle of 5k tiny
+    rows)."""
+    hashed = _shingle_hash(spark, sf_dir)
+    mins = [
+        F.min((F.col("h") * _perm_a(i) + _perm_b(i)) % PERM_P).alias(f"m{i}")
+        for i in range(N_PERM)
+    ]
+    return hashed.groupBy("doc_id").agg(*mins)
+
+
 @query(
     "nd_minhash_signatures",
     oracle=f"""
@@ -114,32 +165,24 @@ def nd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    || ' ' || string_split(text,' ')[i+2]
                                    FOR i IN range(1, len(string_split(text,' ')) - 1)])) AS sh
       FROM documents
-    )
-    SELECT doc_id, i AS perm, MIN(md5(i::VARCHAR || ':' || sh)) AS minhash
-    FROM s, range({N_PERM}) t(i)
+    ), {_SHINGLE_HASH_CTE}
+    SELECT doc_id, i AS perm,
+           MIN((h * (2*i + 1) + (12345*i + 67890)) % {PERM_P}) AS minhash
+    FROM h, range({N_PERM}) t(i)
     GROUP BY doc_id, i
     ORDER BY doc_id, perm
     """,
     tags=("dedup", "minhash"),
 )
 def nd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signature table: per (doc, permutation), the minimum of
-    md5(perm ':' shingle). One explode + one groupBy with map-side
-    partial MIN — cost grows linearly in corpus size, never quadratic."""
-    sh = shingle_table(spark, sf_dir)
-    perms = F.explode(F.array(*[F.lit(i) for i in range(N_PERM)])).alias("perm")
-    exploded = sh.select("doc_id", "sh", perms)
+    """MinHash signature table (doc_id, perm, minhash): numeric
+    universal-hash permutations over one md5 per shingle (see the
+    module constants for why numeric — HashAggregate vs the measured
+    SortAggregate fallback on string mins)."""
+    sig = _signature_row(spark, sf_dir)
+    arr = F.array(*[F.col(f"m{i}") for i in range(N_PERM)])
     return (
-        exploded.groupBy("doc_id", "perm")
-        .agg(
-            F.min(
-                F.md5(
-                    F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("sh")).cast(
-                        "binary"
-                    )
-                )
-            ).alias("minhash")
-        )
+        sig.select("doc_id", F.posexplode(arr).alias("perm", "minhash"))
         .orderBy("doc_id", "perm")
     )
 
@@ -153,13 +196,14 @@ def nd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    || ' ' || string_split(text,' ')[i+2]
                                    FOR i IN range(1, len(string_split(text,' ')) - 1)])) AS sh
       FROM documents
-    ), mh AS (
-      SELECT doc_id, i AS perm, MIN(md5(i::VARCHAR || ':' || sh)) AS minhash
-      FROM s, range({N_PERM}) t(i)
+    ), {_SHINGLE_HASH_CTE}, mh AS (
+      SELECT doc_id, i AS perm,
+             MIN((h * (2*i + 1) + (12345*i + 67890)) % {PERM_P}) AS minhash
+      FROM h, range({N_PERM}) t(i)
       GROUP BY doc_id, i
     ), bands AS (
       SELECT doc_id, perm // {BAND_R} AS band,
-             md5(string_agg(minhash, '|' ORDER BY perm)) AS sig
+             md5(string_agg(minhash::VARCHAR, '|' ORDER BY perm)) AS sig
       FROM mh GROUP BY doc_id, perm // {BAND_R}
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -173,36 +217,29 @@ def nd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature ({N_PERM} perms,
     {BAND_R} per band), hash each band, self-join on band equality.
     Only same-bucket pairs are generated — the candidate space is the
-    LSH guarantee (P = 1-(1-j^r)^b), not the n² pair space."""
-    sh = shingle_table(spark, sf_dir)
-    perms = F.explode(F.array(*[F.lit(i) for i in range(N_PERM)])).alias("perm")
-    mh = (
-        sh.select("doc_id", "sh", perms)
-        .groupBy("doc_id", "perm")
-        .agg(
-            F.min(
-                F.md5(
-                    F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("sh")).cast(
-                        "binary"
-                    )
-                )
-            ).alias("minhash")
-        )
-    )
-    bands = (
-        mh.withColumn("band", F.floor(F.col("perm") / BAND_R))
-        .groupBy("doc_id", "band")
-        .agg(
+    LSH guarantee (P = 1-(1-j^r)^b), not the n² pair space.
+
+    Band signatures are derived directly from the one-row-per-doc
+    signature (no collect_list, no second shuffle): band j's sig is
+    md5 over its BAND_R consecutive mins."""
+    sig = _signature_row(spark, sf_dir)
+    n_bands = N_PERM // BAND_R
+    band_sigs = F.array(
+        *[
             F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
-                        lambda x: x.minhash,
-                    ),
+                F.concat_ws(
                     "|",
+                    *[
+                        F.col(f"m{j * BAND_R + r}").cast("string")
+                        for r in range(BAND_R)
+                    ],
                 ).cast("binary")
-            ).alias("sig")
-        )
+            )
+            for j in range(n_bands)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_sigs).alias("band", "sig")
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (
@@ -288,28 +325,54 @@ def nd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nd_embedding_neardup",
     oracle="""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
     FROM embeddings a, embeddings b
     WHERE a.vec_id < b.vec_id
-      AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
     ORDER BY vec_a, vec_b
     """,
     tags=("dedup", "vector"),
 )
 def nd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold 0.4). Brute-force
-    pair generation here (correct at any SF, quadratic); the LSH-
-    bucketed scale path is sim_lsh_bucketed in queries/similarity.py."""
-    from wikid_spark.functions.vectors import cosine_similarity
+    """Embedding-cosine near-dup pairs (threshold 0.4), exact, as a
+    blocked matrix product: the comparison matrix is broadcast once and
+    each partition computes its block's similarities against it with
+    one BLAS matmul inside a vectorized pandas kernel.
+
+    Why not a relational self-join: `a JOIN b ON vec_a < vec_b` is a
+    nested-loop join evaluating an interpreted 64-element lambda per
+    pair — measured >6 min for 5k vectors at sf0.1; the blocked matmul
+    does the identical arithmetic in milliseconds. Memory contract: the
+    broadcast side is n×d doubles and must fit per executor (~5 GB at
+    10M×64); beyond that, shard the broadcast side and union blocks —
+    or use the LSH-bucketed path (sim_lsh_* in queries/similarity.py),
+    which is the real scale answer."""
+    import numpy as np
+    import pandas as pd
 
     emb = table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    sim = cosine_similarity(F.col("ea"), F.col("eb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("sim_raw", sim)
-        .filter(F.col("sim_raw") >= 0.4)
-        .select("vec_a", "vec_b", F.round("sim_raw", 4).alias("sim"))
-        .orderBy("vec_a", "vec_b")
-    )
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def block(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+            sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
+            ia, ib = np.nonzero((sims >= 0.4) & (a_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ia],
+                    "vec_b": b_ids[ib],
+                    "sim": np.round(sims[ia, ib], 4),
+                }
+            )
+
+    return emb.mapInPandas(
+        block, "vec_a bigint, vec_b bigint, sim double"
+    ).orderBy("vec_a", "vec_b")

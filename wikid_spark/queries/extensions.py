@@ -116,7 +116,7 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q27_cosine_topk",
     oracle="""
-    SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding, q.embedding), 4) AS sim
+    SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS sim
     FROM embeddings e,
          (SELECT embedding FROM embeddings WHERE vec_id = 0) q
     WHERE e.vec_id <> 0

@@ -44,7 +44,7 @@ def _bucket_expr(emb_col):
     WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
     sims AS (
       SELECT q.query_id, e.vec_id AS neighbor_id,
-             ROUND(list_cosine_similarity(e.embedding, q.qe), 4) AS sim
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS sim
       FROM embeddings e, q
       WHERE e.vec_id <> q.query_id
     ), ranked AS (
@@ -130,7 +130,7 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE e.vec_id % 50 = 0
     ), cands AS (
       SELECT q.query_id, e.vec_id AS neighbor_id,
-             ROUND(list_cosine_similarity(e.embedding, q.qe), 4) AS sim
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS sim
       FROM q
       JOIN buckets b ON b.bucket = q.bucket
       JOIN embeddings e ON e.vec_id = b.vec_id
