@@ -1,0 +1,79 @@
+"""Property-based tests (hypothesis) for the procedural kernels and
+pipeline invariants (SURVEY.md §5.4, FIXTURES.md §2.3).
+
+These run driver-side against the pure-Python kernel functions — no
+Spark jobs — so hypothesis can explore thousands of cases cheaply. The
+Spark wrappers around the same functions are exercised by the golden
+pipeline tests.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from wikid_spark.operators.annotate import strip_links_one
+from wikid_spark.plans.kb import fake_encoder
+from wikid_spark.queries.dedup import _perm_a, _perm_b, H_MOD, N_PERM, PERM_P
+
+# Text alphabet that includes the link-syntax metacharacters heavily.
+LINKY = st.text(alphabet="ab |[]#:()", max_size=80)
+PLAIN = st.text(
+    alphabet=st.characters(blacklist_characters="[]|", blacklist_categories=("Cs",)),
+    max_size=40,
+)
+
+
+@given(LINKY)
+@settings(max_examples=500, deadline=None)
+def test_strip_links_never_crashes_and_offsets_valid(text):
+    out, anns = strip_links_one(text)
+    assert out is not None
+    for mention, _entity, start, end in anns:
+        assert 0 <= start < end <= len(out)
+        assert out[start:end] == mention
+
+
+@given(PLAIN, PLAIN)
+@settings(max_examples=200, deadline=None)
+def test_strip_links_wellformed_piped(entity, mention):
+    """[[entity|mention]] in plain text → mention inlined + annotated
+    (unless the reference's special-case rules drop it)."""
+    text = f"x [[{entity}|{mention}]] y"
+    out, anns = strip_links_one(text)
+    special = "#" in entity or entity.startswith(":")
+    if special or (not entity and not mention):
+        assert anns == []
+    else:
+        expected_mention = mention or entity
+        assert anns == [(expected_mention, entity, 2, 2 + len(expected_mention))]
+        assert out == f"x {expected_mention} y"
+
+
+@given(st.text(max_size=30))
+@settings(max_examples=100, deadline=None)
+def test_text_without_links_passes_through(text):
+    clean = text.replace("[", "").replace("]", "")
+    out, anns = strip_links_one(clean)
+    assert out == clean and anns == []
+
+
+@given(st.integers(min_value=0, max_value=H_MOD - 1))
+@settings(max_examples=200, deadline=None)
+def test_minhash_permutations_stay_in_bigint(h):
+    """The universal-hash arithmetic must never overflow DuckDB's
+    BIGINT (it errors; Spark silently wraps — a parity trap)."""
+    for i in range(N_PERM):
+        v = h * _perm_a(i) + _perm_b(i)
+        assert 0 <= v < 2**63
+        assert 0 <= v % PERM_P < PERM_P
+
+
+@given(st.lists(st.text(max_size=20), min_size=1, max_size=5))
+@settings(max_examples=50, deadline=None)
+def test_fake_encoder_deterministic_fixed_dim(texts):
+    a = fake_encoder(texts)
+    b = fake_encoder(texts)
+    assert a == b
+    assert all(len(v) == 64 for v in a)
+    assert all(-1.0 <= x <= 1.0 for v in a for x in v)

@@ -111,9 +111,13 @@ def strip_links_one(text: str):
             ent = "".join(entity)
             men = "".join(mention) or ent
             if not special and "#" not in ent and not ent.startswith(":"):
-                anns.append((men, ent, out_len, out_len + len(men)))
-                out.append(men)
-                out_len += len(men)
+                # empty mention ([[|]]) contributes no text and no
+                # annotation — keeps the 0 <= start < end invariant
+                # (the reference's qid-lookup gate drops it too).
+                if men:
+                    anns.append((men, ent, out_len, out_len + len(men)))
+                    out.append(men)
+                    out_len += len(men)
             entity.clear()
             mention.clear()
             state = _TEXT
