@@ -1,0 +1,78 @@
+"""Behavioral tests for inventory-only operators (SURVEY.md §2.1 tail):
+approx_count_distinct accuracy and watermark late-data dropping — the
+two declared behaviors that can't be oracle-hashed.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+
+from wikid_spark.catalog import table
+from wikid_spark.streaming.windows import tumbling_counts
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    """HLL++ estimate within the configured relative standard deviation
+    of the exact count (5 sigma margin to keep the test deterministic
+    in practice)."""
+    events = table(spark, SF, "events")
+    row = events.agg(
+        F.count_distinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) <= max(5, 0.1 * row["exact"])
+
+
+def test_watermark_gates_append_emission(spark, tmp_path):
+    """The watermark's GUARANTEED semantics: in append mode a window is
+    emitted only once the watermark passes its end, and windows still
+    inside the watermark horizon are withheld in state. (Dropping of
+    too-late input is explicitly best-effort in Spark — observed
+    numRowsDroppedByWatermark=0 for an already-finalizable window — so
+    the test pins the deterministic side of the contract, not the
+    best-effort side.)"""
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "0.json", "w") as f:
+        f.write(json.dumps({"ts": "2024-01-01 09:00:00", "event_type": "a"}) + "\n")
+        f.write(json.dumps({"ts": "2024-01-01 11:00:00", "event_type": "a"}) + "\n")
+        f.write(json.dumps({"ts": "2024-01-01 12:00:00", "event_type": "a"}) + "\n")
+    stream = (
+        spark.readStream.schema("ts string, event_type string")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    q = (
+        tumbling_counts(stream, window="1 hour", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"].hour, r["n_events"])
+        for r in spark.table("t_late").collect()
+    }
+    # watermark advanced to 12:00 - 10min = 11:50: the 9-10 window
+    # (end 10:00 <= 11:50) is finalized and emitted; the 11-12 and
+    # 12-13 windows (ends past the watermark) are withheld in state.
+    assert got == {(9, 1)}
+    wm = q.lastProgress["eventTime"].get("watermark")
+    assert wm == "2024-01-01T11:50:00.000Z"
+    # the batch twin has no watermark concept: every window appears.
+    batch = {
+        (r["window_start"].hour, r["n_events"])
+        for r in tumbling_counts(
+            spark.read.schema("ts string, event_type string")
+            .json(str(src))
+            .withColumn("ts", F.to_timestamp("ts")),
+            window="1 hour",
+        ).collect()
+    }
+    assert batch == {(9, 1), (11, 1), (12, 1)}
