@@ -1,0 +1,66 @@
+"""Physical-plan regression tests: pin the plan SHAPE, not just results.
+
+"Correct but wrong plan" is the failure mode these catch — a lost
+broadcast, a filter that stops reaching the parquet scan, or a top-k
+that becomes a global sort would all still hash-match the oracle while
+being 100x slower at scale. `.explain` output is part of the contract.
+"""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+
+from wikid_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str) -> str:
+    df = all_queries()[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q01_filters_reach_parquet_scan(spark):
+    plan = _plan(spark, "q01_scan_filter_project")
+    assert "PushedFilters" in plan
+    # both predicates push down (returnflag equality + shipdate range)
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # projection pruned to the 3 output + 2 filter columns
+    assert "l_comment" not in plan
+
+
+def test_q04_flagship_joins_broadcast(spark):
+    plan = _plan(spark, "q04_profile_join_agg")
+    # both joins broadcast (formatted explain lists each op in the tree
+    # AND the detail section, so count is 2 per join)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # no shuffle feeds the joins; the only exchanges are the final
+    # aggregation + output ordering
+    assert "partial" in plan.lower() or "ObjectHashAggregate" in plan
+
+
+def test_q07_dim_filter_pushed_and_broadcast(spark):
+    plan = _plan(spark, "q07_broadcast_dim_join")
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(p_brand,Brand#1)" in plan
+
+
+def test_q13_topk_is_take_ordered(spark):
+    plan = _plan(spark, "q13_global_topk")
+    assert "TakeOrderedAndProject" in plan
+    # a global Sort would be the scale bug this test exists to catch
+    assert "rangepartitioning" not in plan
+
+
+def test_fts_search_scans_prune_columns(spark):
+    plan = _plan(spark, "fts_search_and")
+    # only doc_id + text read from the corpus
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
