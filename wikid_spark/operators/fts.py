@@ -72,11 +72,19 @@ def bm25(
 
     idf(t)  = ln(1 + (N - df + 0.5)/(df + 0.5))
     tf part = tf*(k1+1) / (tf + k1*(1 - b + b*doc_len/avgdl))
+
+    Corpus stats (N, avgdl) stay IN the plan as a broadcast single-row
+    aggregate — no driver actions, so the whole ranking is one job and
+    composes lazily with whatever the caller does next.
     """
     t = [s.lower() for s in terms]
-    n_docs = index.select("doc").distinct().count()
-    avgdl = (
-        index.select("doc", "doc_len").distinct().agg(F.avg("doc_len")).first()[0]
+    corpus = (
+        index.select("doc", "doc_len")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg("doc_len").alias("avgdl"),
+        )
     )
     tf = (
         index.filter(F.col("term").isin(t))
@@ -86,12 +94,13 @@ def bm25(
     df_ = tf.groupBy("term").agg(F.count_distinct("doc").alias("df"))
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
-    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / F.lit(float(avgdl)))
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / F.col("avgdl"))
     contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
     return (
         tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(corpus))
         .withColumn("contrib", contrib)
         .groupBy("doc")
         .agg(F.sum("contrib").alias("score"))
