@@ -85,7 +85,8 @@ def q25c(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q26_asof_join",
     oracle="""
-    SELECT e.event_id, p.ts AS last_purchase_ts
+    SELECT e.event_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_purchase_ts
     FROM (SELECT * FROM events WHERE event_id % 10 = 0) e
     ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
       ON e.user_id = p.user_id AND e.ts >= p.ts
@@ -110,7 +111,14 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="ts",
         out_col="last_purchase_ts",
     )
-    return joined.select("event_id", "last_purchase_ts").orderBy("event_id")
+    return joined.select(
+        "event_id",
+        # formatted string output (micros preserved): raw timestamps
+        # shift through a non-UTC caller's collection timezone.
+        F.date_format("last_purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_purchase_ts"
+        ),
+    ).orderBy("event_id")
 
 
 @query(

@@ -207,9 +207,10 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q24_tumbling_window",
     oracle="""
-    SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, COUNT(*) AS n_events
     FROM events
-    GROUP BY date_trunc('hour', ts), event_type
+    GROUP BY 1, event_type
     ORDER BY hour, event_type
     """,
     tags=("window", "streaming-twin"),
@@ -217,11 +218,18 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window batch twin [streaming]: hourly event counts per
     type. The streaming version is F.window(ts, '1 hour') with a
-    watermark (see wikid_spark.streaming); semantics identical."""
+    watermark (see wikid_spark.streaming); semantics identical.
+
+    The grouped hour is emitted as a FORMATTED STRING (SURVEY §2.1
+    determinism rules): raw timestamps are collected through the
+    caller's process timezone and would shift vs the oracle's naive
+    values under a non-UTC driver."""
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            F.date_trunc("hour", "ts").alias("hour"),
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
             "event_type",
         )
         .agg(F.count("*").alias("n_events"))
