@@ -1,0 +1,68 @@
+"""Graph traversal over the edges table + the spark.sql query surface."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from wikid_spark.catalog import register_views
+from wikid_spark.operators.graph import edge_type_histogram, k_hop_neighbors
+from wikid_spark.registry import get
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    # Q1 -P31-> Q2 -P279-> Q3 -P279-> Q4 ; Q1 -P17-> Q5 ; cycle Q4 -> Q1
+    rows = [
+        ("P31", "Q1", "Q2"),
+        ("P279", "Q2", "Q3"),
+        ("P279", "Q3", "Q4"),
+        ("P17", "Q1", "Q5"),
+        ("P361", "Q4", "Q1"),
+    ]
+    return spark.createDataFrame(
+        rows, "property_id string, src string, dst string"
+    )
+
+
+def test_k_hop_out(spark, edges):
+    start = spark.createDataFrame([("Q1",)], "id string")
+    got = {r["id"]: r["hop"] for r in k_hop_neighbors(edges, start, k=2).collect()}
+    assert got == {"Q2": 1, "Q5": 1, "Q3": 2}
+
+
+def test_k_hop_min_hop_and_cycle(spark, edges):
+    start = spark.createDataFrame([("Q1",)], "id string")
+    got = {r["id"]: r["hop"] for r in k_hop_neighbors(edges, start, k=4).collect()}
+    # Q1 reachable via the Q4->Q1 cycle at hop 4; every node min-hop
+    assert got == {"Q2": 1, "Q5": 1, "Q3": 2, "Q4": 3, "Q1": 4}
+
+
+def test_k_hop_in_direction(spark, edges):
+    start = spark.createDataFrame([("Q3",)], "id string")
+    got = {r["id"]: r["hop"] for r in k_hop_neighbors(edges, start, k=2, direction="in").collect()}
+    assert got == {"Q2": 1, "Q1": 2}
+
+
+def test_edge_histogram(edges):
+    got = {r["property_id"]: r["n_edges"] for r in edge_type_histogram(edges).collect()}
+    assert got == {"P31": 1, "P279": 2, "P17": 1, "P361": 1}
+
+
+def test_spark_sql_surface_matches_dataframe(spark, sf_dir):
+    """The engine's SQL entry point: register_views + spark.sql produce
+    the same result as the DataFrame program (Q02 shape)."""
+    register_views(spark, sf_dir)
+    sql = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS count_order,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+    df = get("q02_pricing_summary").fn(spark, sf_dir).select(
+        "l_returnflag", "l_linestatus", "count_order", "sum_qty"
+    )
+    assert sorted(map(tuple, sql.collect())) == sorted(map(tuple, df.collect()))

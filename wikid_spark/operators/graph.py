@@ -1,0 +1,63 @@
+"""Traversal over the property-graph edge table (SURVEY.md §1.3).
+
+The reference stores claims as a graph edge table
+`properties_in_entities(property_id, from_entity_id, to_entity_id)`
+(ddl.sql:55-67 in /root/reference/scripts/wiki/) but never queries it
+beyond inserts. The rebuild keeps the same shape
+(`edges(property_id, src, dst)`, built by `plans/wiki.parse_wikidata`)
+and adds the obvious query surface: bounded-depth traversal as
+iterated self-joins — each hop is one equi-join on the frontier, which
+Catalyst plans like any other join (broadcast while the frontier is
+small, shuffle when it grows). No GraphFrames dependency; k is a
+static bound so the loop unrolls into a fixed DAG.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def k_hop_neighbors(
+    edges: DataFrame,
+    start: DataFrame,
+    k: int = 2,
+    direction: str = "out",
+) -> DataFrame:
+    """QIDs reachable from ``start(id)`` in 1..k hops.
+
+    Returns ``(id, hop)`` with the MINIMUM hop count per reached node
+    (start nodes excluded unless reachable via a cycle). ``direction``:
+    'out' follows src→dst, 'in' follows dst→src, 'both' unions.
+    """
+    if direction == "out":
+        step = edges.select(F.col("src").alias("from_id"), F.col("dst").alias("to_id"))
+    elif direction == "in":
+        step = edges.select(F.col("dst").alias("from_id"), F.col("src").alias("to_id"))
+    elif direction == "both":
+        step = edges.select(
+            F.col("src").alias("from_id"), F.col("dst").alias("to_id")
+        ).unionByName(
+            edges.select(F.col("dst").alias("from_id"), F.col("src").alias("to_id"))
+        )
+    else:
+        raise ValueError(f"direction must be out/in/both, got {direction!r}")
+
+    frontier = start.select(F.col("id").alias("from_id")).distinct()
+    reached: DataFrame | None = None
+    for hop in range(1, k + 1):
+        nxt = (
+            frontier.join(step, "from_id")
+            .select(F.col("to_id").alias("id"))
+            .distinct()
+            .withColumn("hop", F.lit(hop))
+        )
+        reached = nxt if reached is None else reached.unionByName(nxt)
+        frontier = nxt.select(F.col("id").alias("from_id"))
+    assert reached is not None
+    return reached.groupBy("id").agg(F.min("hop").alias("hop"))
+
+
+def edge_type_histogram(edges: DataFrame) -> DataFrame:
+    """Edge count per property — the degree profile of the claim graph."""
+    return edges.groupBy("property_id").agg(F.count(F.lit(1)).alias("n_edges"))
