@@ -212,3 +212,52 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "graph_khop_traversal",
+    oracle="""
+    WITH hop1 AS (
+      SELECT DISTINCT 'N' || c_nationkey AS id, 1 AS hop
+      FROM customer WHERE c_custkey <= 100
+    ), hop2 AS (
+      SELECT DISTINCT 'R' || n.n_regionkey AS id, 2 AS hop
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE c.c_custkey <= 100
+    )
+    SELECT id, MIN(hop) AS hop
+    FROM (SELECT * FROM hop1 UNION ALL SELECT * FROM hop2)
+    GROUP BY id
+    ORDER BY id
+    """,
+    tags=("graph",),
+)
+def graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth graph traversal (operators/graph.k_hop_neighbors)
+    certified on an edge table derived from TPC-H foreign keys:
+    customer -in_nation-> nation -in_region-> region. Start = customers
+    with key <= 100; result = min-hop per reached node. Mirrors the
+    reference's properties_in_entities edge-table shape (ddl.sql:55-67)
+    on the driver's tables so the operator is oracle-checkable."""
+    from wikid_spark.operators.graph import k_hop_neighbors
+
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    edges = (
+        cust.select(
+            F.lit("in_nation").alias("property_id"),
+            F.concat(F.lit("C"), F.col("c_custkey")).alias("src"),
+            F.concat(F.lit("N"), F.col("c_nationkey")).alias("dst"),
+        )
+        .unionByName(
+            nation.select(
+                F.lit("in_region").alias("property_id"),
+                F.concat(F.lit("N"), F.col("n_nationkey")).alias("src"),
+                F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+            )
+        )
+    )
+    start = cust.filter(F.col("c_custkey") <= 100).select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("id")
+    )
+    return k_hop_neighbors(edges, start, k=2).orderBy("id")
