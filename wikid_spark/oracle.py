@@ -8,6 +8,7 @@ fixed decimal rendering, timestamps/dates to ISO strings, NULL marker).
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 import math
 
 import duckdb
@@ -27,6 +28,12 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _canon_value(v) -> str:
     if v is None:
         return "\x00NULL"
+    if isinstance(v, _decimal.Decimal):
+        # Deliberately NOT normalized to int/float: the driver's value
+        # hash distinguishes Decimal(123) from 123, so a DuckDB HUGEINT
+        # (int128 → decimal128 through Arrow) must fail locally too.
+        # Oracles must CAST integer SUMs to BIGINT.
+        return f"\x01DEC:{v}"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -56,9 +63,13 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
     """Run both sides, return (match, diagnostic)."""
     con = duckdb_connection(sf_dir)
     try:
-        cur = con.execute(oracle_sql)
-        o_cols = [d[0] for d in cur.description]
-        o_rows = cur.fetchall()
+        # Fetch through Arrow, not fetchall(): fetchall() collapses
+        # HUGEINT to Python int and hides the int128-vs-BIGINT typing
+        # drift the driver's Arrow-based hash sees (round-1 root cause
+        # of all 4 hash mismatches).
+        tbl = con.execute(oracle_sql).arrow()
+        o_cols = list(tbl.column_names)
+        o_rows = [tuple(d[c] for c in o_cols) for d in tbl.to_pylist()]
     finally:
         con.close()
 

@@ -275,7 +275,10 @@ def nd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id, k
     )
     SELECT doc_id,
-           SUM(CASE WHEN s > 0 THEN POWER(2, k)::BIGINT ELSE 0 END) AS simhash
+           -- CAST: DuckDB types SUM(<integer>) as HUGEINT (int128), which
+           -- round-trips through Arrow as decimal/float and breaks the
+           -- driver's value hash even when every value is identical.
+           CAST(SUM(CASE WHEN s > 0 THEN POWER(2, k)::BIGINT ELSE 0 END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
     ORDER BY doc_id
     """,

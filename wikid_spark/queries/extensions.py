@@ -168,8 +168,10 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       lang, source,
       COUNT(*) AS n_docs,
-      SUM(is_valid) AS n_valid,
-      SUM(n_chars_ok) AS n_chars_consistent,
+      -- CAST: DuckDB SUM(<integer>) is HUGEINT → hash-mismatch vs Spark's
+      -- BIGINT through the driver's Arrow canonicalization.
+      CAST(SUM(is_valid) AS BIGINT) AS n_valid,
+      CAST(SUM(n_chars_ok) AS BIGINT) AS n_chars_consistent,
       ROUND(AVG(n_chars_actual), 4) AS avg_chars,
       ROUND(AVG(n_words), 4) AS avg_words,
       ROUND(AVG(CAST(n_nonspace AS DOUBLE) / n_words), 4) AS avg_word_len

@@ -186,7 +186,8 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       event_type,
-      SUM(CAST(props ->> 'k' AS BIGINT)) AS k_sum,
+      -- outer CAST: DuckDB SUM(BIGINT) is HUGEINT → driver hash-mismatch
+      CAST(SUM(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS k_sum,
       ROUND(AVG(CAST(props ->> 'k' AS BIGINT)), 4) AS k_avg
     FROM events
     GROUP BY event_type

@@ -95,7 +95,8 @@ def sim_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY vec_id, p
     )
     SELECT vec_id,
-           SUM(CASE WHEN dot_p >= 0 THEN POWER(2, p)::BIGINT ELSE 0 END) AS bucket
+           -- CAST: DuckDB SUM(<integer>) is HUGEINT → driver hash-mismatch
+           CAST(SUM(CASE WHEN dot_p >= 0 THEN POWER(2, p)::BIGINT ELSE 0 END) AS BIGINT) AS bucket
     FROM planes GROUP BY vec_id
     ORDER BY vec_id
     """,
