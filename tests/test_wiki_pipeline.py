@@ -49,6 +49,13 @@ WIKIDATA_LINES = [
     _entity("Q100", site="Boston", label="Boston",
             claims={"P31": [_claim("Q4167410", rank="deprecated"),
                             _claim("Q515")]}) + ",",
+    # P31 claim with a novalue snak (no datavalue id) alongside a normal
+    # claim → kept; the reference treats a missing id as not-matching
+    # (wikidata.py:128-139), so the NULL must not poison the filter.
+    _entity("Q777", site="Novalue Page", label="novalue survivor",
+            claims={"P31": [{"mainsnak": {"snaktype": "novalue"},
+                             "rank": "normal"},
+                            _claim("Q515")]}) + ",",
     # no enwiki sitelink → dropped from every output table
     _entity("Q999", label="no link") + ",",
     # not an item → dropped
@@ -117,7 +124,8 @@ def pages(spark, tmp_path_factory):
 def test_stage1_entities_gated_on_sitelink(stage1):
     ids = sorted(r["id"] for r in stage1["entities"].collect())
     # Q4167410 excluded (meta P31), Q999 no sitelink, P31 not an item.
-    assert ids == ["Q100", "Q60"]
+    # Q777 kept despite its novalue P31 snak (missing id ≠ excluded).
+    assert ids == ["Q100", "Q60", "Q777"]
 
 
 def test_stage1_entity_texts_golden(stage1):

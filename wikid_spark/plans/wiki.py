@@ -103,8 +103,14 @@ def parse_wikidata(
     meta = F.array(*[F.lit(q) for q in WD_META_ITEMS])
 
     def bad_claim(c):
-        return (c["rank"] != "deprecated") & F.array_contains(
-            meta, c["mainsnak"]["datavalue"]["value"]["id"]
+        # somevalue/novalue snaks have no datavalue id; under three-valued
+        # logic the bare predicate would be NULL and filter(~excluded) would
+        # drop the entity, where the reference (wikidata.py:128-139) treats a
+        # missing id as not-matching and keeps it. coalesce to False.
+        return F.coalesce(
+            (c["rank"] != "deprecated")
+            & F.array_contains(meta, c["mainsnak"]["datavalue"]["value"]["id"]),
+            F.lit(False),
         )
 
     excluded = F.lit(False)
