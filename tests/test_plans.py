@@ -64,3 +64,28 @@ def test_fts_search_scans_prune_columns(spark):
     plan = _plan(spark, "fts_search_and")
     # only doc_id + text read from the corpus
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_embedding_neardup_is_distributed(spark):
+    """The exact near-dup query must not materialize the table on the
+    driver (the round-1 version collect()ed it at build time) and the
+    compute must be a grouped-pandas op, not a nested-loop join. No
+    registered query may collect() — that is a driver bottleneck at
+    scale regardless of correctness."""
+    import inspect
+
+    import wikid_spark.queries as queries_pkg
+
+    pkg_dir = inspect.getfile(queries_pkg).rsplit("/", 1)[0]
+    import pathlib
+
+    offenders = [
+        p.name
+        for p in pathlib.Path(pkg_dir).glob("*.py")
+        if ".collect()" in p.read_text()
+    ]
+    assert offenders == [], f"driver-side collect() in registered queries: {offenders}"
+
+    plan = _plan(spark, "nd_embedding_neardup")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

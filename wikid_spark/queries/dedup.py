@@ -28,6 +28,7 @@ from wikid_spark.registry import query
 
 N_PERM = 16  # minhash permutations
 BAND_R = 2  # rows per band → 8 bands; P(cand) = 1-(1-j^r)^b
+NEARDUP_BLOCKS = 8  # block-pair grid for exact embedding near-dup
 
 # Numeric minhash: ONE md5 per shingle, reduced to a 30-bit integer,
 # then N_PERM universal-hash permutations h_i = (a_i*h + b_i) mod P —
@@ -338,44 +339,65 @@ def nd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def nd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.4), exact, as a
-    blocked matrix product: the comparison matrix is broadcast once and
-    each partition computes its block's similarities against it with
-    one BLAS matmul inside a vectorized pandas kernel.
+    block-pair matrix product — fully distributed, no driver action.
+
+    Vectors hash into NEARDUP_BLOCKS blocks; each row is replicated to
+    the B block-pairs it participates in and every (block_a, block_b)
+    group computes its similarities with ONE BLAS matmul inside
+    applyInPandas. Exactly one emission per unordered pair: within a
+    same-block group by vec_a < vec_b, across blocks by membership.
 
     Why not a relational self-join: `a JOIN b ON vec_a < vec_b` is a
     nested-loop join evaluating an interpreted 64-element lambda per
     pair — measured >6 min for 5k vectors at sf0.1; the blocked matmul
-    does the identical arithmetic in milliseconds. Memory contract: the
-    broadcast side is n×d doubles and must fit per executor (~5 GB at
-    10M×64); beyond that, shard the broadcast side and union blocks —
-    or use the LSH-bucketed path (sim_lsh_* in queries/similarity.py),
-    which is the real scale answer."""
+    does the identical arithmetic in milliseconds. Scale contract: the
+    shuffle is B× the table (replication), each group holds ≤ 2n/B
+    vectors — B tunes group memory against parallelism (B(B+1)/2
+    groups), with no single node ever needing the whole table (the
+    previous driver-side broadcast did). The n² flops are inherent to
+    the exact variant; sim_lsh_* in queries/similarity.py is the
+    sub-quadratic approximate path."""
     import numpy as np
     import pandas as pd
 
+    n_blocks = NEARDUP_BLOCKS
+
+    def pair_sims(key, pdf):
+        ba, bb = int(key[0]), int(key[1])
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        blks = pdf["blk"].to_numpy(dtype=np.int64)
+        mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        mask = (sims >= 0.4) & (ids[:, None] < ids[None, :])
+        if ba != bb:
+            # cross-block group: only cross pairs (same-block pairs are
+            # owned by the (i, i) group)
+            mask &= blks[:, None] != blks[None, :]
+        ia, ib = np.nonzero(mask)
+        return pd.DataFrame(
+            {"vec_a": ids[ia], "vec_b": ids[ib], "sim": np.round(sims[ia, ib], 4)}
+        )
+
     emb = table(spark, sf_dir, "embeddings")
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
-
-    def block(batches):
-        b_ids, b_mat, b_norms = bc.value
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-            sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
-            ia, ib = np.nonzero((sims >= 0.4) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ia],
-                    "vec_b": b_ids[ib],
-                    "sim": np.round(sims[ia, ib], 4),
-                }
-            )
-
-    return emb.mapInPandas(
-        block, "vec_a bigint, vec_b bigint, sim double"
-    ).orderBy("vec_a", "vec_b")
+    tagged = emb.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).alias("blk"),
+    )
+    # replicate each vector to every block-pair it belongs to; group key
+    # (least, greatest) receives block i rows (partner j) and block j
+    # rows (partner i) exactly once each
+    rep = tagged.select(
+        "vec_id",
+        "embedding",
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("pb"),
+    )
+    return (
+        rep.groupBy(
+            F.least("blk", "pb").alias("ba"), F.greatest("blk", "pb").alias("bb")
+        )
+        .applyInPandas(pair_sims, "vec_a bigint, vec_b bigint, sim double")
+        .orderBy("vec_a", "vec_b")
+    )
