@@ -74,7 +74,14 @@ def test_extract_links(spark):
         ("New_York", "New York", "New York"),  # no pipe → alias = entity
         ("Boston (Mass.)|", "Boston (Mass.)", "Boston"),  # (spec) rule
         ("A#sec", "A", "A"),  # anchor stripped
-        ("Plain|", "Plain", "Plain"),  # empty alias, no paren
+        # empty alias without a qualifier stays empty (reference drops
+        # such links at store time, wikipedia.py:197)
+        ("Plain|", "Plain", ""),
+        # alias is the segment after the FIRST pipe (splits[1],
+        # wikipedia.py:229-232), not the last
+        ("a|b|c", "a", "b"),
+        # '_'→' ' applies to the whole body, alias included
+        ("x_y|u_v", "x y", "u v"),
     ],
 )
 def test_parse_link_rules(spark, body, entity, alias):
@@ -102,6 +109,45 @@ def test_clean_wikitext_keeps_plain_links(spark):
     assert _one(spark, clean_wikitext(F.col("v")), raw) == "A [[Boston|city]] link"
 
 
+def _reference_brace_fixpoint(text: str) -> str:
+    """The reference's loop (wikipedia.py:526-537): delete innermost
+    brace pairs until the text stops shrinking."""
+    import re
+
+    info_regex = re.compile(r"{[^{]*?}")
+    previous_length = len(text)
+    try_again = True
+    while try_again:
+        text = info_regex.sub("", text)
+        try_again = len(text) < previous_length
+        previous_length = len(text)
+    return text
+
+
+def test_clean_wikitext_deep_nesting_fixpoint(spark):
+    """Pages nested deeper than TEMPLATE_UNROLL must still clean to the
+    reference's fixpoint, byte-for-byte (round-1 gap: 10-level unroll
+    left residue)."""
+    import re
+
+    from wikid_spark.operators.cleanup import clean_deep_templates
+
+    deep = "Start " + "{" * 12 + "core" + "}" * 12 + " end"
+    mixed = "A {{a {{b {{c {{d {{e {{f {{g {{h {{i {{j {{k {{l}} k}} j}} i}} h}} g}} f}} e}} d}} c}} b}} a}} Z"
+    lone = "keep { this"  # unmatched — the reference can't remove it either
+    df = spark.createDataFrame([(deep,), (mixed,), (lone,)], ["v"])
+    out = clean_deep_templates(
+        df.withColumn("v", clean_wikitext(F.col("v"))), "v"
+    )
+    got = sorted(r["v"] for r in out.collect())
+    expected = sorted(
+        re.sub(" +", " ", _reference_brace_fixpoint(raw)).strip()
+        for raw in (deep, mixed, lone)
+    )
+    assert got == expected
+    assert "Start end" in got and "A Z" in got and "keep { this" in got
+
+
 def test_truncate_on_word(spark):
     raw = "alpha beta gamma delta"
     out = _one(spark, truncate_on_word(F.col("v"), 12), raw)
@@ -109,6 +155,17 @@ def test_truncate_on_word(spark):
     assert out == "alpha beta"
 
 
-def test_truncate_on_word_short_text_untouched(spark):
-    raw = "short text"
-    assert _one(spark, truncate_on_word(F.col("v"), 1000), raw) == "short text"
+def test_truncate_on_word_drops_last_word_unconditionally(spark):
+    """The reference drops the final word even when the text is under
+    the limit (' '.join(text.split(' ')[:-1]), wikipedia.py:375-381)."""
+    assert _one(spark, truncate_on_word(F.col("v"), 1000), "short text") == "short"
+    assert _one(spark, truncate_on_word(F.col("v"), 1000), "solo") == ""
+
+
+def test_truncate_on_word_punct_before_word_drop(spark):
+    """Punctuation fixups run on the sliced text BEFORE the word drop
+    (wikipedia.py:362-374), so a ' , ' collapse can merge words that
+    then count as one for the [:-1]."""
+    raw = "alpha , beta gamma"
+    # reference: 'alpha , beta gamma' → 'alphabeta gamma' → drop last
+    assert _one(spark, truncate_on_word(F.col("v"), 1000), raw) == "alphabeta"

@@ -205,6 +205,26 @@ def test_stage3_articles_golden(stage1, pages):
     assert arts.count() == arts.select("entity_id").distinct().count()
 
 
+def test_f8_redirect_checked_on_raw_text(stage1, spark, tmp_path):
+    """F8 fires on the RAW extracted text, matching the reference:
+    wikipedia.py:507-509 runs startswith('#REDIRECT') BEFORE
+    _get_clean_wp_text (line 512), so a template-prefixed redirect is
+    NOT treated as a redirect by this rule (the '#redirect' skip-term
+    catches it when configured)."""
+    xml = """<mediawiki>
+<page><title>Novalue Page</title><id>2001</id>
+  <revision><id>900</id><text>{{hat}}#REDIRECT [[Boston]] extra words here</text></revision></page>
+<page><title>Boston</title><id>2002</id>
+  <revision><id>901</id><text>#REDIRECT [[Somewhere]]</text></revision></page>
+</mediawiki>"""
+    p = tmp_path / "f8.xml"
+    p.write_text(xml)
+    pgs = read_wikipedia_pages(spark, str(p))
+    arts = wiki.wikipedia_articles(pgs, stage1["entity_texts"], skip_terms=[])
+    titles = {r["title"] for r in arts.collect()}
+    assert titles == {"Novalue Page"}
+
+
 def test_stage3_annotation_offsets(stage1, pages):
     """§2.3: 0 <= start < end <= len(text) and text[start:end]==mention;
     qid resolution via broadcast join keeps only known titles."""

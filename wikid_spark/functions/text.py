@@ -49,19 +49,27 @@ def parse_link(body: Column) -> Column:
     """Parse one link body 'entity|alias' → struct(entity, alias).
 
     Rules (wikipedia.py:211-243):
-      - entity = text before '|', '_'→' ', '#anchor' stripped;
-      - alias  = text after '|' if present, else the entity itself;
+      - whole body '_'→' ' and trimmed first (wikipedia.py:216 operates
+        on the full match, alias included);
+      - entity = text before the FIRST '|', trimmed, '#anchor' stripped;
+      - alias  = the segment after the FIRST pipe — splits[1], so
+        '[[a|b|c]]' yields 'b' (wikipedia.py:229-232) — trimmed;
+      - no pipe → alias = the entity itself;
       - '[[Entity (spec)|]]' (empty alias, entity has a paren
-        qualifier) → alias = entity with the ' (spec)' suffix dropped.
+        qualifier) → alias = entity text before '(';
+      - empty alias with NO qualifier stays empty — the reference
+        discards such links at store time (wikipedia.py:197), mirrored
+        by the alias != '' filter downstream.
     """
-    entity_raw = F.substring_index(body, "|", 1)
-    entity = strip_anchor(F.regexp_replace(entity_raw, "_", " "))
-    has_pipe = body.contains("|")
-    alias_raw = F.when(has_pipe, F.substring_index(body, "|", -1)).otherwise(entity)
+    b = F.trim(F.regexp_replace(body, "_", " "))
+    parts = F.split(b, r"\|")
+    entity = strip_anchor(F.trim(parts.getItem(0)))
+    has_pipe = b.contains("|")
+    alias_raw = F.when(has_pipe, F.trim(parts.getItem(1))).otherwise(entity)
     spec_alias = F.trim(F.substring_index(entity, "(", 1))
     alias = F.when(
         (alias_raw == "") & entity.contains("("), spec_alias
-    ).otherwise(F.when(alias_raw == "", entity).otherwise(alias_raw))
+    ).otherwise(alias_raw)
     return F.struct(entity.alias("entity"), alias.alias("alias"))
 
 
@@ -93,15 +101,16 @@ def clean_wikitext(col: Column | str) -> Column:
 
 
 def truncate_on_word(col: Column | str, n_chars: int = 1000) -> Column:
-    """Truncate to n_chars then drop the final (possibly cut) word and
-    fix stray punctuation. Mirrors wikipedia.py:361-381 [L2, X9]."""
+    """Truncate to n_chars, fix stray punctuation, then drop the final
+    word. Mirrors wikipedia.py:361-381 [L2, X9] exactly: the punctuation
+    replacements run on the SLICED text before the word drop, and the
+    last word is dropped unconditionally — even when the text is under
+    the limit (' '.join(text.split(' ')[:-1]))."""
     c = F.col(col) if isinstance(col, str) else col
     cut = F.substring(c, 1, n_chars)
-    words = F.split(cut, " ")
-    trimmed = F.when(
-        F.length(c) > n_chars,
-        F.array_join(F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(1))), " "),
-    ).otherwise(cut)
     for lit, rep in [("(;", " "), ("(,", " "), (" ; ", " "), (" , ", ""), ("()", "")]:
-        trimmed = F.replace(trimmed, F.lit(lit), F.lit(rep))
-    return trimmed
+        cut = F.replace(cut, F.lit(lit), F.lit(rep))
+    words = F.split(cut, " ")
+    return F.array_join(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))), " "
+    )

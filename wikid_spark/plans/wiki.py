@@ -42,6 +42,7 @@ from wikid_spark.functions.text import (
     truncate_on_word,
 )
 from wikid_spark.operators.annotate import annotate
+from wikid_spark.operators.cleanup import clean_deep_templates
 from wikid_spark.sources.wikipedia import is_dev
 
 # Meta-QIDs excluded via P31/P279 (namespaces.py:6-25 + the punctuation
@@ -262,9 +263,18 @@ def wikipedia_articles(
         .filter(
             ~F.exists(terms, lambda t: F.contains(F.lower("raw_text"), t))
         )
+        # F8 runs on the RAW extracted text by design: the reference's
+        # startswith('#REDIRECT') check (wikipedia.py:507-509) fires on
+        # the text straight out of the <text> tag, BEFORE
+        # _get_clean_wp_text is called (wikipedia.py:512) — so a page
+        # whose #REDIRECT follows a leading template is NOT treated as
+        # a redirect there either (it is normally caught by the
+        # '#redirect' skip-term instead).
         .filter(~F.coalesce(F.col("raw_text").startswith("#REDIRECT"), F.lit(True)))
     )
-    cleaned = viable.withColumn("ctext", clean_wikitext("raw_text"))
+    cleaned = clean_deep_templates(
+        viable.withColumn("ctext", clean_wikitext("raw_text")), "ctext"
+    )
     stripped = annotate(cleaned, "ctext")
     titles = entity_texts.select("name", "entity_id")
     return (
