@@ -278,72 +278,154 @@ def nd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "nd_simhash_signatures",
-    oracle="""
-    WITH w AS (
+SIMHASH_BITS = 60  # 15 hex digits of md5 — fits BIGINT with headroom
+SIMHASH_CHUNK_BITS = 15  # 60-bit sig → 4 chunks; Hamming ≤ 3 ⇒ some chunk equal
+SIMHASH_CHUNK_MASK = (1 << SIMHASH_CHUNK_BITS) - 1
+_N_CHUNKS = SIMHASH_BITS // SIMHASH_CHUNK_BITS
+
+
+def _duck_word_value() -> str:
+    """DuckDB expression: first 15 hex digits of md5(word) → 60-bit BIGINT
+    (DuckDB has no conv(); decode nibble-by-nibble)."""
+
+    def nib(i: int) -> str:
+        c = f"ascii(substr(h,{i},1))"
+        return f"(CASE WHEN {c} >= 97 THEN {c} - 87 ELSE {c} - 48 END)::BIGINT"
+
+    return " + ".join(f"{nib(i + 1)} * {16 ** (14 - i)}::BIGINT" for i in range(15))
+
+
+# Shared DuckDB CTE chain computing sig(doc_id, simhash) — the 60-bit
+# SimHash both simhash queries build on.
+_SIMHASH_CTES = f"""w AS (
       SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
       FROM documents
+    ), wh AS (
+      SELECT doc_id, md5(word) AS h FROM w
     ), wv AS (
-      SELECT doc_id, word,
-             (CASE WHEN ascii(substr(md5(word),1,1)) >= 97 THEN ascii(substr(md5(word),1,1)) - 87 ELSE ascii(substr(md5(word),1,1)) - 48 END) * 4096
-           + (CASE WHEN ascii(substr(md5(word),2,1)) >= 97 THEN ascii(substr(md5(word),2,1)) - 87 ELSE ascii(substr(md5(word),2,1)) - 48 END) * 256
-           + (CASE WHEN ascii(substr(md5(word),3,1)) >= 97 THEN ascii(substr(md5(word),3,1)) - 87 ELSE ascii(substr(md5(word),3,1)) - 48 END) * 16
-           + (CASE WHEN ascii(substr(md5(word),4,1)) >= 97 THEN ascii(substr(md5(word),4,1)) - 87 ELSE ascii(substr(md5(word),4,1)) - 48 END) AS v
-      FROM w
+      SELECT doc_id, {_duck_word_value()} AS v FROM wh
     ), bits AS (
       SELECT doc_id, k,
-             SUM(CASE WHEN (v // POWER(2, k)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s
-      FROM wv, range(16) t(k)
+             SUM(CASE WHEN (v >> k) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM wv, range({SIMHASH_BITS}) t(k)
       GROUP BY doc_id, k
+    ), sig AS (
+      SELECT doc_id,
+             -- CAST: DuckDB types SUM(<integer>) as HUGEINT (int128), which
+             -- round-trips through Arrow as decimal/float and breaks the
+             -- driver's value hash even when every value is identical.
+             CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    )"""
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): 60-bit SimHash per document — word-level md5
+    → 60-bit value, each bit votes ±1, sign of the vote is the
+    signature bit.
+
+    Plan: words explode → ONE numeric HashAggregate carrying 60
+    conditional ±1 sums (no per-bit row explosion, no second shuffle) →
+    a projection folds the 60 votes into the signature. Cost is linear
+    in distinct words; the only shuffle is the doc_id groupBy.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
+    ).select("doc_id", F.md5(F.col("word").cast("binary")).alias("h"))
+
+    def nib(pos: int):
+        ch = F.ascii(F.substring("h", pos, 1))
+        return F.when(ch >= 97, ch - 87).otherwise(ch - 48).cast("long")
+
+    v = sum((nib(i + 1) * F.lit(16 ** (14 - i)).cast("long")) for i in range(15))
+    wv = w.select("doc_id", v.alias("v"))
+    votes = wv.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("v", k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{k}")
+            for k in range(SIMHASH_BITS)
+        ]
     )
-    SELECT doc_id,
-           -- CAST: DuckDB types SUM(<integer>) as HUGEINT (int128), which
-           -- round-trips through Arrow as decimal/float and breaks the
-           -- driver's value hash even when every value is identical.
-           CAST(SUM(CASE WHEN s > 0 THEN POWER(2, k)::BIGINT ELSE 0 END) AS BIGINT) AS simhash
-    FROM bits GROUP BY doc_id
-    ORDER BY doc_id
+    sig = sum(
+        F.when(F.col(f"s{k}") > 0, F.lit(1 << k).cast("long")).otherwise(F.lit(0).cast("long"))
+        for k in range(SIMHASH_BITS)
+    )
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+@query(
+    "nd_simhash_signatures",
+    oracle=f"""
+    WITH {_SIMHASH_CTES}
+    SELECT doc_id, simhash FROM sig ORDER BY doc_id
     """,
     tags=("dedup", "simhash"),
 )
 def nd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document: word-level md5 → 16-bit value, each
-    bit votes ±1, sign of the vote is the signature bit. Near-dups
-    share signatures (equal or low-Hamming). Linear cost: one explode
-    over (distinct word × 16 bits), two groupBys."""
-    d = table(spark, sf_dir, "documents")
-    w = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word"))
+    """SimHash signature table — see _simhash_df. Near-dups share
+    signatures (equal or low-Hamming); nd_simhash_candidates turns the
+    signatures into Hamming-bounded pairs."""
+    return _simhash_df(spark, sf_dir).orderBy("doc_id")
 
-    def nib(pos: int):
-        ch = F.ascii(F.substring(F.md5(F.col("word").cast("binary")), pos, 1))
-        return F.when(ch >= 97, ch - 87).otherwise(ch - 48)
 
-    v = (nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)).alias("v")
-    wv = w.select("doc_id", v)
-    bits = (
-        wv.select(
-            "doc_id",
-            "v",
-            F.explode(F.array(*[F.lit(k) for k in range(16)])).alias("k"),
-        )
-        .groupBy("doc_id", "k")
-        .agg(
-            F.sum(
-                F.when(
-                    F.floor(F.col("v") / F.pow(F.lit(2), F.col("k")).cast("long")) % 2 == 1, 1
-                ).otherwise(-1)
-            ).alias("s")
-        )
+@query(
+    "nd_simhash_candidates",
+    oracle=f"""
+    WITH {_SIMHASH_CTES}, ch AS (
+      SELECT doc_id, simhash, i AS ck,
+             (simhash >> (i * {SIMHASH_CHUNK_BITS})) & {SIMHASH_CHUNK_MASK} AS cv
+      FROM sig, range({_N_CHUNKS}) t(i)
     )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM ch a JOIN ch b ON a.ck = b.ck AND a.cv = b.cv AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "simhash", "lsh"),
+)
+def nd_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-≤3 SimHash near-dup pairs via bit-band LSH: the 60-bit
+    signature splits into four 15-bit chunks and pairs equi-join on
+    (chunk_idx, chunk_value) — by pigeonhole, any pair within Hamming 3
+    shares at least one chunk, so the banded join finds EVERY such pair
+    while only ever materializing same-chunk candidates (the same
+    bucketed shape as MinHash-LSH banding; no n² pair space). 15-bit
+    chunks give 32k bucket values per chunk index, so bucket occupancy
+    stays bounded as the corpus grows — a 4-bit chunk (16 values) would
+    degenerate to a quadratic skew join at scale."""
+    sig = _simhash_df(spark, sf_dir)
+    chunk_arr = F.array(
+        *[
+            F.shiftright("simhash", i * SIMHASH_CHUNK_BITS).bitwiseAND(
+                F.lit(SIMHASH_CHUNK_MASK)
+            )
+            for i in range(_N_CHUNKS)
+        ]
+    )
+    ch = sig.select("doc_id", "simhash", F.posexplode(chunk_arr).alias("ck", "cv"))
+    a, b = ch.alias("a"), ch.alias("b")
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
     return (
-        bits.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("k")).cast("long")).otherwise(0)
-            ).alias("simhash")
+        a.join(
+            b,
+            (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .orderBy("doc_id")
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
     )
 
 
