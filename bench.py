@@ -33,7 +33,10 @@ HEADLINE = [
     "q25_exact_dedup",
     "q28_text_stats",
     "nd_minhash_lsh_candidates",
+    "nd_ngram_jaccard",
     "sim_ann_brute_topk",
+    "fts_bm25_topk",
+    "q26_asof_join",
 ]
 
 

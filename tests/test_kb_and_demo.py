@@ -55,6 +55,37 @@ def test_embed_descriptions(profiles):
     assert const.first()["embedding"] == [1.0, 2.0]
 
 
+def test_encoder_seam_real_model(profiles):
+    """U3 seam: a REAL encoder drops into embed_descriptions unchanged.
+    Skips when spaCy (or its model) is absent — the engine must work
+    both with and without the optional dependency."""
+    pytest.importorskip("spacy")
+    try:
+        enc = kb.spacy_encoder("en_core_web_sm")
+        ds = kb.embed_descriptions(
+            kb.with_description_fallback(profiles), encoder=enc
+        )
+        row = ds.first()
+    except OSError:
+        pytest.skip("spaCy present but model en_core_web_sm not installed")
+    assert row["embedding"] is not None and len(row["embedding"]) > 0
+
+
+def test_encoder_seam_batch_contract(profiles):
+    """The seam's contract (list[str] -> list[list[float]], one vector
+    per input, any dim) holds for an arbitrary third-party callable —
+    this is what makes the real-model test above a drop-in."""
+    def enc(texts):
+        # vector depends on the input → proves per-row encoding happened
+        return [[float(len(t or "")), 1.5] for t in texts]
+
+    ds = kb.embed_descriptions(kb.with_description_fallback(profiles), encoder=enc)
+    got = {r["qid"]: r["embedding"] for r in ds.collect()}
+    assert got["Q1"] == [float(len("a thing")), 1.5]
+    assert got["Q3"] == [float(len("Gamma")), 1.5]
+    assert len(got) == 3
+
+
 def test_csv_sink_and_artifact_rows(profiles, tmp_path, spark):
     ds = kb.embed_descriptions(kb.with_description_fallback(profiles))
     out = str(tmp_path / "csv")

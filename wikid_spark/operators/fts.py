@@ -60,6 +60,36 @@ def search_all(index: DataFrame, terms: list[str]) -> DataFrame:
     )
 
 
+def phrase_search(index: DataFrame, terms: list[str]) -> DataFrame:
+    """Exact phrase match (FTS5 ``"a b c"`` MATCH syntax,
+    ddl.sql:24-33): returns ``(doc, start_pos)`` for every position
+    where the terms appear consecutively. Uses the ``pos`` column the
+    index already stores.
+
+    Plan shape: one term-filtered scan per phrase word (partition
+    pruning on ``term`` when the index is stored term-partitioned),
+    chained equi-joins on ``(doc, pos + offset)``. Each side is tiny
+    after the term filter — at 100 TB these are broadcast-able
+    per-term posting lists, never a corpus-wide shuffle."""
+    t = [s.lower() for s in terms]
+    if not t:
+        raise ValueError("phrase_search needs at least one term")
+    out = (
+        index.filter(F.col("term") == t[0])
+        .select("doc", F.col("pos").alias("start_pos"))
+    )
+    for i, term in enumerate(t[1:], start=1):
+        nxt = index.filter(F.col("term") == term).select(
+            F.col("doc").alias("_d"), F.col("pos").alias("_p")
+        )
+        out = out.join(
+            nxt,
+            (out["doc"] == nxt["_d"])
+            & (nxt["_p"] == out["start_pos"] + F.lit(i)),
+        ).drop("_d", "_p")
+    return out
+
+
 def bm25(
     index: DataFrame,
     terms: list[str],

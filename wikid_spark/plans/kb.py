@@ -65,6 +65,33 @@ def with_description_fallback(profiles: DataFrame) -> DataFrame:
     )
 
 
+def spacy_encoder(
+    model: str = "en_core_web_md",
+) -> Callable[[list[str]], list[list[float]]]:
+    """U3 real-model seam: the reference embeds descriptions with spaCy
+    ``nlp.pipe`` (create_kb.py:46-56). Returns a batch encoder for
+    ``embed_descriptions``. The import is lazy (optional dependency) and
+    the model loads once per executor Python worker — the closure cache
+    survives across Arrow batches, so the reference's ``n_process`` pool
+    becomes Spark partition parallelism with per-worker model reuse.
+
+    Raises ImportError/OSError on a box without spaCy or the model;
+    callers (and the optional-import test) skip in that case.
+    """
+    import spacy  # deferred: not a dependency of the engine itself
+
+    cache: dict[str, object] = {}
+
+    def enc(texts: list[str]) -> list[list[float]]:
+        if "nlp" not in cache:
+            cache["nlp"] = spacy.load(model)
+        return [
+            [float(x) for x in doc.vector] for doc in cache["nlp"].pipe(texts)
+        ]
+
+    return enc
+
+
 def embed_descriptions(
     profiles: DataFrame,
     encoder: Callable[[list[str]], list[list[float]]] | None = None,

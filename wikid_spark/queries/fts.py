@@ -11,7 +11,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from wikid_spark.catalog import table
-from wikid_spark.operators.fts import bm25, build_inverted_index, search_all
+from wikid_spark.operators.fts import (
+    bm25,
+    build_inverted_index,
+    phrase_search,
+    search_all,
+)
 from wikid_spark.registry import query
 
 # DuckDB twin of operators.fts.tokenize + build_inverted_index (minus
@@ -78,6 +83,36 @@ def fts_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fts_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AND search: documents containing every query term."""
     return search_all(_index(spark, sf_dir), SEARCH_TERMS).orderBy("doc")
+
+
+@query(
+    "fts_phrase",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             list_filter(string_split_regex(lower(text), '\\W+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ), pos_postings AS (
+      SELECT doc, u.s.pos AS pos, u.s.term AS term
+      FROM toks,
+           unnest(list_transform(ts, (x, i) -> {'term': x, 'pos': i - 1}))
+             AS u(s)
+    )
+    SELECT a.doc, a.pos AS start_pos
+    FROM pos_postings a
+    JOIN pos_postings b ON a.doc = b.doc AND b.pos = a.pos + 1
+    WHERE a.term = 'table' AND b.term = 'hash'
+    ORDER BY a.doc, start_pos
+    """,
+    tags=("fts",),
+)
+def fts_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search "table hash": consecutive-position adjacency join
+    on the positional postings (FTS5 phrase MATCH twin)."""
+    return phrase_search(_index(spark, sf_dir), ["table", "hash"]).orderBy(
+        "doc", "start_pos"
+    )
 
 
 @query(

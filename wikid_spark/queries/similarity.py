@@ -21,21 +21,54 @@ N_PLANES = 8  # 2^8 = 256 buckets
 # projection matrix both engines can compute with integer arithmetic.
 
 
-def _bucket_expr(emb_col):
-    """LSH bucket id: for each hyperplane p, bit_p = [Σ_d emb[d]·w(p,d) >= 0]."""
+def quantize_embedding(emb_col):
+    """Fixed-point quantization (floor(x·1000) as long). The hyperplane
+    sign test then runs on exact integer dot products — a float dot
+    within rounding noise of zero could otherwise flip a bucket bit
+    between Spark's ordered fold and DuckDB's unordered SUM. float32 →
+    double is exact and ·1000.0/floor are the same double ops in both
+    engines, so quantized values agree bit-for-bit."""
+    return F.transform(
+        emb_col, lambda x: F.floor(x.cast("double") * 1000.0).cast("long")
+    )
+
+
+def _bucket_expr(qemb_col):
+    """LSH bucket id over a QUANTIZED embedding column: for each
+    hyperplane p, bit_p = [Σ_d qemb[d]·w(p,d) >= 0] — all-integer."""
     bucket = F.lit(0)
     for p in range(N_PLANES):
         dot_p = F.aggregate(
             F.zip_with(
-                emb_col,
-                F.sequence(F.lit(0), F.size(emb_col) - 1),
-                lambda x, d: x.cast("double") * (((F.lit(17 * p) + 31 * d) % 7) - 3),
+                qemb_col,
+                F.sequence(F.lit(0), F.size(qemb_col) - 1),
+                lambda x, d: x * (((F.lit(17 * p) + 31 * d) % 7) - 3),
             ),
-            F.lit(0.0),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
         bucket = bucket + F.when(dot_p >= 0, F.lit(2**p)).otherwise(0)
     return bucket
+
+
+# Shared oracle CTE: quantized per-dimension values (mirror of
+# quantize_embedding) and integer hyperplane dot products.
+_BUCKETS_CTE = f"""
+    dims AS (
+      SELECT vec_id, d,
+             CAST(FLOOR(embedding[d + 1]::DOUBLE * 1000.0) AS BIGINT) AS x
+      FROM embeddings, range(64) t(d)
+    ), planes AS (
+      SELECT vec_id, p, SUM(x * (((17 * p + 31 * d) % 7) - 3)) AS dot_p
+      FROM dims, range({N_PLANES}) u(p)
+      GROUP BY vec_id, p
+    ), buckets AS (
+      SELECT vec_id,
+             -- CAST: DuckDB SUM(<integer>) is HUGEINT → driver hash-mismatch
+             CAST(SUM(CASE WHEN dot_p >= 0 THEN POWER(2, p)::BIGINT ELSE 0 END) AS BIGINT) AS bucket
+      FROM planes GROUP BY vec_id
+    )
+"""
 
 
 @query(
@@ -86,46 +119,31 @@ def sim_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_lsh_buckets",
     oracle=f"""
-    WITH dims AS (
-      SELECT vec_id, d, embedding[d + 1] AS x
-      FROM embeddings, range(64) t(d)
-    ), planes AS (
-      SELECT vec_id, p, SUM(x * (((17 * p + 31 * d) % 7) - 3)) AS dot_p
-      FROM dims, range({N_PLANES}) u(p)
-      GROUP BY vec_id, p
-    )
-    SELECT vec_id,
-           -- CAST: DuckDB SUM(<integer>) is HUGEINT → driver hash-mismatch
-           CAST(SUM(CASE WHEN dot_p >= 0 THEN POWER(2, p)::BIGINT ELSE 0 END) AS BIGINT) AS bucket
-    FROM planes GROUP BY vec_id
+    WITH {_BUCKETS_CTE}
+    SELECT vec_id, bucket FROM buckets
     ORDER BY vec_id
     """,
     tags=("similarity", "lsh"),
 )
 def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket assignment ({N_PLANES} planes → 256
-    buckets). Pure zip_with/aggregate arithmetic — no explode, no UDF;
-    one pass over the table."""
+    buckets) over fixed-point-quantized embeddings — integer-exact, so
+    no cross-engine sign flips. Pure transform/zip_with/aggregate
+    arithmetic — no explode, no UDF; one pass over the table."""
     emb = table(spark, sf_dir, "embeddings")
-    return emb.select(
-        "vec_id", _bucket_expr(F.col("embedding")).cast("long").alias("bucket")
-    ).orderBy("vec_id")
+    return (
+        emb.withColumn("qemb", quantize_embedding(F.col("embedding")))
+        .select(
+            "vec_id", _bucket_expr(F.col("qemb")).cast("long").alias("bucket")
+        )
+        .orderBy("vec_id")
+    )
 
 
 @query(
     "sim_lsh_ann_topk",
     oracle=f"""
-    WITH dims AS (
-      SELECT vec_id, d, embedding[d + 1] AS x
-      FROM embeddings, range(64) t(d)
-    ), planes AS (
-      SELECT vec_id, p, SUM(x * (((17 * p + 31 * d) % 7) - 3)) AS dot_p
-      FROM dims, range({N_PLANES}) u(p)
-      GROUP BY vec_id, p
-    ), buckets AS (
-      SELECT vec_id, SUM(CASE WHEN dot_p >= 0 THEN POWER(2, p)::BIGINT ELSE 0 END) AS bucket
-      FROM planes GROUP BY vec_id
-    ), q AS (
+    WITH {_BUCKETS_CTE}, q AS (
       SELECT e.vec_id AS query_id, e.embedding AS qe, b.bucket
       FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
       WHERE e.vec_id % 50 = 0
@@ -151,8 +169,8 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     then exact cosine re-rank of the candidates. The bucket equi-join is
     the scale win — shuffle on bucket id instead of an n² cross join."""
     emb = table(spark, sf_dir, "embeddings")
-    bucketed = emb.select(
-        "vec_id", "embedding", _bucket_expr(F.col("embedding")).cast("long").alias("bucket")
+    bucketed = emb.withColumn("qemb", quantize_embedding(F.col("embedding"))).select(
+        "vec_id", "embedding", _bucket_expr(F.col("qemb")).cast("long").alias("bucket")
     )
     q = bucketed.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
