@@ -7,6 +7,7 @@ from wikid_spark.queries import (  # noqa: F401
     dedup,
     extensions,
     fts,
+    pipeline,
     relational,
     scalars,
     similarity,

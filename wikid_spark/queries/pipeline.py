@@ -1,0 +1,403 @@
+"""Training-data pipeline operators over the documents corpus.
+
+The large-scale-LLM-pipeline family beyond whole-document dedup
+(queries/dedup.py): span-level dedup, PII scrubbing, repetition
+signals, deterministic splits, context-window chunking, and sequence
+packing. All are published public techniques (C4/Gopher-style corpus
+filtering, GPT-style sequence packing); none exist in the reference —
+they extend SURVEY.md §2's inventory the way the brief's
+"training-data pipeline" section demands.
+
+Every op is pure DataFrame algebra (no UDFs): tokenization is the same
+``\\W+`` split the FTS layer uses, so one tokenizer serves search,
+dedup, and pipeline ops. Scale notes per-op; the common theme is that
+per-document signals are single-pass HOF arithmetic (no shuffle) and
+corpus-wide ops shuffle once on a well-distributed key.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from wikid_spark.catalog import table
+from wikid_spark.operators.fts import tokenize
+from wikid_spark.registry import query
+
+SPAN = 5          # words per dedup span
+CHUNK = 32        # tokens per training chunk
+STEP = 24         # chunk stride (CHUNK - overlap of 8)
+PACK_BUDGET = 512  # tokens per packed sequence
+
+# DuckDB twin of operators.fts.tokenize.
+_TOKS_CTE = """
+    toks AS (
+      SELECT doc_id, lang, source,
+             list_filter(string_split_regex(lower(text), '\\W+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    )
+"""
+
+
+def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", tokenize("text").alias("ts")
+    )
+
+
+@query(
+    "pp_span_dedup",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    spans AS (
+      SELECT doc_id, array_to_string(ts[i + 1 : i + {SPAN}], ' ') AS span
+      FROM toks, unnest(list_transform(ts, (x, i) -> i - 1)) AS u(i)
+      WHERE i + {SPAN} <= len(ts)
+    ),
+    keepers AS (
+      SELECT span, MIN(doc_id) AS keeper FROM spans GROUP BY span
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN k.keeper <> s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_removed
+    FROM spans s JOIN keepers k ON s.span = k.span
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+    tags=("pipeline", "dedup"),
+)
+def pp_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span-level dedup (C4 removes any three-sentence span
+    occurring more than once in the corpus; this corpus has no sentence
+    boundaries, so the span is a sliding {SPAN}-word window): every
+    duplicated span is kept only in the lowest-doc_id document and
+    counted as removed everywhere else.
+
+    Scale: spans shuffle once on the span string (well-distributed;
+    hot spans are bounded by the corpus vocabulary, and a df-cap like
+    the one in nd_ngram_jaccard applies if not), then once on doc_id
+    for the per-doc rollup — no self-join, no n² anywhere."""
+    t = _toks(spark, sf_dir)
+    spans = t.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ts") >= SPAN,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ts") - SPAN),
+                    lambda i: F.array_join(F.slice("ts", i + 1, SPAN), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("span"),
+    )
+    keepers = spans.groupBy("span").agg(F.min("doc_id").alias("keeper"))
+    return (
+        spans.join(keepers, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("keeper") != F.col("doc_id")).cast("long")).alias(
+                "n_dup_removed"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE = "\\+1-555-[0-9]{4}"
+
+
+@query(
+    "pp_pii_scrub",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@' || source ||
+             '.org or +1-555-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE}')) AS BIGINT) AS n_phones,
+           length(regexp_replace(
+             regexp_replace(text, '{_EMAIL}', '<EMAIL>', 'g'),
+             '{_PHONE}', '<PHONE>', 'g')) AS scrubbed_len
+    FROM seeded
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "pii"),
+)
+def pp_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (standard pre-training scrub): replace emails and
+    phone numbers with typed placeholder tokens, report per-doc match
+    counts and the scrubbed length. The corpus itself is synthetic
+    word-soup with no PII, so the query first seeds one deterministic
+    email + phone per document from its own key columns — the regexes
+    then run against realistic surrounding text.
+
+    Scale: pure per-row regex projection — map-only, no shuffle; the
+    regexes are RE2/Java-compatible subset so engines agree."""
+    docs = table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@"),
+            F.col("source"),
+            F.lit(".org or +1-555-"),
+            F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL, "<EMAIL>"), _PHONE, "<PHONE>"
+    )
+    return seeded.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE)).cast("long").alias("n_phones"),
+        F.length(scrubbed).alias("scrubbed_len"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "pp_repetition",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    base AS (
+      SELECT doc_id, len(ts) AS n_words,
+             ROUND(1.0 - len(list_distinct(ts)) / len(ts), 6) AS dup_word_frac,
+             ts
+      FROM toks
+    ),
+    bigrams AS (
+      SELECT doc_id, ts[i + 1] || ' ' || ts[i + 2] AS bg
+      FROM toks, unnest(list_transform(ts, (x, i) -> i - 1)) AS u(i)
+      WHERE i + 2 <= len(ts)
+    ),
+    bg_counts AS (
+      SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg
+    ),
+    top_bg AS (
+      SELECT doc_id,
+             ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_bigram_frac
+      FROM bg_counts GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_words, b.dup_word_frac, t.top_bigram_frac
+    FROM base b JOIN top_bg t ON b.doc_id = t.doc_id
+    ORDER BY b.doc_id
+    """,
+    tags=("pipeline", "quality"),
+)
+def pp_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-word fraction
+    (1 − distinct/total, a HOF one-pass per row — no shuffle) and the
+    fraction of all bigrams taken by the single most frequent bigram
+    (explode + two keyed aggregations; the (doc_id, bigram) key is
+    high-cardinality and uniform, so the shuffle is well-spread).
+
+    Rationale (public: Gopher/MassiveText filtering rules): highly
+    repetitive documents are low-quality training text; these two
+    fractions are the standard thresholds."""
+    t = _toks(spark, sf_dir)
+    base = t.select(
+        "doc_id",
+        F.size("ts").alias("n_words"),
+        F.round(
+            1.0 - F.size(F.array_distinct("ts")) / F.size("ts"), 6
+        ).alias("dup_word_frac"),
+        "ts",
+    )
+    bigrams = t.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ts") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ts") - 2),
+                    lambda i: F.concat(
+                        F.element_at("ts", i + 1),
+                        F.lit(" "),
+                        F.element_at("ts", i + 2),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    top_bg = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("c") / F.sum("c").cast("double"), 6).alias(
+                "top_bigram_frac"
+            )
+        )
+    )
+    return (
+        base.drop("ts")
+        .join(top_bg, "doc_id")
+        .select("doc_id", "n_words", "dup_word_frac", "top_bigram_frac")
+        .orderBy("doc_id")
+    )
+
+
+# Knuth multiplicative hash: deterministic, engine-portable, and
+# decorrelated from doc_id's own ordering. Stays far under 2^63.
+_HASH_MULT = 2654435761
+_HASH_MOD = 4294967296
+
+
+@query(
+    "pp_hash_split",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    assigned AS (
+      SELECT doc_id, lang, len(ts) AS n_tok,
+             ((doc_id * {_HASH_MULT}) % {_HASH_MOD}) % 10 AS h
+      FROM toks
+    )
+    SELECT CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'dev' ELSE 'test' END
+             AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+    FROM assigned
+    GROUP BY 1, 2
+    ORDER BY split, lang
+    """,
+    tags=("pipeline", "split"),
+)
+def pp_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/dev/test split via a Knuth
+    multiplicative hash of the document key (the scalable version of
+    the reference's string-endswith('3') dev split, wikipedia.py:63-68:
+    content-independent, reproducible across engines and runs, and
+    uniform regardless of key distribution). Reported per (split, lang)
+    so stratification is visible.
+
+    Scale: map-side hash + one aggregation on a 15-key group — the
+    shuffle is a handful of rows after partial aggregation."""
+    t = _toks(spark, sf_dir)
+    h = ((F.col("doc_id") * _HASH_MULT) % _HASH_MOD) % 10
+    return (
+        t.select(
+            F.when(h < 8, "train").when(h == 8, "dev").otherwise("test").alias("split"),
+            "lang",
+            F.size("ts").alias("n_tok"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@query(
+    "pp_chunking",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    starts AS (
+      SELECT doc_id, ts, i AS start_pos
+      FROM toks,
+           unnest(list_filter(list_transform(ts, (x, i) -> i - 1),
+                              i -> i % {STEP} = 0)) AS u(i)
+    )
+    SELECT doc_id, start_pos,
+           len(ts[start_pos + 1 : start_pos + {CHUNK}]) AS n_chunk_tokens,
+           array_to_string(ts[start_pos + 1 : start_pos + {CHUNK}], ' ')
+             AS chunk_text
+    FROM starts
+    ORDER BY doc_id, start_pos
+    """,
+    tags=("pipeline", "chunking"),
+)
+def pp_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: overlapping {CHUNK}-token windows with
+    stride {STEP} (overlap {CHUNK - STEP}) — the standard way long
+    documents are cut for a fixed-context model. Tail chunks are kept
+    short rather than padded; every token lands in ≥1 chunk.
+
+    Scale: per-row sequence + slice (HOFs, no UDF), then explode —
+    map-only, output is ~n/STEP rows per doc with no shuffle at all."""
+    t = _toks(spark, sf_dir)
+    starts = t.select(
+        "doc_id",
+        "ts",
+        F.explode(
+            F.sequence(F.lit(0), F.size("ts") - 1, F.lit(STEP))
+        ).alias("start_pos"),
+    )
+    chunk = F.slice("ts", F.col("start_pos") + 1, CHUNK)
+    return starts.select(
+        "doc_id",
+        "start_pos",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    ).orderBy("doc_id", "start_pos")
+
+
+@query(
+    "pp_pack_sequences",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    sized AS (
+      SELECT doc_id, source, len(ts) AS n_tok FROM toks
+    ),
+    placed AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+      FROM sized
+    )
+    SELECT source,
+           CAST(FLOOR(start_off / {PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+    FROM placed
+    GROUP BY source, pack_id
+    ORDER BY source, pack_id
+    """,
+    tags=("pipeline", "packing"),
+)
+def pp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in key order
+    and cut every {PACK_BUDGET} tokens; a document belongs to the pack
+    where it starts (documents may straddle pack boundaries, exactly as
+    concat-then-chunk training corpora do). Output is per-pack document
+    and token counts.
+
+    Scale: the running offset is a window partitioned BY SOURCE — packs
+    are per-source, so no global single-partition sort (the classic
+    packing scale-killer); each source's stream packs independently,
+    which is also what you want operationally (shard = source)."""
+    t = _toks(spark, sf_dir)
+    sized = t.select("doc_id", "source", F.size("ts").alias("n_tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = sized.withColumn(
+        "start_off", F.sum("n_tok").over(w) - F.col("n_tok")
+    )
+    return (
+        placed.groupBy(
+            "source",
+            F.floor(F.col("start_off") / float(PACK_BUDGET))
+            .cast("long")
+            .alias("pack_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+        )
+        .orderBy("source", "pack_id")
+    )
