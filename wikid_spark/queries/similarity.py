@@ -192,3 +192,145 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .orderBy("query_id", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path next to hyperplane LSH.
+# Centroids are a deterministic subset of the corpus (every CENT_EVERY-th
+# vector): no training loop, so both engines derive the identical index,
+# and at 100 TB the "train" step is a metadata-only filter. Cell
+# assignment runs on quantized integer arithmetic (exact across engines);
+# the re-rank inside the probed cell is exact cosine.
+# ---------------------------------------------------------------------------
+
+CENT_EVERY = 25  # centroid stride → n_vectors / 25 cells
+
+
+def _centroids(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") % CENT_EVERY == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        quantize_embedding(F.col("embedding")).alias("cemb"),
+    )
+
+
+def _assignments(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cent_id): each vector mapped to its nearest
+    centroid by integer squared-L2 over the quantized vectors, ties to
+    the lowest cent_id. Broadcast centroids → map-side argmin via
+    min_by, no shuffle of the big side at all."""
+    qemb = emb.withColumn("qemb", quantize_embedding(F.col("embedding")))
+    dist = F.aggregate(
+        F.zip_with("qemb", "cemb", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        qemb.join(F.broadcast(_centroids(emb)))
+        .select("vec_id", "embedding", "cent_id", dist.alias("dist"))
+        .groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.min_by("cent_id", F.struct("dist", "cent_id")).alias("cent_id"),
+        )
+    )
+
+
+# DuckDB twin: quantized vectors + per-(vector, centroid) integer L2,
+# argmin by (dist, cent_id).
+_IVF_CTE = f"""
+    qv AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+                            x -> CAST(FLOOR(x::DOUBLE * 1000.0) AS BIGINT)) AS qemb
+      FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cent_id, qemb AS cemb FROM qv
+      WHERE vec_id % {CENT_EVERY} = 0
+    ), dists AS (
+      SELECT qv.vec_id, qv.embedding, cents.cent_id,
+             CAST(list_sum(list_transform(qv.qemb,
+                    (x, i) -> (x - cents.cemb[i]) * (x - cents.cemb[i])))
+                  AS BIGINT) AS dist
+      FROM qv, cents
+    ), assigned AS (
+      SELECT vec_id, embedding, cent_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cent_id) AS rn
+            FROM dists)
+      WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "sim_ivf_cells",
+    oracle=f"""
+    WITH {_IVF_CTE}
+    SELECT cent_id, COUNT(*) AS n_vectors
+    FROM assigned GROUP BY cent_id
+    ORDER BY cent_id
+    """,
+    tags=("similarity", "ivf"),
+)
+def sim_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index build check: vectors per cell. The argmin is a
+    broadcast-join + min_by aggregation — the corpus never shuffles on
+    anything but its own key, so the index build is one pass."""
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        _assignments(emb)
+        .groupBy("cent_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cent_id")
+    )
+
+
+@query(
+    "sim_ivf_ann_topk",
+    oracle=f"""
+    WITH {_IVF_CTE}, q AS (
+      SELECT vec_id AS query_id, embedding AS qe, cent_id AS qcell
+      FROM assigned WHERE vec_id % 50 = 0
+    ), cands AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS sim
+      FROM q JOIN assigned a ON a.cent_id = q.qcell
+      WHERE a.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+      FROM cands
+    )
+    SELECT query_id, neighbor_id, sim, rn
+    FROM ranked WHERE rn <= 3
+    ORDER BY query_id, rn
+    """,
+    tags=("similarity", "ivf", "ann"),
+)
+def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=1: candidates are the query's own cell, then
+    exact cosine re-rank. Complements hyperplane LSH: cells follow the
+    data distribution (centroids are corpus points), so recall degrades
+    more gracefully on clustered data. The probe is a cell-id equi-join
+    — per-query work is |cell|, not |corpus|."""
+    emb = table(spark, sf_dir, "embeddings")
+    assigned = _assignments(emb)
+    q = assigned.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cent_id").alias("qcell"),
+    )
+    cands = (
+        assigned.join(F.broadcast(q), F.col("cent_id") == F.col("qcell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("embedding"), F.col("qe")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("query_id", "rn")
+    )
