@@ -178,3 +178,46 @@ def test_ingest_exactly_once_merge(spark, tmp_path):
         for r in ingest.read_alias_counts(spark, target).collect()
     }
     assert merged2 == merged
+
+
+def test_stateful_running_stats_stream_equals_batch(
+    spark, events_batch, events_stream_dir
+):
+    """applyInPandasWithState: per-user running totals accumulated across
+    micro-batches must end at the batch groupBy answer (update mode emits
+    one row per touched user per batch; the LAST emission is the total)."""
+    from wikid_spark.streaming.stateful import running_user_stats
+
+    stream = _stream(spark, events_stream_dir, events_batch)
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.table("t_stateful")
+    # multiple emissions per user (one per micro-batch that touched it);
+    # the final state per user is the row with the max running count
+    final = (
+        emitted.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+    )
+    got = sorted(
+        (r["user_id"], r["n_events"], round(r["total_value"], 4))
+        for r in final.collect()
+    )
+    want = sorted(
+        (r["user_id"], r["n_events"], round(r["total_value"], 4))
+        for r in running_user_stats(events_batch).collect()
+    )
+    assert got == want and len(got) > 0
+    # state genuinely crossed batches: stream had 3 files → some user must
+    # have emitted more than one distinct running count
+    multi = emitted.groupBy("user_id").count().filter("count > 1").count()
+    assert multi > 0
