@@ -100,3 +100,24 @@ def test_repetition_fraction_bounds(spark):
         | (F.col("top_bigram_frac") > 1)
     )
     assert bad.count() == 0
+
+
+def test_decontaminate_never_flags_benchmark_docs(spark):
+    dec = SPECS["pp_decontaminate"].fn(spark, SF_DIR_SMALL)
+    assert dec.filter(F.col("doc_id") % pp.BENCH_EVERY == 0).count() == 0
+    assert dec.filter(F.col("n_contaminated_spans") <= 0).count() == 0
+
+
+def test_gopher_filter_keep_consistent_with_signals(spark):
+    g = SPECS["pp_gopher_filter"].fn(spark, SF_DIR_SMALL)
+    recomputed = (
+        (F.col("n_words") >= 50)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("stop_frac") >= 0.02)
+    )
+    # keep is derived from the UNROUNDED signals; rounding to 4 decimals
+    # can only disagree within epsilon of a threshold — assert none here
+    assert g.filter(F.col("keep") != recomputed).count() == 0
+    # the gate must actually split the corpus (not all-true/all-false)
+    kept = g.filter("keep").count()
+    assert 0 < kept < g.count()

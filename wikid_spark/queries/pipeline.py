@@ -401,3 +401,124 @@ def pp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "pack_id")
     )
+
+
+BENCH_EVERY = 97  # doc_id % 97 == 0 → held-out "benchmark" docs
+
+
+@query(
+    "pp_decontaminate",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    spans AS (
+      SELECT doc_id, array_to_string(ts[i + 1 : i + {SPAN}], ' ') AS span
+      FROM toks, unnest(list_transform(ts, (x, i) -> i - 1)) AS u(i)
+      WHERE i + {SPAN} <= len(ts)
+    ),
+    bench AS (
+      SELECT DISTINCT span FROM spans WHERE doc_id % {BENCH_EVERY} = 0
+    )
+    SELECT s.doc_id,
+           COUNT(DISTINCT s.span) AS n_contaminated_spans
+    FROM spans s JOIN bench b ON s.span = b.span
+    WHERE s.doc_id % {BENCH_EVERY} <> 0
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+    tags=("pipeline", "decontamination"),
+)
+def pp_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (public practice since GPT-2/GPT-3
+    appendices: drop training docs that overlap the eval set): flags
+    every training document sharing at least one {SPAN}-word span with
+    the held-out benchmark subset (doc_id % {BENCH_EVERY} == 0), with
+    the count of distinct overlapping spans.
+
+    Scale: benchmark suites are tiny relative to the corpus, so the
+    distinct benchmark-span set broadcasts; the corpus side is a
+    map-side hash probe + one doc_id aggregation — the 100 TB side is
+    never shuffled on the span."""
+    t = _toks(spark, sf_dir)
+    spans = t.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ts") >= SPAN,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ts") - SPAN),
+                    lambda i: F.array_join(F.slice("ts", i + 1, SPAN), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("span"),
+    )
+    bench = (
+        spans.filter(F.col("doc_id") % BENCH_EVERY == 0)
+        .select("span")
+        .distinct()
+    )
+    return (
+        spans.filter(F.col("doc_id") % BENCH_EVERY != 0)
+        .join(F.broadcast(bench), "span")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("span").alias("n_contaminated_spans"))
+        .orderBy("doc_id")
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "and")
+
+
+@query(
+    "pp_gopher_filter",
+    oracle=f"""
+    WITH {_TOKS_CTE}
+    SELECT doc_id,
+           len(ts) AS n_words,
+           ROUND(list_sum(list_transform(ts, x -> len(x))) / CAST(len(ts) AS DOUBLE), 4)
+             AS mean_word_len,
+           ROUND(len(list_filter(ts, x -> x IN ('the', 'a', 'of', 'and')))
+                 / CAST(len(ts) AS DOUBLE), 4) AS stop_frac,
+           (len(ts) >= 50
+            AND list_sum(list_transform(ts, x -> len(x))) / CAST(len(ts) AS DOUBLE)
+                BETWEEN 3 AND 10
+            AND len(list_filter(ts, x -> x IN ('the', 'a', 'of', 'and')))
+                / CAST(len(ts) AS DOUBLE) >= 0.02) AS keep
+    FROM toks
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "quality"),
+)
+def pp_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality gate (public MassiveText rules:
+    word-count bounds, mean-word-length band, stop-word presence),
+    emitting the signal columns alongside the keep decision so the gate
+    is auditable, not a black box.
+
+    Scale: one HOF projection per row — map-only, no shuffle, and the
+    signals come from a single tokenization shared by the whole
+    pipeline family."""
+    t = _toks(spark, sf_dir)
+    n = F.size("ts")
+    sum_len = F.aggregate(
+        F.transform("ts", F.length),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_len = sum_len / n.cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_frac = (
+        F.size(F.filter("ts", lambda x: F.array_contains(stop_arr, x)))
+        / n.cast("double")
+    )
+    keep = (
+        (n >= 50)
+        & mean_len.between(3, 10)
+        & (stop_frac >= 0.02)
+    )
+    return t.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(stop_frac, 4).alias("stop_frac"),
+        keep.alias("keep"),
+    ).orderBy("doc_id")
