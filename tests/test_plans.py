@@ -89,3 +89,36 @@ def test_embedding_neardup_is_distributed(spark):
     plan = _plan(spark, "nd_embedding_neardup")
     assert "FlatMapGroupsInPandas" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q29_range_join_is_equi_not_nested_loop(spark):
+    """The interval-explode rewrite exists to avoid the nested-loop the
+    naive theta join would plan; regressing to one is the scale bug."""
+    plan = _plan(spark, "q29_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pp_decontaminate_broadcasts_benchmark_spans(spark):
+    plan = _plan(spark, "pp_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    # the corpus-side span stream must NOT be shuffled for the probe
+    assert "SortMergeJoin" not in plan
+
+
+def test_pp_map_only_ops_have_no_exchange_before_sink(spark):
+    """Chunking and the quality gate are per-row projections; any
+    Exchange in their plans (besides the final presentation orderBy)
+    means a shuffle crept into a map-only op."""
+    for name in ("pp_chunking", "pp_gopher_filter"):
+        plan = _plan(spark, name)
+        body = plan.split("AdaptiveSparkPlan")[0]
+        # exactly the one rangepartitioning exchange for the orderBy
+        assert body.count("Exchange") <= 1, name
+
+
+def test_sim_ivf_assignment_broadcasts_centroids(spark):
+    plan = _plan(spark, "sim_ivf_cells")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # argmin must partial-aggregate map-side before the vec_id shuffle
+    assert "partial_min_by" in plan or "partial" in plan.lower()

@@ -263,3 +263,123 @@ def graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("C"), F.col("c_custkey")).alias("id")
     )
     return k_hop_neighbors(edges, start, k=2).orderBy("id")
+
+
+@query(
+    "q29_range_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), hits AS (
+      SELECT p.event_id, COUNT(e.event_id) AS n_events_1h
+      FROM purchases p
+      JOIN events e
+        ON e.user_id = p.user_id
+       AND e.ts >= p.ts
+       AND e.ts < p.ts + INTERVAL 1 HOUR
+       AND e.event_id <> p.event_id
+      GROUP BY p.event_id
+    )
+    SELECT p.event_id, COALESCE(h.n_events_1h, 0) AS n_events_1h
+    FROM purchases p LEFT JOIN hits h ON p.event_id = h.event_id
+    ORDER BY p.event_id
+    """,
+    tags=("join", "range"),
+)
+def q29_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join [north-star extension]: per purchase, how
+    many OTHER same-user events land in the hour after it — the classic
+    attribution window. Spark has no range-join operator and the naive
+    theta join plans as a nested loop; the scale-safe re-expression is
+    interval bucketing: a 1-hour window overlaps at most two hour
+    buckets, so each purchase is exploded to its ≤2 buckets and the
+    join becomes an EQUI-join on (user_id, hour_bucket) with the exact
+    range check as a post-filter — shuffle-partitionable, AQE-skew-
+    splittable, no nested loop. The oracle runs the plain inequality
+    join, which DuckDB can afford at test scale."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    exploded = purchases.select(
+        "p_id",
+        "p_user",
+        "p_ts",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.date_trunc("hour", "p_ts"),
+                    F.date_trunc(
+                        "hour", F.col("p_ts") + F.expr("INTERVAL 1 HOUR")
+                    ),
+                )
+            )
+        ).alias("bucket"),
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.date_trunc("hour", "ts").alias("bucket"),
+    )
+    hits = (
+        exploded.join(
+            tagged,
+            (F.col("user_id") == F.col("p_user"))
+            & (tagged["bucket"] == exploded["bucket"]),
+        )
+        .filter(
+            (F.col("ts") >= F.col("p_ts"))
+            & (F.col("ts") < F.col("p_ts") + F.expr("INTERVAL 1 HOUR"))
+            & (F.col("event_id") != F.col("p_id"))
+        )
+        # an event in the overlap of both buckets still matches once:
+        # the bucket-pair explode is on the PURCHASE side only, and an
+        # event row carries exactly one bucket value.
+        .groupBy("p_id")
+        .agg(F.count(F.lit(1)).alias("n_events_1h"))
+    )
+    return (
+        purchases.join(hits, "p_id", "left")
+        .select(
+            F.col("p_id").alias("event_id"),
+            F.coalesce("n_events_1h", F.lit(0)).alias("n_events_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q30_percentiles",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("aggregation", "percentile"),
+)
+def q30_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``: both linear-interpolate
+    at (n-1)·q). Exact percentile is a full-sort-per-group aggregate —
+    fine for bounded groups like event types; for high-cardinality
+    keys at 100 TB switch to ``percentile_approx`` (t-digest sketch,
+    mergeable map-side) and accept the documented error bound."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
