@@ -303,26 +303,24 @@ def q29_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("p_user"),
         F.col("ts").alias("p_ts"),
     )
+    # epoch-hour buckets (unix_micros // 1h), NOT date_trunc: integer
+    # epoch arithmetic is timezone- and DST-proof, so the ≤2-bucket
+    # overlap guarantee holds under any driver session timezone.
+    hour_us = 3_600_000_000
+    p_bucket = F.floor(F.unix_micros("p_ts") / hour_us)
     exploded = purchases.select(
         "p_id",
         "p_user",
         "p_ts",
         F.explode(
-            F.array_distinct(
-                F.array(
-                    F.date_trunc("hour", "p_ts"),
-                    F.date_trunc(
-                        "hour", F.col("p_ts") + F.expr("INTERVAL 1 HOUR")
-                    ),
-                )
-            )
+            F.array_distinct(F.array(p_bucket, p_bucket + 1))
         ).alias("bucket"),
     )
     tagged = ev.select(
         "event_id",
         "user_id",
         "ts",
-        F.date_trunc("hour", "ts").alias("bucket"),
+        F.floor(F.unix_micros("ts") / hour_us).alias("bucket"),
     )
     hits = (
         exploded.join(
