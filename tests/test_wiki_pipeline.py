@@ -299,3 +299,48 @@ def test_alias_priors_sum_to_one(stage1, pages):
         assert abs(r["s"] - 1.0) < 1e-9
     probs = {(r["alias"], r["entity_id"]): r["prob"] for r in priors.collect()}
     assert probs[("NYC", "Q60")] == 1.0
+
+
+def test_load_skip_terms_yaml(tmp_path):
+    """S3: per-language YAML skip-term loading (wikipedia.py:317-320)."""
+    from wikid_spark.sources.config import load_filter_terms, load_skip_terms
+
+    y = tmp_path / "skip_terms.yaml"
+    y.write_text(
+        "en:\n  - \"#REDIRECT\"\n  - \"{{disambiguation}}\"\n"
+        "es:\n  - \"#redirect\"\n  - \"#redirección\"\n"
+    )
+    en = load_skip_terms(y, "en")
+    assert en == ["#redirect", "{{disambiguation}}"]  # lower-cased, sorted
+    assert load_skip_terms(y, "es") == ["#redirección", "#redirect"]
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        load_skip_terms(y, "de")
+
+    t = tmp_path / "filter_terms.txt"
+    t.write_text("List of\nIndex of\n")
+    assert load_filter_terms(t) == {"List of", "Index of"}
+
+
+def test_skip_terms_feed_article_filter(spark, tmp_path):
+    """The loaded terms drop matching articles via the same plan path
+    as the literal list (plans/wiki.py skip-term containment filter)."""
+    from wikid_spark.plans.wiki import wikipedia_articles
+    from wikid_spark.sources.config import load_skip_terms
+
+    y = tmp_path / "st.yaml"
+    y.write_text("en:\n  - \"#redirect\"\n")
+    terms = load_skip_terms(y, "en")
+    pages = spark.createDataFrame(
+        [
+            (1, "Alpha", "Alpha is a letter."),
+            (2, "Beta", "#REDIRECT [[Alpha]]"),
+        ],
+        "article_id long, title string, raw_text string",
+    )
+    entities = spark.createDataFrame(
+        [("Alpha", "Q1"), ("Beta", "Q2")], "name string, entity_id string"
+    )
+    out = wikipedia_articles(pages, entities, skip_terms=terms)
+    assert [r["title"] for r in out.collect()] == ["Alpha"]
