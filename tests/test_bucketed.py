@@ -1,0 +1,56 @@
+"""Bucketed co-located join: the write-once-shuffle-never layout.
+
+Pins the property the utility exists for: an equi-join of two tables
+bucketed on the join key plans with ZERO Exchange — at 100 TB this is
+the difference between a nightly shuffle of the fact table and none.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from wikid_spark.catalog import table
+from wikid_spark.sources.bucketed import bucketed_join, write_bucketed
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("bucketdb")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{d}'")
+    write_bucketed(table(spark, SF, "orders"), "bucketdb.orders_b", "o_orderkey", 4)
+    write_bucketed(
+        table(spark, SF, "lineitem"), "bucketdb.lineitem_b", "l_orderkey", 4
+    )
+    yield "bucketdb.orders_b", "bucketdb.lineitem_b"
+    spark.sql("DROP TABLE IF EXISTS bucketdb.orders_b")
+    spark.sql("DROP TABLE IF EXISTS bucketdb.lineitem_b")
+    spark.sql("DROP DATABASE IF EXISTS bucketdb")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    orders_b, lineitem_b = bucketed_tables
+    # force the join strategy bucketing optimizes (broadcast would hide
+    # the property under test)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, orders_b, lineitem_b, "o_orderkey", "l_orderkey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan
+        assert "SelectedBucketsCount" in plan
+        # within-bucket sortBy removes the per-task Sort too
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # correctness: same rows as the plain parquet join
+    o, li = table(spark, SF, "orders"), table(spark, SF, "lineitem")
+    want = o.join(li, o["o_orderkey"] == li["l_orderkey"]).count()
+    assert j.count() == want and want > 0
