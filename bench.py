@@ -37,6 +37,8 @@ HEADLINE = [
     "sim_ann_brute_topk",
     "fts_bm25_topk",
     "q26_asof_join",
+    "pp_span_dedup",
+    "sim_lsh_ann_topk",
 ]
 
 
