@@ -75,10 +75,11 @@ def pp_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated span is kept only in the lowest-doc_id document and
     counted as removed everywhere else.
 
-    Scale: spans shuffle once on the span string (well-distributed;
-    hot spans are bounded by the corpus vocabulary, and a df-cap like
-    the one in nd_ngram_jaccard applies if not), then once on doc_id
-    for the per-doc rollup — no self-join, no n² anywhere."""
+    Scale: spans shuffle once on an xxhash64 of the span (longs, not
+    ~25-byte strings — same trick and collision bound as
+    nd_ngram_jaccard; hot spans are bounded by the corpus vocabulary,
+    and a df-cap like nd_ngram_jaccard's applies if not), then once on
+    doc_id for the per-doc rollup — no self-join, no n² anywhere."""
     t = _toks(spark, sf_dir)
     spans = t.select(
         "doc_id",
@@ -90,8 +91,8 @@ def pp_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda i: F.array_join(F.slice("ts", i + 1, SPAN), " "),
                 ),
             ).otherwise(F.array().cast("array<string>"))
-        ).alias("span"),
-    )
+        ).alias("span_s"),
+    ).select("doc_id", F.xxhash64("span_s").alias("span"))
     keepers = spans.groupBy("span").agg(F.min("doc_id").alias("keeper"))
     return (
         spans.join(keepers, "span")
@@ -449,8 +450,8 @@ def pp_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda i: F.array_join(F.slice("ts", i + 1, SPAN), " "),
                 ),
             ).otherwise(F.array().cast("array<string>"))
-        ).alias("span"),
-    )
+        ).alias("span_s"),
+    ).select("doc_id", F.xxhash64("span_s").alias("span"))
     bench = (
         spans.filter(F.col("doc_id") % BENCH_EVERY == 0)
         .select("span")
