@@ -381,3 +381,44 @@ def q30_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q31_weighted_median",
+    oracle="""
+    WITH pre AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS v, SUM(l_quantity) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT flag, v,
+             SUM(w) OVER (PARTITION BY flag ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(w) OVER (PARTITION BY flag) AS tot
+      FROM pre
+    )
+    SELECT flag,
+           ROUND(MIN(CASE WHEN cum >= tot / 2.0 THEN v END), 4)
+             AS weighted_median
+    FROM c GROUP BY flag
+    ORDER BY flag
+    """,
+    tags=("aggregation", "udaf"),
+)
+def q31_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF [U4 capstone]: quantity-weighted median of extended
+    price per return flag, via an Arrow grouped-agg pandas UDF over a
+    NATIVE (key, value)→sum(weight) pre-aggregation — the UDF sees
+    distinct prices per flag, not raw rows, so the no-partial-agg cost
+    of grouped-agg UDFs is bounded. Oracle computes the identical
+    lower-weighted-median rule with window cumulative sums."""
+    from wikid_spark.functions.udaf import grouped_weighted_median
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        "l_quantity",
+    )
+    out = grouped_weighted_median(li, "flag", "v", "l_quantity")
+    return out.select(
+        "flag", F.round("weighted_median", 4).alias("weighted_median")
+    ).orderBy("flag")
