@@ -66,3 +66,22 @@ def test_spark_sql_surface_matches_dataframe(spark, sf_dir):
         "l_returnflag", "l_linestatus", "count_order", "sum_qty"
     )
     assert sorted(map(tuple, sql.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_pagerank_mass_conservation(spark):
+    """On a symmetric (no-dangling) graph, total rank mass stays 1 per
+    iteration; uniform-degree components converge toward uniform rank."""
+    import pyspark.sql.functions as F
+
+    from wikid_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    r = pagerank(edges, iters=3)
+    total = r.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-9
+    # fully symmetric triangle → exactly uniform ranks
+    vals = [row["rank"] for row in r.collect()]
+    assert max(vals) - min(vals) < 1e-12

@@ -61,3 +61,55 @@ def k_hop_neighbors(
 def edge_type_histogram(edges: DataFrame) -> DataFrame:
     """Edge count per property — the degree profile of the claim graph."""
     return edges.groupBy("property_id").agg(F.count(F.lit(1)).alias("n_edges"))
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Synchronous PageRank for a FIXED number of iterations:
+    r_{k+1}(v) = (1-d)/N + d·Σ_{u→v} r_k(u)/outdeg(u).
+
+    The iterative-algorithm pattern on DataFrames: a static iteration
+    bound unrolls into one fixed DAG (each iteration = join on src +
+    aggregate on dst), so Catalyst sees the whole computation — no
+    driver-side convergence loop, no RDD. Node count N stays IN the
+    plan as a broadcast single-row aggregate (same idiom as BM25's
+    corpus stats). Dangling nodes (no out-edges) leak their mass, the
+    standard simplification — feed symmetric edges if that matters.
+
+    At 100 TB: each iteration shuffles contributions on dst once;
+    for many iterations cache/checkpoint ranks every few rounds to cut
+    lineage — with a small fixed ``iters`` the unrolled DAG is fine.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "id", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks.select(F.col("id").alias("src"), "rank"), "src")
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(n_df))
+            .join(contrib.select(F.col("dst").alias("id"), "contrib"), "id", "left")
+            .select(
+                "id",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -422,3 +422,81 @@ def q31_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "flag", F.round("weighted_median", 4).alias("weighted_median")
     ).orderBy("flag")
+
+
+@query(
+    "graph_pagerank",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT 'P' || l_partkey AS src, 'S' || l_suppkey AS dst
+      FROM lineitem
+    ),
+    edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    params AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT id, 1.0 / p.n AS rank FROM nodes CROSS JOIN params p),
+    r1 AS (
+      SELECT nd.id, 0.15 / p.n + 0.85 * COALESCE(c.contrib, 0) AS rank
+      FROM nodes nd CROSS JOIN params p
+      LEFT JOIN (
+        SELECT e.dst AS id, SUM(r.rank / d.outdeg) AS contrib
+        FROM edges e JOIN deg d ON e.src = d.src JOIN r0 r ON r.id = e.src
+        GROUP BY e.dst
+      ) c ON c.id = nd.id
+    ),
+    r2 AS (
+      SELECT nd.id, 0.15 / p.n + 0.85 * COALESCE(c.contrib, 0) AS rank
+      FROM nodes nd CROSS JOIN params p
+      LEFT JOIN (
+        SELECT e.dst AS id, SUM(r.rank / d.outdeg) AS contrib
+        FROM edges e JOIN deg d ON e.src = d.src JOIN r1 r ON r.id = e.src
+        GROUP BY e.dst
+      ) c ON c.id = nd.id
+    ),
+    r3 AS (
+      SELECT nd.id, 0.15 / p.n + 0.85 * COALESCE(c.contrib, 0) AS rank
+      FROM nodes nd CROSS JOIN params p
+      LEFT JOIN (
+        SELECT e.dst AS id, SUM(r.rank / d.outdeg) AS contrib
+        FROM edges e JOIN deg d ON e.src = d.src JOIN r2 r ON r.id = e.src
+        GROUP BY e.dst
+      ) c ON c.id = nd.id
+    )
+    SELECT r3.id, ROUND(r3.rank * p.n, 6) AS rank_scaled
+    FROM r3 CROSS JOIN params p
+    ORDER BY rank_scaled DESC, id
+    LIMIT 20
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank (d=0.85) over the symmetric part↔supplier
+    graph from lineitem — the iterative-algorithm pattern certified
+    against a fully unrolled SQL oracle. Ranks reported scaled by N
+    (≈1.0 for an average node) and rounded so cross-engine float-sum
+    ordering noise (~1e-13 after 3 iterations) can't flip the output;
+    ties break on node id."""
+    from wikid_spark.operators.graph import pagerank
+
+    li = table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+    ).distinct()
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    ranks = pagerank(edges, iters=3, damping=0.85)
+    n_df = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    return (
+        ranks.crossJoin(F.broadcast(n_df))
+        .select("id", F.round(F.col("rank") * F.col("n"), 6).alias("rank_scaled"))
+        .orderBy(F.desc("rank_scaled"), "id")
+        .limit(20)
+    )
