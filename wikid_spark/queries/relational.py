@@ -416,3 +416,79 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus").asc_nulls_first(),
         )
     )
+
+
+@query(
+    "q32_cube",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      o_orderstatus,
+      GROUPING(o_orderpriority) AS g_priority,
+      GROUPING(o_orderstatus) AS g_status,
+      COUNT(*) AS n,
+      ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+    tags=("agg", "cube"),
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (all 2^k grouping sets, completing ROLLUP's prefix sets in
+    q16). Same Expand-based physical plan: one input pass fans each row
+    into its grouping sets before a single hash aggregate — no
+    re-reads, so a k-dimension cube costs 2^k× the agg input, never
+    2^k scans."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            "o_orderpriority", "o_orderstatus", "g_priority", "g_status", "n", "total"
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q33_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+           ROUND(SUM(value) FILTER (event_type = 'purchase'), 4) AS purchase_value
+    FROM events
+    WHERE user_id < 25
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("agg", "pivot"),
+)
+def q33_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-user event counts by type plus purchase
+    value. Spark's pivot with an EXPLICIT value list compiles to
+    conditional aggregation in one pass — always pass the list at
+    scale, or Spark first runs a distinct-values job AND caps
+    cardinality at spark.sql.pivotMaxValues. The oracle is the same
+    conditional aggregation spelled out with FILTER."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+    counts = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "purchase", "view"])
+    )
+    pval = ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.round(F.sum("value"), 4).alias("purchase_value")
+    )
+    return counts.join(pval, "user_id", "left").orderBy("user_id")
