@@ -500,3 +500,48 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_scaled"), "id")
         .limit(20)
     )
+
+
+@query(
+    "mm_decode_features",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             sha256(sha256(CAST(doc_id AS VARCHAR))) AS digest
+      FROM documents WHERE doc_id < 50
+    ), f AS (
+      SELECT doc_id,
+             ('0x' || substr(digest, 1, 2))::INT / 256.0 AS f0,
+             ('0x' || substr(digest, 31, 2))::INT / 256.0 AS f15,
+             (SELECT SUM(('0x' || substr(digest, 2 * i + 1, 2))::INT / 256.0)
+              FROM range(16) t(i)) AS f_sum
+      FROM m
+    )
+    SELECT doc_id, ROUND(f0, 6) AS f0, ROUND(f15, 6) AS f15,
+           ROUND(f_sum, 6) AS f_sum
+    FROM f ORDER BY doc_id
+    """,
+    tags=("multimodal",),
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing certified end-to-end: binary payload
+    column → Arrow-batched mapInPandas decode → feature vector. The
+    deterministic fake decoder is pure sha256 arithmetic, so DuckDB
+    recomputes the identical features from first principles — the
+    oracle checks the whole path (payload construction, batch
+    iteration, vector layout), not just row counts. Features are
+    exact dyadic rationals (byte/256), so float32 storage loses
+    nothing."""
+    from wikid_spark.operators.multimodal import attach_fake_media, decode_media
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    decoded = decode_media(attach_fake_media(docs, "doc_id"), fake=True)
+    fts = F.transform("features", lambda x: x.cast("double"))
+    return decoded.select(
+        "doc_id",
+        F.round(F.element_at(fts, 1), 6).alias("f0"),
+        F.round(F.element_at(fts, 16), 6).alias("f15"),
+        F.round(
+            F.aggregate(fts, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("f_sum"),
+    ).orderBy("doc_id")
