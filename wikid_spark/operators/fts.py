@@ -135,3 +135,56 @@ def bm25(
         .groupBy("doc")
         .agg(F.sum("contrib").alias("score"))
     )
+
+
+def bm25_from_docs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 straight from the corpus — the fast path when no prebuilt
+    index exists. Two plan-level wins over ``bm25(build_inverted_index(...))``:
+
+    1. Corpus stats (N, avgdl) come from a map-only ``size(tokenize)``
+       pass over the documents — no posting explode, no distinct.
+    2. Postings are built only for documents that CONTAIN a query term
+       (cheap substring prefilter before the explode), which at any
+       realistic selectivity shrinks the explode by orders of magnitude.
+
+    Identical scores to the index path (the prefilter is a superset of
+    matching docs; non-matching docs contribute no postings for the
+    query terms either way).
+    """
+    t = [s.lower() for s in terms]
+    toks = tokenize(text_col)
+    corpus = docs.select(F.size(toks).alias("_dl")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("_dl").alias("avgdl"),
+    )
+    lower = F.lower(F.col(text_col))
+    candidates = docs.filter(
+        F.greatest(*[F.contains(lower, F.lit(s)) for s in t])
+    )
+    index = build_inverted_index(candidates, id_col, text_col)
+    tf = (
+        index.filter(F.col("term").isin(t))
+        .groupBy("term", "doc", "doc_len")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count_distinct("doc").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / F.col("avgdl"))
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("contrib", contrib)
+        .groupBy("doc")
+        .agg(F.sum("contrib").alias("score"))
+    )
