@@ -66,3 +66,36 @@ def test_frame_sampling(spark, media):
         r["frame_idx"] for r in frames.filter(F.col("doc_id") == per_doc[0]["doc_id"]).collect()
     )
     assert idxs == [0, 10, 20]
+
+
+def test_resize_media_updates_meta_and_keeps_schema(spark):
+    from wikid_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        attach_fake_media,
+        resize_media,
+    )
+
+    docs = spark.range(5).withColumnRenamed("id", "doc_id")
+    media = attach_fake_media(docs, "doc_id")
+    out = resize_media(media, 32, 32, fake=True)
+    # same field names and types (nullability flags differ for literals)
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        (f.name, f.dataType.simpleString()) for f in MEDIA_SCHEMA.fields
+    ]
+    rows = out.collect()
+    assert all(r["meta"]["width"] == 32 and r["meta"]["height"] == 32 for r in rows)
+    # fake path is a pass-through: payload bytes unchanged
+    orig = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert all(bytes(r["payload"]) == orig[r["doc_id"]] for r in rows)
+
+
+def test_resize_media_real_path_raises(spark):
+    import pytest as _pytest
+    from pyspark.errors import PythonException
+
+    from wikid_spark.operators.multimodal import attach_fake_media, resize_media
+
+    docs = spark.range(2).withColumnRenamed("id", "doc_id")
+    out = resize_media(attach_fake_media(docs, "doc_id"), 8, 8, fake=False)
+    with _pytest.raises(PythonException, match="NotImplementedError"):
+        out.collect()

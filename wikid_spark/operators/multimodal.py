@@ -148,3 +148,35 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.select(
         "doc_id", "payload", "meta", F.explode(idxs).alias("frame_idx")
     )
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """Resize plumbing: payload → resized payload with updated meta,
+    via the same Arrow-batched mapInPandas contract as decode_media.
+    ``fake=True`` passes the payload through unchanged (deterministic
+    stand-in — the container ships no image codecs); ``fake=False``
+    raises from the kernel where a PIL/ffmpeg resize would plug in.
+    Meta dimensions update JVM-side either way, so downstream schema
+    logic is real regardless of the decoder."""
+
+    def resize_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real resize requires PIL/ffmpeg; use fake=True for "
+                    "the pass-through stub"
+                )
+            yield pdf
+
+    resized = media.mapInPandas(resize_fn, MEDIA_SCHEMA)
+    new_meta = F.struct(
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.format").alias("format"),
+        F.lit(width).alias("width"),
+        F.lit(height).alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+    )
+    return resized.select("doc_id", "payload", new_meta.alias("meta"))
