@@ -77,3 +77,62 @@ def test_fake_encoder_deterministic_fixed_dim(texts):
     assert a == b
     assert all(len(v) == 64 for v in a)
     assert all(-1.0 <= x <= 1.0 for v in a for x in v)
+
+
+@given(st.floats(min_value=-10.0, max_value=10.0, allow_nan=False))
+@settings(max_examples=500, deadline=None)
+def test_quantize_formula_engine_portable(x):
+    """The fixed-point quantization both engines compute —
+    floor(float32(x) · 1000.0) — must stay integral, bounded, and
+    exactly reproducible from the float32 value (no double-rounding
+    ambiguity), which is what makes LSH/IVF sign tests engine-exact."""
+    import math
+    import struct
+
+    f32 = struct.unpack("f", struct.pack("f", x))[0]  # what parquet stores
+    q = math.floor(f32 * 1000.0)
+    assert q == int(q)
+    assert -10_001_000 <= q <= 10_001_000
+    # idempotent: recomputing from the same stored float gives the same q
+    assert q == math.floor(struct.unpack("f", struct.pack("f", x))[0] * 1000.0)
+
+
+@given(st.integers(min_value=1, max_value=500))
+@settings(max_examples=300, deadline=None)
+def test_chunk_grid_covers_every_token(n):
+    """The chunk-start grid 0, STEP, 2·STEP… with CHUNK-sized windows
+    covers [0, n) for every document length (the invariant pp_chunking
+    relies on; driver-side mirror of the Spark sequence/slice pair)."""
+    from wikid_spark.queries.pipeline import CHUNK, STEP
+
+    starts = list(range(0, n, STEP))
+    covered = set()
+    for s in starts:
+        covered.update(range(s, min(s + CHUNK, n)))
+    assert covered == set(range(n))
+    # every chunk except possibly the last is full while n allows it
+    assert all(min(s + CHUNK, n) - s > 0 for s in starts)
+
+
+@given(
+    st.lists(
+        st.tuples(st.floats(1, 100, allow_nan=False), st.floats(0.1, 10, allow_nan=False)),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_weighted_median_kernel_invariants(pairs):
+    """Lower weighted median is one of the input values, and at least
+    half the total weight sits at or above it."""
+    import pandas as pd
+
+    from wikid_spark.functions.udaf import weighted_median
+
+    vs = pd.Series([v for v, _ in pairs])
+    ws = pd.Series([w for _, w in pairs])
+    m = weighted_median.func(vs, ws)
+    assert m in set(vs)
+    total = float(ws.sum())
+    at_or_below = float(ws[vs <= m].sum())
+    assert at_or_below >= total / 2.0 - 1e-9
