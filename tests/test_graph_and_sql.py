@@ -85,3 +85,18 @@ def test_pagerank_mass_conservation(spark):
     # fully symmetric triangle → exactly uniform ranks
     vals = [row["rank"] for row in r.collect()]
     assert max(vals) - min(vals) < 1e-12
+
+
+def test_connected_components_multi_component_chain(spark):
+    """Two components, one a 4-chain (radius 3 from its min node):
+    3 iterations must label it fully; singleton edge-pair stays apart."""
+    from wikid_spark.operators.graph import connected_components
+
+    e0 = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    edges = e0.union(e0.selectExpr("dst as src", "src as dst"))
+    got = {
+        r["id"]: r["label"] for r in connected_components(edges, iters=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}

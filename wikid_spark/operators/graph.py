@@ -113,3 +113,37 @@ def pagerank(
             )
         )
     return ranks
+
+
+def connected_components(
+    edges: DataFrame, node_col_type: str = "long", iters: int = 3
+) -> DataFrame:
+    """Connected components by min-label propagation over SYMMETRIC
+    edges, unrolled for a fixed iteration count: every node starts
+    labeled with its own id and repeatedly takes the minimum label in
+    its closed neighborhood. After k iterations labels are exact for
+    components of radius ≤ k (from their minimum-id node); like
+    ``pagerank`` the static bound keeps the whole computation one
+    Catalyst DAG — for unbounded diameters, loop with checkpoints and
+    a convergence check (count of changed labels) instead.
+
+    At 100 TB each round is one join on the edge list + one min-agg on
+    node id — the same shuffle profile as one PageRank round.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    labels = nodes.select("id", F.col("id").alias("label"))
+    for _ in range(iters):
+        neighbor_min = (
+            edges.join(labels.select(F.col("id").alias("src"), "label"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr"))
+        )
+        labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select("id", F.least("label", F.coalesce("nbr", "label")).alias("label"))
+        )
+    return labels

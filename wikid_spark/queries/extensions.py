@@ -545,3 +545,41 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(fts, F.lit(0.0), lambda acc, x: acc + x), 6
         ).alias("f_sum"),
     ).orderBy("doc_id")
+
+
+@query(
+    "graph_components",
+    oracle="""
+    WITH sizes AS (
+      SELECT c_nationkey AS label, COUNT(*) + 1 AS n_nodes
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT CAST(label AS BIGINT) AS label, CAST(n_nodes AS BIGINT) AS n_nodes
+    FROM sizes
+    ORDER BY label
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via unrolled min-label propagation on the
+    symmetric customer↔nation star graph (customer ids offset by 10^6
+    so each component's minimum id is its nation key). The graph's
+    radius from the hub is 1, so 3 rounds provably converge — which is
+    what lets the oracle state the closed-form truth (component = the
+    nation, size = its customers + the hub) without iterating."""
+    from wikid_spark.operators.graph import connected_components
+
+    cust = table(spark, sf_dir, "customer")
+    e0 = cust.select(
+        (F.col("c_custkey") + F.lit(1_000_000)).cast("long").alias("src"),
+        F.col("c_nationkey").cast("long").alias("dst"),
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = connected_components(edges, iters=3)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("label")
+    )
