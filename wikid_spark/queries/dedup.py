@@ -512,3 +512,79 @@ def nd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(pair_sims, "vec_a bigint, vec_b bigint, sim double")
         .orderBy("vec_a", "vec_b")
     )
+
+
+@query(
+    "nd_lsh_verified_pairs",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh
+      FROM documents
+    ), su AS (
+      SELECT doc_id, unnest(sh) AS sh FROM s
+    ), h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 15))::BIGINT % 1073741824 AS h
+      FROM su
+    ), mh AS (
+      SELECT doc_id, i AS perm,
+             MIN((h * (2*i + 1) + (12345*i + 67890)) % {PERM_P}) AS minhash
+      FROM h, range({N_PERM}) t(i)
+      GROUP BY doc_id, i
+    ), bands AS (
+      SELECT doc_id, perm // {BAND_R} AS band,
+             md5(string_agg(minhash::VARCHAR, '|' ORDER BY perm)) AS sig
+      FROM mh GROUP BY doc_id, perm // {BAND_R}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(len(list_intersect(x.sh, y.sh))::DOUBLE
+                 / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+    FROM cand c
+    JOIN s x ON x.doc_id = c.doc_a
+    JOIN s y ON y.doc_id = c.doc_b
+    WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+          / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "minhash", "lsh", "jaccard"),
+)
+def nd_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dedup flow end-to-end: MinHash-LSH generates
+    candidates (sub-quadratic), exact Jaccard verifies ONLY those
+    candidates (threshold 0.2). This is the composition a 100 TB corpus
+    actually runs — the all-pairs `nd_ngram_jaccard` exists as the
+    exactness baseline; here the verification join touches
+    |candidates| × avg-shingle-count rows, nothing corpus-squared.
+
+    Plan: the candidate pair set (tiny by the LSH guarantee) broadcasts
+    into the shingle intersection join, so the corpus-side shingle
+    table is probed map-side and aggregated per pair."""
+    cands = nd_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sh = shingle_table(spark, sf_dir).select(
+        "doc_id", F.xxhash64("sh").alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a_side = cands.join(
+        sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a"
+    )
+    inter = (
+        a_side.join(
+            sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"]
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
