@@ -334,3 +334,95 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .orderBy("query_id", "rn")
     )
+
+
+@query(
+    "sim_ivf_ann_topk_nprobe2",
+    oracle=f"""
+    WITH qv AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+                            x -> CAST(FLOOR(x::DOUBLE * 1000.0) AS BIGINT)) AS qemb
+      FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cent_id, qemb AS cemb FROM qv
+      WHERE vec_id % {CENT_EVERY} = 0
+    ), dists AS (
+      SELECT qv.vec_id, qv.embedding, cents.cent_id,
+             CAST(list_sum(list_transform(qv.qemb,
+                    (x, i) -> (x - cents.cemb[i]) * (x - cents.cemb[i])))
+                  AS BIGINT) AS dist,
+             ROW_NUMBER() OVER (PARTITION BY qv.vec_id
+                                ORDER BY CAST(list_sum(list_transform(qv.qemb,
+                                  (x, i) -> (x - cents.cemb[i]) * (x - cents.cemb[i])))
+                                  AS BIGINT), cents.cent_id) AS rn
+      FROM qv, cents
+    ), assigned AS (
+      SELECT vec_id, embedding, cent_id FROM dists WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, embedding AS qe, cent_id AS pcell
+      FROM dists WHERE rn <= 2 AND vec_id % 50 = 0
+    ), cands AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[], p.qe::DOUBLE[]), 4) AS sim
+      FROM probes p JOIN assigned a ON a.cent_id = p.pcell
+      WHERE a.vec_id <> p.query_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+      FROM cands
+    )
+    SELECT query_id, neighbor_id, sim, rn
+    FROM ranked WHERE rn <= 3
+    ORDER BY query_id, rn
+    """,
+    tags=("similarity", "ivf", "ann"),
+)
+def sim_ivf_ann_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=2: each query searches its TWO nearest cells
+    (the SCALE.md recall knob made concrete — probing is literally a
+    rank filter on the same integer centroid distances). Per-query work
+    doubles; recall strictly dominates nprobe=1. Candidates are
+    de-duplicated across probes before ranking."""
+    emb = table(spark, sf_dir, "embeddings")
+    qemb = emb.withColumn("qemb", quantize_embedding(F.col("embedding")))
+    dist = F.aggregate(
+        F.zip_with("qemb", "cemb", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ranked_cents = (
+        qemb.join(F.broadcast(_centroids(emb)))
+        .select("vec_id", "embedding", "cent_id", dist.alias("dist"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("dist", "cent_id")
+            ),
+        )
+    )
+    assigned = ranked_cents.filter(F.col("rn") == 1).select(
+        "vec_id", "embedding", "cent_id"
+    )
+    probes = ranked_cents.filter(
+        (F.col("rn") <= 2) & (F.col("vec_id") % 50 == 0)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cent_id").alias("pcell"),
+    )
+    cands = (
+        assigned.join(F.broadcast(probes), F.col("cent_id") == F.col("pcell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("embedding"), F.col("qe")), 4).alias("sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("query_id", "rn")
+    )
