@@ -122,3 +122,16 @@ def test_sim_ivf_assignment_broadcasts_centroids(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     # argmin must partial-aggregate map-side before the vec_id shuffle
     assert "partial_min_by" in plan or "partial" in plan.lower()
+    # constant-K centroid sampling: a global top-K (K rows cross the
+    # wire), NOT a filter whose output grows with the corpus — the
+    # corpus-dependent centroid count was the round-2 scale bug
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sim_ivf_centroid_count_is_corpus_independent():
+    """The index width is a config constant, not a function of n."""
+    from wikid_spark.queries import similarity
+
+    assert isinstance(similarity.N_CENTROIDS, int)
+    assert not hasattr(similarity, "CENT_EVERY")

@@ -196,20 +196,40 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the second scale path next to hyperplane LSH.
-# Centroids are a deterministic subset of the corpus (every CENT_EVERY-th
-# vector): no training loop, so both engines derive the identical index,
-# and at 100 TB the "train" step is a metadata-only filter. Cell
-# assignment runs on quantized integer arithmetic (exact across engines);
-# the re-rank inside the probed cell is exact cosine.
+# Centroids are a CONSTANT-K deterministic hash-sample of the corpus: rank
+# every vector by a fixed multiplicative hash of vec_id and keep the K
+# smallest. No training loop, so both engines derive the identical index;
+# the "train" step is a global top-K (TakeOrderedAndProject — K rows cross
+# the wire, never the corpus), and K is corpus-size-INDEPENDENT, so the
+# centroid broadcast and the n×K assignment cost hold at 100 TB (vs the
+# earlier stride design whose centroid count grew as n/25, making
+# assignment effectively quadratic). Cell assignment runs on quantized
+# integer arithmetic (exact across engines); the re-rank inside the
+# probed cell is exact cosine. Tune K ≈ √n per deployment; it is a config
+# constant, not a function of the data.
 # ---------------------------------------------------------------------------
 
-CENT_EVERY = 25  # centroid stride → n_vectors / 25 cells
+N_CENTROIDS = 20  # constant K — index width does not scale with the corpus
+# Centroid-sampling hash h(v) = ((v % P) * A + C) % 2^31. The pre-mod P
+# bounds the product at P*A ≈ 1.1e17 < 2^63: DuckDB BIGINT arithmetic
+# ERRORS on overflow (Spark longs wrap), so intermediates must stay exact
+# in both engines for identical centroid choice.
+_H_P = 100_000_007
+_H_A = 1_103_515_245
+_H_C = 12_345
+_H_M = 2_147_483_648
+_CENT_HASH_SQL = f"((vec_id % {_H_P}) * {_H_A} + {_H_C}) % {_H_M}"
 
 
 def _centroids(emb: DataFrame) -> DataFrame:
-    return emb.filter(F.col("vec_id") % CENT_EVERY == 0).select(
-        F.col("vec_id").alias("cent_id"),
-        quantize_embedding(F.col("embedding")).alias("cemb"),
+    h = ((F.col("cent_id") % _H_P) * _H_A + _H_C) % _H_M
+    return (
+        emb.select(
+            F.col("vec_id").alias("cent_id"),
+            quantize_embedding(F.col("embedding")).alias("cemb"),
+        )
+        .orderBy(h.alias("h"), F.col("cent_id"))
+        .limit(N_CENTROIDS)
     )
 
 
@@ -245,7 +265,8 @@ _IVF_CTE = f"""
       FROM embeddings
     ), cents AS (
       SELECT vec_id AS cent_id, qemb AS cemb FROM qv
-      WHERE vec_id % {CENT_EVERY} = 0
+      ORDER BY {_CENT_HASH_SQL}, vec_id
+      LIMIT {N_CENTROIDS}
     ), dists AS (
       SELECT qv.vec_id, qv.embedding, cents.cent_id,
              CAST(list_sum(list_transform(qv.qemb,
@@ -346,7 +367,8 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ), cents AS (
       SELECT vec_id AS cent_id, qemb AS cemb FROM qv
-      WHERE vec_id % {CENT_EVERY} = 0
+      ORDER BY {_CENT_HASH_SQL}, vec_id
+      LIMIT {N_CENTROIDS}
     ), dists AS (
       SELECT qv.vec_id, qv.embedding, cents.cent_id,
              CAST(list_sum(list_transform(qv.qemb,
