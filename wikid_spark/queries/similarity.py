@@ -448,3 +448,144 @@ def sim_ivf_ann_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .orderBy("query_id", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recall audit — the knob that justifies every approximate path above.
+# Exact brute-force is the contract (the same way FTS5 MATCH is exact);
+# each ANN variant trades candidates-scanned for recall, and this query
+# makes that trade measurable: recall@3 of each method's top-3 against
+# the brute-force top-3 on the SAME query sample. At 100 TB this runs on
+# a held-out sample; the plan is three bucket/cell equi-joins plus one
+# broadcast brute pass over the sample — nothing quadratic in the corpus.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_recall_report",
+    oracle=f"""
+    WITH {_BUCKETS_CTE}, qv AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+                            x -> CAST(FLOOR(x::DOUBLE * 1000.0) AS BIGINT)) AS qemb
+      FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cent_id, qemb AS cemb FROM qv
+      ORDER BY {_CENT_HASH_SQL}, vec_id
+      LIMIT {N_CENTROIDS}
+    ), dists AS (
+      SELECT qv.vec_id, qv.embedding, cents.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY qv.vec_id
+                                ORDER BY CAST(list_sum(list_transform(qv.qemb,
+                                  (x, i) -> (x - cents.cemb[i]) * (x - cents.cemb[i])))
+                                  AS BIGINT), cents.cent_id) AS rn
+      FROM qv, cents
+    ), assigned AS (
+      SELECT d.vec_id, e.embedding, d.cent_id
+      FROM dists d JOIN embeddings e ON e.vec_id = d.vec_id
+      WHERE d.rn = 1
+    ), bq AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0
+    ), brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT bq.query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY bq.query_id
+                 ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], bq.qe::DOUBLE[]), 4) DESC,
+                          e.vec_id) AS rn
+        FROM embeddings e, bq WHERE e.vec_id <> bq.query_id)
+      WHERE rn <= 3
+    ), lq AS (
+      SELECT e.vec_id AS query_id, e.embedding AS qe, b.bucket
+      FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+      WHERE e.vec_id % 50 = 0
+    ), lsh3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT lq.query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY lq.query_id
+                 ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], lq.qe::DOUBLE[]), 4) DESC,
+                          e.vec_id) AS rn
+        FROM lq
+        JOIN buckets b ON b.bucket = lq.bucket
+        JOIN embeddings e ON e.vec_id = b.vec_id
+        WHERE e.vec_id <> lq.query_id)
+      WHERE rn <= 3
+    ), iq AS (
+      SELECT vec_id AS query_id, embedding AS qe, cent_id AS qcell
+      FROM assigned WHERE vec_id % 50 = 0
+    ), ivf1 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT iq.query_id, a.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY iq.query_id
+                 ORDER BY ROUND(list_cosine_similarity(a.embedding::DOUBLE[], iq.qe::DOUBLE[]), 4) DESC,
+                          a.vec_id) AS rn
+        FROM iq JOIN assigned a ON a.cent_id = iq.qcell
+        WHERE a.vec_id <> iq.query_id)
+      WHERE rn <= 3
+    ), probes AS (
+      SELECT d.vec_id AS query_id, e.embedding AS qe, d.cent_id AS pcell
+      FROM dists d JOIN embeddings e ON e.vec_id = d.vec_id
+      WHERE d.rn <= 2 AND d.vec_id % 50 = 0
+    ), ivf2 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rn
+        FROM (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+                     ROUND(list_cosine_similarity(a.embedding::DOUBLE[], p.qe::DOUBLE[]), 4) AS sim
+              FROM probes p JOIN assigned a ON a.cent_id = p.pcell
+              WHERE a.vec_id <> p.query_id))
+      WHERE rn <= 3
+    ), methods AS (
+      SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh3
+      UNION ALL SELECT 'ivf_nprobe1', query_id, neighbor_id FROM ivf1
+      UNION ALL SELECT 'ivf_nprobe2', query_id, neighbor_id FROM ivf2
+    ), hits AS (
+      SELECT m.method, COUNT(b.neighbor_id) AS n_hits
+      FROM methods m
+      LEFT JOIN brute b
+        ON m.query_id = b.query_id AND m.neighbor_id = b.neighbor_id
+      GROUP BY m.method
+    ), tot AS (SELECT COUNT(*) AS n_brute FROM brute)
+    SELECT method, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_brute AS BIGINT) AS n_brute,
+           ROUND(n_hits * 1.0 / n_brute, 4) AS recall_at_3
+    FROM hits, tot
+    ORDER BY method
+    """,
+    tags=("similarity", "ann", "recall"),
+)
+def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of every approximate ANN path against the brute-force
+    baseline on the shared query sample (vec_id % 50 = 0). Composes the
+    registered method queries directly, so the report can never drift
+    from what the methods actually return. One row per method:
+    (method, n_hits, n_brute, recall_at_3)."""
+    brute = sim_ann_brute_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    methods = None
+    for name, fn in (
+        ("lsh", sim_lsh_ann_topk),
+        ("ivf_nprobe1", sim_ivf_ann_topk),
+        ("ivf_nprobe2", sim_ivf_ann_topk_nprobe2),
+    ):
+        part = fn(spark, sf_dir).select(
+            F.lit(name).alias("method"), "query_id", "neighbor_id"
+        )
+        methods = part if methods is None else methods.unionAll(part)
+    hits = (
+        methods.join(brute, on=["query_id", "neighbor_id"], how="left")
+        .groupBy("method")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+    )
+    tot = brute.agg(F.count(F.lit(1)).alias("n_brute"))
+    return (
+        hits.crossJoin(F.broadcast(tot))
+        .select(
+            "method",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.col("n_brute").cast("long").alias("n_brute"),
+            F.round(F.col("n_hits") / F.col("n_brute"), 4).alias("recall_at_3"),
+        )
+        .orderBy("method")
+    )
