@@ -60,6 +60,53 @@ def search_all(index: DataFrame, terms: list[str]) -> DataFrame:
     )
 
 
+def search_any(index: DataFrame, terms: list[str]) -> DataFrame:
+    """OR-semantics match (FTS5 ``a OR b`` MATCH syntax, ddl.sql:24-33):
+    docs containing AT LEAST ONE query term, with how many distinct
+    query terms matched. Same single filtered scan + aggregation as
+    ``search_all`` — only the HAVING threshold differs."""
+    t = [s.lower() for s in terms]
+    return (
+        index.filter(F.col("term").isin(t))
+        .groupBy("doc")
+        .agg(F.count_distinct("term").alias("n_terms"))
+    )
+
+
+def search_not(
+    index: DataFrame, include: list[str], exclude: list[str]
+) -> DataFrame:
+    """NOT-semantics match (FTS5 ``a NOT b``): docs matching every
+    ``include`` term and none of the ``exclude`` terms. The exclusion is
+    a left-anti join on the exclude terms' (deduplicated) doc list —
+    one extra term-pruned scan, and AQE broadcasts the anti side when
+    the exclude posting list is small (the common case for selective
+    exclude terms)."""
+    neg = (
+        index.filter(
+            F.col("term").isin([s.lower() for s in exclude])
+        )
+        .select("doc")
+        .distinct()
+    )
+    return search_all(index, include).join(neg, "doc", "left_anti")
+
+
+def search_prefix(index: DataFrame, prefix: str) -> DataFrame:
+    """Prefix match (FTS5 ``tok*`` MATCH syntax): docs containing any
+    term starting with ``prefix``, with the count of distinct matching
+    terms. ``startswith`` compiles to ``StartsWith`` — a sargable range
+    predicate, so on a term-sorted/partitioned postings store it prunes
+    via column min/max statistics exactly like FTS5's term B-tree range
+    scan does on one node."""
+    p = prefix.lower()
+    return (
+        index.filter(F.col("term").startswith(p))
+        .groupBy("doc")
+        .agg(F.count_distinct("term").alias("n_prefix_terms"))
+    )
+
+
 def phrase_search(index: DataFrame, terms: list[str]) -> DataFrame:
     """Exact phrase match (FTS5 ``"a b c"`` MATCH syntax,
     ddl.sql:24-33): returns ``(doc, start_pos)`` for every position

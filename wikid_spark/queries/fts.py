@@ -16,6 +16,9 @@ from wikid_spark.operators.fts import (
     build_inverted_index,
     phrase_search,
     search_all,
+    search_any,
+    search_not,
+    search_prefix,
 )
 from wikid_spark.registry import query
 
@@ -83,6 +86,62 @@ def fts_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fts_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AND search: documents containing every query term."""
     return search_all(_index(spark, sf_dir), SEARCH_TERMS).orderBy("doc")
+
+
+@query(
+    "fts_search_or",
+    oracle=f"""
+    WITH {_POSTINGS_CTE}
+    SELECT doc, COUNT(DISTINCT term) AS n_terms
+    FROM postings
+    WHERE term IN ('spark', 'vector')
+    GROUP BY doc
+    ORDER BY doc
+    """,
+    tags=("fts",),
+)
+def fts_search_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR search (FTS5 ``spark OR vector``): docs containing either
+    term, plus how many of the query terms matched."""
+    return search_any(_index(spark, sf_dir), SEARCH_TERMS).orderBy("doc")
+
+
+@query(
+    "fts_search_not",
+    oracle=f"""
+    WITH {_POSTINGS_CTE}
+    SELECT doc FROM postings WHERE term = 'spark'
+    EXCEPT
+    SELECT doc FROM postings WHERE term = 'vector'
+    ORDER BY doc
+    """,
+    tags=("fts",),
+)
+def fts_search_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT search (FTS5 ``spark NOT vector``): docs with 'spark' and
+    without 'vector' — term-pruned scan + left-anti join."""
+    return search_not(_index(spark, sf_dir), ["spark"], ["vector"]).orderBy(
+        "doc"
+    )
+
+
+@query(
+    "fts_search_prefix",
+    oracle=f"""
+    WITH {_POSTINGS_CTE}
+    SELECT doc, COUNT(DISTINCT term) AS n_prefix_terms
+    FROM postings
+    WHERE term LIKE 'vec%'
+    GROUP BY doc
+    ORDER BY doc
+    """,
+    tags=("fts",),
+)
+def fts_search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix search (FTS5 ``vec*``): docs containing any token starting
+    with the prefix; StartsWith is sargable so a term-sorted postings
+    store range-prunes like FTS5's term B-tree."""
+    return search_prefix(_index(spark, sf_dir), "vec").orderBy("doc")
 
 
 @query(
