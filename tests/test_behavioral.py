@@ -79,7 +79,9 @@ def test_watermark_gates_append_emission(spark, tmp_path):
 
 
 def test_simhash_banding_finds_all_hamming3_pairs(spark):
-    """Pigeonhole completeness of the 4-bit chunk LSH: the banded
+    """Pigeonhole completeness of the 15-bit chunk LSH (four
+    SIMHASH_CHUNK_BITS-wide chunks cover 60 bits; Hamming ≤ 3 flips at
+    most 3 chunks, so one chunk always matches exactly): the banded
     equi-join in nd_simhash_candidates must recover EVERY pair of
     signatures within Hamming distance 3, independently verified here
     against a driver-side brute-force over all signature pairs."""

@@ -42,7 +42,7 @@ def test_shingle_short_doc_parity(spark, tmp_path):
         os.symlink(f"/root/testdata/sf0.01/{t}.parquet", d / f"{t}.parquet")
     docs = pa.table(
         {
-            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
             "text": pa.array(
                 [
                     "tiny doc",          # 2 words — fallback shingle
@@ -50,16 +50,22 @@ def test_shingle_short_doc_parity(spark, tmp_path):
                     "solo",              # 1 word — fallback shingle
                     "a b c d e f",       # normal doc
                     "a b c d e g",       # near-dup of 4
+                    "",                  # empty — zero tokens
+                    "   ",               # whitespace-only — zero tokens
                 ]
             ),
-            "lang": pa.array(["en"] * 5),
-            "source": pa.array(["t"] * 5),
-            "n_chars": pa.array([8, 8, 4, 11, 11], pa.int64()),
+            "lang": pa.array(["en"] * 7),
+            "source": pa.array(["t"] * 7),
+            "n_chars": pa.array([8, 8, 4, 11, 11, 0, 3], pa.int64()),
         }
     )
     pq.write_table(docs, d / "documents.parquet")
+    # dedup family: short-doc fallback; pipeline family: the zero-token
+    # docs must neither crash Spark (sequence(0,-1) guard) nor diverge
+    # from the oracle's emit-no-rows behavior.
     for name in ("nd_ngram_jaccard", "nd_minhash_signatures",
-                 "nd_minhash_lsh_candidates"):
+                 "nd_minhash_lsh_candidates", "pp_chunking",
+                 "pp_repetition", "pp_gopher_filter"):
         spec = SPECS[name]
         ok, diag = compare(spec.fn(spark, str(d)), spec.oracle, str(d))
         assert ok, f"{name}: {diag}"

@@ -117,6 +117,14 @@ def test_pp_map_only_ops_have_no_exchange_before_sink(spark):
         assert body.count("Exchange") <= 1, name
 
 
+def test_lsh_verified_pairs_broadcasts_candidates(spark):
+    """The two-stage dedup flow must probe the candidate pair set
+    map-side: an explicit broadcast of the LSH candidates (and the
+    doc_b semi-filter), never a corpus-wide shuffle on the pair key."""
+    plan = _plan(spark, "nd_lsh_verified_pairs")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
 def test_sim_ivf_assignment_broadcasts_centroids(spark):
     plan = _plan(spark, "sim_ivf_cells")
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -123,10 +123,16 @@ def nd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's cross join does. |A∩B| from the join; |A∪B| = |A|+|B|-∩.
 
     Hot shingles (document frequency > JACCARD_DF_CAP) are removed from
-    the universe before the join via a broadcast anti-join — the hot set
-    is tiny by construction — so no single shingle can contribute more
-    than DF_CAP² pairs. The cap never bites on the test corpora, so the
-    uncapped oracle stays exact.
+    the CANDIDATE-GENERATION join via a broadcast anti-join — the hot
+    set is tiny by construction — so no single shingle can contribute
+    more than DF_CAP² pairs. |A| and |B| are computed from the UNCAPPED
+    shingle table, so reported Jaccard values keep exact denominators
+    even when the cap fires; what the cap can cost is (a) intersections
+    through hot shingles (values become a lower bound) and (b) pairs
+    that share ONLY hot shingles (boilerplate-only overlap — the pairs
+    a dedup pass wants to ignore anyway). The cap never bites on the
+    test corpora (max df 25 at sf0.1 vs cap 1000), so the uncapped
+    oracle stays exact.
 
     The join key is xxhash64(shingle), not the shingle string: ~20%
     faster end-to-end (smaller shuffle, long comparisons), exact up to
@@ -135,6 +141,9 @@ def nd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_table(spark, sf_dir).select(
         "doc_id", F.xxhash64("sh").alias("sh")
     )
+    # Sizes from the PRE-cap table: denominators stay exact even if the
+    # hot-shingle cap drops rows from the pair-generation join below.
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     hot = (
         sh.groupBy("sh")
         .agg(F.count("*").alias("df"))
@@ -142,7 +151,6 @@ def nd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sh")
     )
     sh = sh.join(F.broadcast(hot), "sh", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -560,20 +568,25 @@ def nd_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactness baseline; here the verification join touches
     |candidates| × avg-shingle-count rows, nothing corpus-squared.
 
-    Plan: the candidate pair set (tiny by the LSH guarantee) broadcasts
-    into the shingle intersection join, so the corpus-side shingle
-    table is probed map-side and aggregated per pair."""
+    Plan: the candidate pair set (tiny by the LSH guarantee) BROADCASTS
+    into the doc_a-side shingle probe — pinned with an explicit
+    F.broadcast and a plan test, not left to AQE heuristics — and the
+    doc_b side is semi-join-prefiltered to candidate docs, so the
+    corpus-sized shingle table never shuffles on the intersection key;
+    only candidate docs' shingles do."""
     cands = nd_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     sh = shingle_table(spark, sf_dir).select(
         "doc_id", F.xxhash64("sh").alias("sh")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a_side = cands.join(
-        sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a"
+    a_side = sh.select(F.col("doc_id").alias("doc_a"), "sh").join(
+        F.broadcast(cands), "doc_a"
     )
+    b_docs = cands.select(F.col("doc_b").alias("doc_id")).distinct()
+    b_sh = sh.join(F.broadcast(b_docs), "doc_id", "left_semi")
     inter = (
         a_side.join(
-            sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"]
+            b_sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"]
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))

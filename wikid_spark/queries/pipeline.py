@@ -175,6 +175,7 @@ def pp_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(1.0 - len(list_distinct(ts)) / len(ts), 6) AS dup_word_frac,
              ts
       FROM toks
+      WHERE len(ts) > 0
     ),
     bigrams AS (
       SELECT doc_id, ts[i + 1] || ' ' || ts[i + 2] AS bg
@@ -204,8 +205,11 @@ def pp_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rationale (public: Gopher/MassiveText filtering rules): highly
     repetitive documents are low-quality training text; these two
-    fractions are the standard thresholds."""
-    t = _toks(spark, sf_dir)
+    fractions are the standard thresholds.
+
+    Empty-token docs are excluded on BOTH engines (the fractions have a
+    zero denominator; a no-words doc has no repetition signal)."""
+    t = _toks(spark, sf_dir).filter(F.size("ts") > 0)
     base = t.select(
         "doc_id",
         F.size("ts").alias("n_words"),
@@ -332,8 +336,14 @@ def pp_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts = t.select(
         "doc_id",
         "ts",
+        # Empty-token guard: sequence(0, -1, STEP) throws in Spark
+        # ("Illegal sequence boundaries") while the oracle just emits no
+        # rows — an empty/whitespace-only doc must chunk to nothing.
         F.explode(
-            F.sequence(F.lit(0), F.size("ts") - 1, F.lit(STEP))
+            F.when(
+                F.size("ts") > 0,
+                F.sequence(F.lit(0), F.size("ts") - 1, F.lit(STEP)),
+            ).otherwise(F.array().cast("array<int>"))
         ).alias("start_pos"),
     )
     chunk = F.slice("ts", F.col("start_pos") + 1, CHUNK)
@@ -485,6 +495,7 @@ _STOPWORDS = ("the", "a", "of", "and")
             AND len(list_filter(ts, x -> x IN ('the', 'a', 'of', 'and')))
                 / CAST(len(ts) AS DOUBLE) >= 0.02) AS keep
     FROM toks
+    WHERE len(ts) > 0
     ORDER BY doc_id
     """,
     tags=("pipeline", "quality"),
@@ -497,8 +508,10 @@ def pp_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one HOF projection per row — map-only, no shuffle, and the
     signals come from a single tokenization shared by the whole
-    pipeline family."""
-    t = _toks(spark, sf_dir)
+    pipeline family. Empty-token docs are excluded on BOTH engines
+    (zero-denominator signals; they'd fail the n_words >= 50 gate
+    anyway, but excluding beats emitting NULL signal columns)."""
+    t = _toks(spark, sf_dir).filter(F.size("ts") > 0)
     n = F.size("ts")
     sum_len = F.aggregate(
         F.transform("ts", F.length),
