@@ -180,6 +180,73 @@ def test_ingest_exactly_once_merge(spark, tmp_path):
     assert merged2 == merged
 
 
+def test_keyed_merge_equals_batch_reaggregation(spark, tmp_path):
+    """MERGE-by-rewrite sink: sequentially merging N update batches must
+    equal one-shot aggregation of their union (the q08 associative-SUM
+    invariant), and re-merging a batch through the ledgered foreachBatch
+    writer must change nothing (replay idempotency)."""
+    import pyspark.sql.functions as F
+
+    events = table(spark, SF, "events")
+    updates = events.select(
+        F.col("event_type").alias("alias"),
+        (F.col("user_id") % 10).cast("string").alias("entity_id"),
+        F.lit(1).cast("bigint").alias("count"),
+    )
+    target = str(tmp_path / "merge_target")
+    batches = [updates.filter(F.col("alias") != "click"),
+               updates.filter(F.col("alias") == "click"),
+               updates.limit(500)]
+    for b in batches:
+        ingest.merge_alias_counts(spark, target, b)
+    oneshot = {
+        (r["alias"], r["entity_id"]): r["count"]
+        for r in batches[0].unionByName(batches[1]).unionByName(batches[2])
+        .groupBy("alias", "entity_id").agg(F.sum("count").alias("count"))
+        .collect()
+    }
+    merged = {
+        (r["alias"], r["entity_id"]): r["count"]
+        for r in spark.read.parquet(target)
+        .select("alias", "entity_id", "count").collect()
+    }
+    assert merged == oneshot
+
+    # dynamic overwrite only rewrites affected buckets: merging a batch
+    # touching ONE alias must leave every other key untouched
+    ingest.merge_alias_counts(
+        spark,
+        target,
+        spark.createDataFrame(
+            [("click", "0", 7)], "alias string, entity_id string, count bigint"
+        ),
+    )
+    after = {
+        (r["alias"], r["entity_id"]): r["count"]
+        for r in spark.read.parquet(target)
+        .select("alias", "entity_id", "count").collect()
+    }
+    assert after[("click", "0")] == oneshot[("click", "0")] + 7
+    assert {k: v for k, v in after.items() if k != ("click", "0")} == {
+        k: v for k, v in oneshot.items() if k != ("click", "0")
+    }
+
+    # ledgered writer: a replayed batch_id is a no-op
+    writer = ingest.merge_upsert_batch_writer(spark, target)
+    replay = spark.createDataFrame(
+        [("click", "0", 100)], "alias string, entity_id string, count bigint"
+    )
+    writer(replay, 999)
+    once = spark.read.parquet(target).filter(
+        (F.col("alias") == "click") & (F.col("entity_id") == "0")
+    ).collect()[0]["count"]
+    writer(replay, 999)  # same batch_id → skipped
+    twice = spark.read.parquet(target).filter(
+        (F.col("alias") == "click") & (F.col("entity_id") == "0")
+    ).collect()[0]["count"]
+    assert once == twice == after[("click", "0")] + 100
+
+
 def test_stateful_running_stats_stream_equals_batch(
     spark, events_batch, events_stream_dir
 ):
