@@ -101,3 +101,48 @@ def test_simhash_banding_finds_all_hamming3_pairs(spark):
     }
     assert banded == brute
     assert brute, "fixture should produce at least one near-dup pair"
+
+
+def test_graph_iteration_checkpointing_bounds_lineage(spark):
+    """pagerank/connected_components survive 10 iterations when
+    checkpoint_every is set: results identical to the fully-unrolled
+    DAG, and the final plan is lineage-cut (rooted at the materialized
+    RDD, not 10 stacked join layers)."""
+    from wikid_spark.operators.graph import connected_components, pagerank
+
+    li = table(spark, "/root/testdata/sf0.001", "lineitem")
+    e0 = li.select(
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+    ).distinct()
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+    # equivalence vs the unrolled DAG at 6 iters (10 unrolled takes
+    # minutes of pure plan analysis — which is the pathology the
+    # checkpoint exists to avoid; 6 is deep enough to cross two
+    # checkpoint boundaries)
+    plain = pagerank(edges, iters=6)
+    r_plain = {r["id"]: round(r["rank"], 10) for r in plain.collect()}
+    r_ckpt = {
+        r["id"]: round(r["rank"], 10)
+        for r in pagerank(edges, iters=6, checkpoint_every=3).collect()
+    }
+    assert r_ckpt == r_plain
+
+    cc_plain = connected_components(edges, iters=6)
+    cc_ckpt = connected_components(edges, iters=6, checkpoint_every=3)
+    assert {tuple(r) for r in cc_ckpt.collect()} == {
+        tuple(r) for r in cc_plain.collect()
+    }
+
+    # 10 iterations with checkpointing completes, and lineage is
+    # actually cut: the plan roots at an existing RDD scan instead of
+    # replaying every unrolled iteration
+    ckpt10 = pagerank(edges, iters=10, checkpoint_every=3)
+    assert ckpt10.count() == plain.count()
+    ckpt_plan = ckpt10._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in ckpt_plan or "ExistingRDD" in ckpt_plan
+    plain_plan = plain._jdf.queryExecution().optimizedPlan().toString()
+    assert len(ckpt_plan) < len(plain_plan)

@@ -63,10 +63,22 @@ def edge_type_histogram(edges: DataFrame) -> DataFrame:
     return edges.groupBy("property_id").agg(F.count(F.lit(1)).alias("n_edges"))
 
 
+def _maybe_checkpoint(df: DataFrame, i: int, every: int | None) -> DataFrame:
+    """Cut lineage every ``every`` iterations (localCheckpoint: persist
+    to executor storage + replace the plan with the materialized RDD).
+    Without this, an unrolled iterative DAG grows one join+agg layer per
+    round and past ~5 rounds analysis/codegen time and lineage-recovery
+    cost dominate; with it, plan depth is bounded by ``every``."""
+    if every is not None and (i + 1) % every == 0:
+        return df.localCheckpoint(eager=True)
+    return df
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 3,
     damping: float = 0.85,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Synchronous PageRank for a FIXED number of iterations:
     r_{k+1}(v) = (1-d)/N + d·Σ_{u→v} r_k(u)/outdeg(u).
@@ -79,9 +91,11 @@ def pagerank(
     corpus stats). Dangling nodes (no out-edges) leak their mass, the
     standard simplification — feed symmetric edges if that matters.
 
-    At 100 TB: each iteration shuffles contributions on dst once;
-    for many iterations cache/checkpoint ranks every few rounds to cut
-    lineage — with a small fixed ``iters`` the unrolled DAG is fine.
+    At 100 TB: each iteration shuffles contributions on dst once. With
+    a small fixed ``iters`` the unrolled DAG is fine; for more rounds
+    pass ``checkpoint_every`` (e.g. 3) to cut lineage periodically —
+    the registered 3-iter oracle queries leave it off so the whole
+    computation stays one deterministic Catalyst DAG.
     """
     nodes = (
         edges.select(F.col("src").alias("id"))
@@ -93,7 +107,7 @@ def pagerank(
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "id", (F.lit(1.0) / F.col("n")).alias("rank")
     )
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             edges.join(deg, "src")
             .join(ranks.select(F.col("id").alias("src"), "rank"), "src")
@@ -112,11 +126,15 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        ranks = _maybe_checkpoint(ranks, i, checkpoint_every)
     return ranks
 
 
 def connected_components(
-    edges: DataFrame, node_col_type: str = "long", iters: int = 3
+    edges: DataFrame,
+    node_col_type: str = "long",
+    iters: int = 3,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Connected components by min-label propagation over SYMMETRIC
     edges, unrolled for a fixed iteration count: every node starts
@@ -124,8 +142,9 @@ def connected_components(
     its closed neighborhood. After k iterations labels are exact for
     components of radius ≤ k (from their minimum-id node); like
     ``pagerank`` the static bound keeps the whole computation one
-    Catalyst DAG — for unbounded diameters, loop with checkpoints and
-    a convergence check (count of changed labels) instead.
+    Catalyst DAG — for larger radii pass ``checkpoint_every`` to bound
+    plan depth (and add a convergence check on changed-label count if
+    the diameter is unknown).
 
     At 100 TB each round is one join on the edge list + one min-agg on
     node id — the same shuffle profile as one PageRank round.
@@ -136,7 +155,7 @@ def connected_components(
         .distinct()
     )
     labels = nodes.select("id", F.col("id").alias("label"))
-    for _ in range(iters):
+    for i in range(iters):
         neighbor_min = (
             edges.join(labels.select(F.col("id").alias("src"), "label"), "src")
             .groupBy(F.col("dst").alias("id"))
@@ -146,4 +165,5 @@ def connected_components(
             labels.join(neighbor_min, "id", "left")
             .select("id", F.least("label", F.coalesce("nbr", "label")).alias("label"))
         )
+        labels = _maybe_checkpoint(labels, i, checkpoint_every)
     return labels
