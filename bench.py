@@ -39,6 +39,11 @@ HEADLINE = [
     "q26_asof_join",
     "pp_span_dedup",
     "sim_lsh_ann_topk",
+    # Python-adjacent paths (Arrow UDAF, mapInPandas) + iterative graph,
+    # so round-over-round wall-times track them too:
+    "q31_weighted_median",
+    "graph_pagerank",
+    "mm_decode_features",
 ]
 
 
