@@ -235,3 +235,76 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .orderBy("hour", "event_type")
     )
+
+
+@query(
+    "alias_priors",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type AS alias, user_id % 100 AS entity_id, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), priors AS (
+      SELECT alias, entity_id,
+             cnt / GREATEST(SUM(cnt) OVER (PARTITION BY alias), 1) AS prob
+      FROM counts
+    ), ranked AS (
+      SELECT alias, entity_id, prob,
+             ROW_NUMBER() OVER (PARTITION BY alias
+                                ORDER BY prob DESC, entity_id DESC) AS rn
+      FROM priors
+    ), agg AS (
+      SELECT alias, CAST(COUNT(*) AS BIGINT) AS n_entities,
+             ROUND(SUM(prob), 6) AS sum_prob
+      FROM priors GROUP BY alias
+    )
+    SELECT agg.alias, agg.n_entities,
+           CAST(r.entity_id AS BIGINT) AS top_entity,
+           ROUND(r.prob, 6) AS top_prob,
+           agg.sum_prob
+    FROM agg JOIN ranked r ON agg.alias = r.alias AND r.rn = 1
+    ORDER BY agg.alias
+    """,
+    tags=("window", "agg"),
+)
+def alias_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+A5 end-to-end on synthetic tables: the reference's alias-prior
+    pipeline (count per (alias, entity) -> ratio-to-total window ->
+    per-alias sorted probability VECTOR, __init__.py:204-223) with
+    events standing in for the alias table (alias=event_type,
+    entity=user_id%100). The per-alias distribution is genuinely built
+    as array_sort(collect_list(struct)) — the A4 group-to-vector shape —
+    then flattened to scalar outputs (top entry, entry count, Σprob)
+    because array-of-struct cells don't hash stably across engines.
+    Σprob = 1 per alias is the A5 invariant the ratio window guarantees.
+    """
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.col("event_type").alias("alias"),
+        (F.col("user_id") % 100).alias("entity_id"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("alias")
+    priors = counts.select(
+        "alias",
+        "entity_id",
+        (F.col("cnt") / F.greatest(F.sum("cnt").over(w), F.lit(1))).alias(
+            "prob"
+        ),
+    )
+    vec = priors.groupBy("alias").agg(
+        F.array_sort(F.collect_list(F.struct("prob", "entity_id"))).alias(
+            "dist"
+        )
+    )
+    top = F.element_at("dist", -1)
+    return vec.select(
+        "alias",
+        F.size("dist").cast("long").alias("n_entities"),
+        top.getField("entity_id").cast("long").alias("top_entity"),
+        F.round(top.getField("prob"), 6).alias("top_prob"),
+        F.round(
+            F.aggregate(
+                "dist", F.lit(0.0), lambda a, x: a + x.getField("prob")
+            ),
+            6,
+        ).alias("sum_prob"),
+    ).orderBy("alias")
