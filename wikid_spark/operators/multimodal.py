@@ -75,18 +75,25 @@ DECODED_SCHEMA = StructType(
 )
 
 
-def attach_fake_media(df: DataFrame, id_col: str) -> DataFrame:
+def attach_fake_media(
+    df: DataFrame,
+    id_col: str,
+    media_type: str = "image",
+    n_frames=None,
+) -> DataFrame:
     """Test fixture: deterministic fake payload + metadata per row
-    (sha256 of the id, repeated). Real pipelines read payloads from
-    object storage via ``spark.read.format('binaryFile')``."""
+    (sha256 of the id, repeated). ``n_frames`` (a Column, for the video
+    case) defaults to 1. Real pipelines read payloads from object
+    storage via ``spark.read.format('binaryFile')``."""
     idc = F.col(id_col).cast("string")
     payload = F.sha2(idc, 256).cast("binary")
+    frames = F.lit(1) if n_frames is None else n_frames.cast("int")
     meta = F.struct(
-        F.lit("image").alias("media_type"),
+        F.lit(media_type).alias("media_type"),
         F.lit("fake").alias("format"),
         F.lit(64).alias("width"),
         F.lit(64).alias("height"),
-        F.lit(1).alias("n_frames"),
+        frames.alias("n_frames"),
         F.lit(None).cast("int").alias("sample_rate"),
     )
     return df.select(

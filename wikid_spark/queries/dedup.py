@@ -601,3 +601,69 @@ def nd_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "nd_minhash_jaccard_est",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh
+      FROM documents
+    ), {_SHINGLE_HASH_CTE}, mh AS (
+      SELECT doc_id, i AS perm,
+             MIN((h * (2*i + 1) + (12345*i + 67890)) % {PERM_P}) AS minhash
+      FROM h, range({N_PERM}) t(i)
+      GROUP BY doc_id, i
+    ), bands AS (
+      SELECT doc_id, perm // {BAND_R} AS band,
+             md5(string_agg(minhash::VARCHAR, '|' ORDER BY perm)) AS sig
+      FROM mh GROUP BY doc_id, perm // {BAND_R}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(SUM(CASE WHEN x.minhash = y.minhash THEN 1 ELSE 0 END)
+                 / {N_PERM}.0, 4) AS jaccard_est
+    FROM cand c
+    JOIN mh x ON x.doc_id = c.doc_a
+    JOIN mh y ON y.doc_id = c.doc_b AND y.perm = x.perm
+    GROUP BY c.doc_a, c.doc_b
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "minhash"),
+)
+def nd_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash ESTIMATOR itself: for every LSH candidate pair,
+    estimated Jaccard = fraction of agreeing permutations (the textbook
+    unbiased estimate, var j(1-j)/k). This is the cheap middle rung
+    between candidates and exact verification: computed entirely from
+    the one-row-per-doc signatures — a broadcast of the candidate pairs
+    against the 16-column signature table, no shingle re-scan at all.
+    Production uses it to pre-rank candidates before paying the exact
+    intersection join of nd_lsh_verified_pairs."""
+    sig = _signature_row(spark, sf_dir)
+    cands = nd_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_PERM)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(N_PERM)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_PERM)
+    )
+    return (
+        a.join(F.broadcast(cands), "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(float(N_PERM)), 4).alias("jaccard_est"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -548,6 +548,43 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CAST(doc_id % 40 + 1 AS BIGINT) AS n_frames,
+           CAST(u.f AS BIGINT) AS frame_idx
+    FROM documents, unnest(range(0, CAST(doc_id % 40 + 1 AS BIGINT), 10)) AS u(f)
+    WHERE doc_id < 100
+    ORDER BY doc_id, frame_idx
+    """,
+    tags=("multimodal",),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: fake video payloads with a
+    per-doc frame count, sampled every 10th frame. The sampling is a
+    JVM-side sequence+explode on metadata ONLY — the binary payload
+    column rides along by reference and is never touched until a real
+    decoder consumes the (payload, frame_idx) pairs, which is exactly
+    how a 100 TB video corpus avoids decoding frames it will drop."""
+    from wikid_spark.operators.multimodal import attach_fake_media, sample_frames
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = attach_fake_media(
+        docs, "doc_id", media_type="video",
+        n_frames=F.col("doc_id") % 40 + 1,
+    )
+    return (
+        sample_frames(media, every_n=10)
+        .select(
+            "doc_id",
+            F.col("meta.n_frames").cast("long").alias("n_frames"),
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+@query(
     "graph_components",
     oracle="""
     WITH sizes AS (

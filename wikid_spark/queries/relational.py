@@ -492,3 +492,45 @@ def q33_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("purchase_value")
     )
     return counts.join(pval, "user_id", "left").orderBy("user_id")
+
+
+@query(
+    "q34_grouping_sets",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      o_orderstatus,
+      GROUPING(o_orderpriority) AS g_priority,
+      GROUPING(o_orderstatus) AS g_status,
+      COUNT(*) AS n,
+      ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+    ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def q34_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the level set ((priority, status),
+    (status), ()) skips the (priority) stratum, which neither ROLLUP
+    nor CUBE can express. The DataFrame API has no grouping-sets
+    entry point, so this goes through Spark SQL over a temp view —
+    same Expand-based single-pass physical plan as rollup/cube, and
+    GROUPING() flags disambiguate subtotal NULLs from data NULLs."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__q34_orders")
+    return spark.sql(
+        """
+        SELECT
+          o_orderpriority,
+          o_orderstatus,
+          CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+          CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+          COUNT(*) AS n,
+          ROUND(SUM(o_totalprice), 2) AS total
+        FROM __q34_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderstatus), ())
+        ORDER BY o_orderpriority ASC NULLS FIRST,
+                 o_orderstatus ASC NULLS FIRST
+        """
+    )

@@ -184,3 +184,56 @@ def tx_fingerprint_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy("fingerprint")
     )
+
+
+@query(
+    "tx_topk_ngrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), tri AS (
+      SELECT ts[i + 1] || ' ' || ts[i + 2] || ' ' || ts[i + 3] AS ngram
+      FROM toks, unnest(list_transform(ts, (x, i) -> i - 1)) AS u(i)
+      WHERE i + 3 <= len(ts)
+    )
+    SELECT ngram, COUNT(*) AS n
+    FROM tri
+    GROUP BY ngram
+    ORDER BY n DESC, ngram
+    LIMIT 25
+    """,
+    tags=("textstats", "ngrams"),
+)
+def tx_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-25 trigrams — the boilerplate/contamination
+    radar every corpus audit starts with (hot n-grams are licence
+    headers, navigation chrome, benchmark leakage).
+
+    Scale shape: per-row HOF trigram build (no UDF), explode, one
+    hash-aggregate with map-side partial combine, then a global top-k
+    that is TakeOrderedAndProject — 25 rows cross the final wire, never
+    the n-gram universe."""
+    docs = table(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    tri = docs.select(
+        F.explode(
+            F.when(
+                F.size(ts) >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ts) - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(ts, i + 1),
+                        F.element_at(ts, i + 2),
+                        F.element_at(ts, i + 3),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("ngram")
+    )
+    return (
+        tri.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "ngram")
+        .limit(25)
+    )
