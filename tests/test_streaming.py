@@ -18,6 +18,7 @@ from wikid_spark.catalog import table
 from wikid_spark.streaming import ingest
 from wikid_spark.streaming.windows import (
     dedup_within_watermark,
+    interval_attribution_join,
     session_stats,
     sliding_counts,
     tumbling_counts,
@@ -178,6 +179,46 @@ def test_ingest_exactly_once_merge(spark, tmp_path):
         for r in ingest.read_alias_counts(spark, target).collect()
     }
     assert merged2 == merged
+
+
+def test_stream_stream_interval_join_equals_batch(
+    spark, events_batch, events_stream_dir, tmp_path
+):
+    """St7 stream-stream join: click→purchase attribution over two
+    streaming sides must equal the batch twin. The test watermark (60
+    days) EXCEEDS the fixture's 30-day event span, so no row can be
+    dropped as late regardless of how repartition(3) shuffled events
+    across the stream files (a 1-day watermark flaked ~1/6: a batch
+    whose max event time led a later file's rows by more than the
+    delay silently dropped them). Equality is then exact for an inner
+    join; production shrinks the watermark to bound state."""
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    bc, bp = split(events_batch)
+    expected = {
+        tuple(r)
+        for r in interval_attribution_join(bc, bp, watermark="60 days").collect()
+    }
+    assert expected, "fixture should produce attributable pairs"
+
+    sc_, sp = split(_stream(spark, events_stream_dir, events_batch))
+    out = str(tmp_path / "attrib_out")
+    q = (
+        interval_attribution_join(sc_, sp, watermark="60 days")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "attrib_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "availableNow drain did not finish"
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == expected
 
 
 def test_keyed_merge_equals_batch_reaggregation(spark, tmp_path):

@@ -100,3 +100,58 @@ def dedup_within_watermark(
     if not events.isStreaming:
         return events.dropDuplicates(keys)
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def interval_attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_lag: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream INNER interval join (St7): attribute each purchase
+    to same-user clicks at most ``max_lag`` before it. Works on both
+    streaming inputs (watermarks required — they bound the join state:
+    each side buffers only rows inside the watermark horizon, which is
+    what keeps a double-firehose join runnable indefinitely) and batch
+    twins (watermark is a no-op, semantics exact — the test oracle).
+
+    The time-range predicate is the piece Spark needs to prune state:
+    purchase.ts ∈ [click.ts, click.ts + max_lag] tells the engine when
+    a buffered click can never match again and can be evicted. Without
+    it a stream-stream join is unbounded state and Spark rejects it.
+
+    Output: (user_id, click_id, purchase_id, click_ts, purchase_ts,
+    lag_seconds, value) — one row per attributable (click, purchase).
+    """
+    c = with_watermark(clicks, ts_col, watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col(ts_col).alias("click_ts"),
+    )
+    p = with_watermark(purchases, ts_col, watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col(ts_col).alias("purchase_ts"),
+        F.col("value"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {max_lag}")
+        ),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).alias("lag_seconds"),
+        "value",
+    )
