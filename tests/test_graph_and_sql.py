@@ -100,3 +100,20 @@ def test_connected_components_multi_component_chain(spark):
         r["id"]: r["label"] for r in connected_components(edges, iters=3).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_converged_deep_chain(spark):
+    """A 12-node chain (radius 11 from its min node) — far past the
+    fixed 3-iteration bound. The converged variant must label it fully
+    via its driver fixpoint probe, with periodic checkpoints bounding
+    lineage along the way, and leave a separate pair untouched."""
+    from wikid_spark.operators.graph import connected_components_converged
+
+    chain = [(i, i + 1) for i in range(1, 12)] + [(100, 101)]
+    e0 = spark.createDataFrame(chain, "src long, dst long")
+    edges = e0.union(e0.selectExpr("dst as src", "src as dst"))
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components_converged(edges, checkpoint_every=3).collect()
+    }
+    assert got == {**{i: 1 for i in range(1, 13)}, 100: 100, 101: 100}

@@ -186,3 +186,54 @@ def connected_components(
         )
         labels = _maybe_checkpoint(labels, i, checkpoint_every)
     return labels
+
+
+def connected_components_converged(
+    edges: DataFrame,
+    checkpoint_every: int = 3,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components run to CONVERGENCE: min-label propagation
+    with a driver-side fixpoint check, for graphs whose diameter is not
+    known up front (the dedup-cluster case — a chain of pairwise
+    near-dups can be arbitrarily long). Each round is the same one
+    join + one min-agg as ``connected_components``; the convergence
+    probe is a changed-labels existence check (join + filter +
+    ``isEmpty`` — a LocalLimit(1) scan, not a count) against the
+    previous round's labels, which are already materialized by the
+    periodic ``localCheckpoint``.
+
+    Rounds to converge = component radius, not diameter (labels race
+    from the minimum-id node outward), and is O(log n) with path
+    doubling — not implemented here because near-dup clusters are
+    shallow in practice; ``max_iters`` is the runaway guard.
+    """
+    edges = edges.localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(
+        eager=True
+    )
+    for i in range(max_iters):
+        neighbor_min = (
+            edges.join(labels.select(F.col("id").alias("src"), "label"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr"))
+        )
+        new_labels = labels.join(neighbor_min, "id", "left").select(
+            "id", F.least("label", F.coalesce("nbr", "label")).alias("label")
+        )
+        new_labels = _maybe_checkpoint(new_labels, i, checkpoint_every)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+        )
+        done = changed.isEmpty()
+        labels = new_labels
+        if done:
+            break
+    return labels

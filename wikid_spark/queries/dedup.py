@@ -667,3 +667,89 @@ def nd_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "nd_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE s AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh
+      FROM documents
+    ), su AS (
+      SELECT doc_id, unnest(sh) AS sh FROM s
+    ), h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 15))::BIGINT % 1073741824 AS h
+      FROM su
+    ), mh AS (
+      SELECT doc_id, i AS perm,
+             MIN((h * (2*i + 1) + (12345*i + 67890)) % {PERM_P}) AS minhash
+      FROM h, range({N_PERM}) t(i)
+      GROUP BY doc_id, i
+    ), bands AS (
+      SELECT doc_id, perm // {BAND_R} AS band,
+             md5(string_agg(minhash::VARCHAR, '|' ORDER BY perm)) AS sig
+      FROM mh GROUP BY doc_id, perm // {BAND_R}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.doc_id < b.doc_id
+    ), ver AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN s x ON x.doc_id = c.doc_a
+      JOIN s y ON y.doc_id = c.doc_b
+      WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+            / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.2
+    ), e AS (
+      SELECT doc_a AS src, doc_b AS dst FROM ver
+      UNION ALL
+      SELECT doc_b, doc_a FROM ver
+    ), reach(id, label) AS (
+      SELECT DISTINCT src, src FROM e
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.id
+    )
+    SELECT id AS doc_id,
+           MIN(label) AS cluster,
+           CAST(MIN(label) = id AS INT) AS keep
+    FROM reach
+    GROUP BY id
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "cluster", "graph"),
+)
+def nd_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION step: group the LSH-verified near-dup pairs
+    into transitive clusters and pick one keeper per cluster (minimum
+    doc_id — deterministic, content-independent). Output is one row per
+    clustered doc: its cluster id (the component's min doc_id) and a
+    keep/drop flag; docs in no pair are untouched singletons and don't
+    appear. This is the step that turns pairwise similarity into an
+    actual delete list — without it, near-dup pairs A~B, B~C dedup
+    inconsistently (keep A drop B, keep B drop C).
+
+    Min-label propagation runs to CONVERGENCE (driver fixpoint probe,
+    operators/graph.py:connected_components_converged) because a dup
+    chain's diameter is corpus-dependent — the fixed 3-iteration bound
+    of graph_components would silently split long chains. The oracle is
+    DuckDB's recursive CTE: full reachability, MIN(label) per node —
+    converged labels on both engines or the hash differs.
+
+    Scale: the edge set is |verified pairs| (tiny vs the corpus by the
+    LSH + verify funnel); each round is one equi-join + one min-agg on
+    it, checkpointed every 3 rounds to bound lineage."""
+    from wikid_spark.operators.graph import connected_components_converged
+
+    ver = nd_lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = ver.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        ver.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = connected_components_converged(edges, checkpoint_every=3)
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster"),
+        (F.col("label") == F.col("id")).cast("int").alias("keep"),
+    ).orderBy("doc_id")

@@ -536,3 +536,48 @@ def pp_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stop_frac, 4).alias("stop_frac"),
         keep.alias("keep"),
     ).orderBy("doc_id")
+
+
+SAMPLE_K = 20  # docs kept per stratum
+
+
+@query(
+    "pp_stratified_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY (doc_id * {_HASH_MULT}) % {_HASH_MOD}, doc_id
+             ) AS sample_rank
+      FROM documents
+    )
+    SELECT doc_id, lang, source, sample_rank
+    FROM ranked
+    WHERE sample_rank <= {SAMPLE_K}
+    ORDER BY lang, source, sample_rank
+    """,
+    tags=("pipeline", "sampling"),
+)
+def pp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size stratified sample: exactly min(K, |stratum|) docs per
+    (lang, source), selected by Knuth-hash order — the deterministic,
+    engine-portable stand-in for a random draw (same hash family as
+    pp_hash_split; a different constant would give an independent
+    sample). Fixed-size-per-stratum is the eval-set construction
+    primitive that rate-based sampling (pp_hash_split) can't express:
+    rare strata keep K docs instead of rate×|stratum| ≈ 0.
+
+    Scale: one shuffle on the stratum key; rank-within-group truncates
+    to K rows per group early (WindowGroupLimit pushes the rank filter
+    into the sort), so the output never exceeds K × |strata|."""
+    d = table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * _HASH_MULT) % _HASH_MOD
+    w = Window.partitionBy("lang", "source").orderBy(h, "doc_id")
+    return (
+        d.select(
+            "doc_id", "lang", "source", F.row_number().over(w).alias("sample_rank")
+        )
+        .filter(F.col("sample_rank") <= SAMPLE_K)
+        .orderBy("lang", "source", "sample_rank")
+    )

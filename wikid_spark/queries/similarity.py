@@ -589,3 +589,74 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+@query(
+    "sim_group_centroids",
+    oracle="""
+    WITH dims AS (
+      SELECT label,
+             unnest(list_transform(embedding, (x, i) -> i - 1)) AS d,
+             unnest(list_transform(embedding,
+                    x -> CAST(FLOOR(x::DOUBLE * 1000.0) AS BIGINT))) AS xq
+      FROM embeddings
+    ), per_dim AS (
+      SELECT label, d, CAST(SUM(xq) AS BIGINT) AS sq
+      FROM dims GROUP BY label, d
+    ), counts AS (
+      SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label
+    )
+    SELECT p.label, c.n_vecs,
+           ROUND(SQRT(CAST(SUM(sq * sq) AS BIGINT)) / (1000.0 * c.n_vecs), 4)
+             AS centroid_norm,
+           ROUND(MAX(CASE WHEN d = 0 THEN sq END) / (1000.0 * c.n_vecs), 4)
+             AS dim0,
+           ROUND(MAX(CASE WHEN d = 1 THEN sq END) / (1000.0 * c.n_vecs), 4)
+             AS dim1
+    FROM per_dim p JOIN counts c ON p.label = c.label
+    GROUP BY p.label, c.n_vecs
+    ORDER BY p.label
+    """,
+    tags=("similarity", "centroid"),
+)
+def sim_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (mean pooling) — the building
+    block of IVF training, k-means, and class-prototype retrieval.
+    Reported per label: member count, centroid L2 norm, and the first
+    two centroid coordinates (the full vector is the same arithmetic
+    64 times — flattened here for stable cross-engine hashing).
+
+    Exactness across engines: inputs are fixed-point quantized
+    (floor(x·1000) as long — quantize_embedding) so every SUM is exact
+    integer arithmetic regardless of accumulation order; the only
+    float ops are final divisions and one sqrt of an exact integer —
+    bit-identical in both engines, then rounded.
+
+    Scale: posexplode → one (label, dim) partial-agg'd shuffle of
+    64·n tiny rows → a |labels|-row rollup. No vector ever crosses
+    the wire whole; centroid count = |labels|, corpus-independent."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(quantize_embedding(F.col("embedding"))).alias("d", "xq"),
+    )
+    per_dim = ex.groupBy("label", "d").agg(F.sum("xq").alias("sq"))
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    scale = 1000.0 * F.col("n_vecs")
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.sum(F.col("sq") * F.col("sq")).alias("ss"),
+            F.max(F.when(F.col("d") == 0, F.col("sq"))).alias("s0"),
+            F.max(F.when(F.col("d") == 1, F.col("sq"))).alias("s1"),
+        )
+        .join(F.broadcast(counts), "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.round(F.sqrt("ss") / scale, 4).alias("centroid_norm"),
+            F.round(F.col("s0") / scale, 4).alias("dim0"),
+            F.round(F.col("s1") / scale, 4).alias("dim1"),
+        )
+        .orderBy("label")
+    )

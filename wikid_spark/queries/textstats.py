@@ -8,9 +8,10 @@ scoring arithmetic are computed identically by DuckDB).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from wikid_spark.catalog import table
+from wikid_spark.operators.fts import tokenize
 from wikid_spark.registry import query
 
 # English function-word markers for the n-gram language heuristic.
@@ -236,4 +237,73 @@ def tx_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "ngram")
         .limit(25)
+    )
+
+
+@query(
+    "tx_token_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, lang, source, tok, COUNT(*) AS cnt
+      FROM toks GROUP BY doc_id, lang, source, tok
+    ), sized AS (
+      SELECT doc_id, lang, source, cnt,
+             SUM(cnt) OVER (PARTITION BY doc_id) AS n_tok
+      FROM tf
+    ), doc_h AS (
+      SELECT doc_id, lang, source,
+             -SUM((cnt::DOUBLE / n_tok) * LN(cnt::DOUBLE / n_tok)) AS h
+      FROM sized GROUP BY doc_id, lang, source
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(h), 4) AS avg_entropy,
+           ROUND(MIN(h), 4) AS min_entropy,
+           ROUND(MAX(h), 4) AS max_entropy
+    FROM doc_h
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    tags=("textstats", "quality"),
+)
+def tx_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token entropy per document, profiled per (lang, source):
+    H(doc) = -Σ p(tok)·ln p(tok). Low entropy flags degenerate or
+    template-stamped text (one token repeated → H≈0) the way Gopher's
+    repetition fractions do, but in one number that also catches
+    many-token low-diversity pathologies a top-bigram fraction misses.
+
+    Plan: explode tokens → (doc, tok) count → per-doc entropy → tiny
+    (lang, source) rollup. Two shuffles, both partial-agg'd map-side;
+    the (doc_id, tok) key is high-cardinality and uniform, so no skew.
+    Cross-engine: p·ln(p) in double with a 4-decimal round; summation
+    order noise is ~1e-15 against entropies of O(1..ln n)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", "source", F.explode(tokenize("text")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "lang", "source", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    n_tok = F.sum("cnt").over(Window.partitionBy("doc_id"))
+    p = F.col("cnt").cast("double") / n_tok
+    doc_h = (
+        tf.withColumn("term", -p * F.log(p))
+        .groupBy("doc_id", "lang", "source")
+        .agg(F.sum("term").alias("h"))
+    )
+    return (
+        doc_h.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("h"), 4).alias("avg_entropy"),
+            F.round(F.min("h"), 4).alias("min_entropy"),
+            F.round(F.max("h"), 4).alias("max_entropy"),
+        )
+        .orderBy("lang", "source")
     )

@@ -308,3 +308,41 @@ def alias_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("sum_prob"),
     ).orderBy("alias")
+
+
+@query(
+    "q40_ntile_cume",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           NTILE(4) OVER w AS quartile,
+           ROUND(CUME_DIST() OVER w, 4) AS cume,
+           ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    LIMIT 1000
+    """,
+    tags=("window", "distribution"),
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows — NTILE / CUME_DIST / PERCENT_RANK — the
+    remaining SQL window-function family (ranking and frames are
+    q10/q12). The ORDER BY inside the window is made total with the
+    o_orderkey tiebreak, so tie handling can't diverge between engines.
+    All three functions share ONE window spec → one shuffle + one sort,
+    visible as a single Window node in the plan."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.cume_dist().over(w), 4).alias("cume"),
+            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
