@@ -18,6 +18,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pyspark.sql.functions as F
+
 from wikid_spark.registry import all_queries
 from wikid_spark.session import get_spark
 
@@ -60,6 +62,13 @@ def main() -> None:
     specs["q01_scan_filter_project"].fn(spark, sf_dir).write.mode("overwrite").format(
         "noop"
     ).save()
+    # Python-worker-pool warmup: the first Arrow-batched UDF in an app
+    # pays worker fork + Arrow init (~1.5 s); steady state reuses the
+    # pool. A trivial grouped-map spins it up so UDAF/mapInPandas
+    # timings below measure the operators, not one-time process setup.
+    spark.range(32).groupBy((F.col("id") % 4).alias("g")).applyInPandas(
+        lambda pdf: pdf, "id long"
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
