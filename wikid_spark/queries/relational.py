@@ -794,3 +794,121 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
+
+
+_UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "q43_unpivot",
+    oracle="""
+    WITH src AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             l_discount, l_tax
+      FROM lineitem WHERE l_orderkey < 400
+    )
+    SELECT l_orderkey, l_linenumber, measure, ROUND(val, 2) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM src
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM src
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src
+    )
+    ORDER BY l_orderkey, l_linenumber, measure
+    """,
+    tags=("reshape", "unpivot"),
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT (melt) — the inverse of q33's pivot. Spark's
+    native unpivot compiles to a single Expand node (one pass, rows ×
+    n_measures output, no join and no shuffle); the oracle spells the
+    same relation as the portable UNION ALL. The id/measure/value
+    naming survives both engines; values rounded at the boundary."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 400)
+        .select("l_orderkey", "l_linenumber", *_UNPIVOT_MEASURES)
+    )
+    return (
+        li.unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=list(_UNPIVOT_MEASURES),
+            variableColumnName="measure",
+            valueColumnName="val",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "measure",
+            F.round("val", 2).alias("val"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )
+
+
+@query(
+    "q44_full_outer_reconciliation",
+    oracle="""
+    WITH y95 AS (
+      SELECT o_custkey, COUNT(*) AS n_1995,
+             ROUND(SUM(o_totalprice), 2) AS spend_1995
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-01-01'
+      GROUP BY o_custkey
+    ), y96 AS (
+      SELECT o_custkey, COUNT(*) AS n_1996,
+             ROUND(SUM(o_totalprice), 2) AS spend_1996
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+           a.n_1995, a.spend_1995, b.n_1996, b.spend_1996
+    FROM y95 a FULL OUTER JOIN y96 b ON a.o_custkey = b.o_custkey
+    ORDER BY custkey
+    """,
+    tags=("join", "full_outer"),
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — year-over-year reconciliation where customers
+    active in EITHER year must appear, with NULLs marking the missing
+    side (churned vs newly-active). The one outer-join variant the
+    rest of the J-family doesn't cover. Full outer can't broadcast
+    (both sides must see unmatched rows) → shuffle hash/sort-merge on
+    custkey, which is the right plan at any scale; both inputs are
+    pre-aggregated to one row per key before the join, so the shuffle
+    carries aggregates, not raw orders."""
+    o = table(spark, sf_dir, "orders")
+
+    def year_agg(lo: str, hi: str, n_name: str, s_name: str) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi))
+            )
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias(n_name),
+                F.round(F.sum("o_totalprice"), 2).alias(s_name),
+            )
+        )
+
+    a = year_agg("1995-01-01", "1996-01-01", "n_1995", "spend_1995")
+    b = year_agg("1996-01-01", "1997-01-01", "n_1996", "spend_1996").withColumnRenamed(
+        "o_custkey", "b_custkey"
+    )
+    return (
+        a.join(b, a.o_custkey == F.col("b_custkey"), "full_outer")
+        .select(
+            F.coalesce("o_custkey", "b_custkey").alias("custkey"),
+            "n_1995",
+            "spend_1995",
+            "n_1996",
+            "spend_1996",
+        )
+        .orderBy("custkey")
+    )

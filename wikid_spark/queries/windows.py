@@ -346,3 +346,47 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(1000)
     )
+
+
+@query(
+    "q42_time_range_window",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ep
+      FROM events
+    )
+    SELECT event_id,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY ep
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS trailing_1h
+    FROM e
+    ORDER BY event_id
+    LIMIT 1000
+    """,
+    tags=("window", "frame", "timeseries"),
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per user, the trailing-one-hour sum of
+    value — the sliding aggregate ROWS frames (q12) can't express,
+    because how many rows fall in the hour varies per row. Ordering is
+    on integer epoch seconds (the q11 idiom — floored identically in
+    both engines), so frame bounds are exact integer comparisons and
+    rows in the same second are peers on both sides, making the result
+    order-independent. This is the batch twin of the streaming sliding
+    window (St3): same frame semantics, expressed per-row instead of
+    per-bucket."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            F.round(F.sum("value").over(w), 4).alias("trailing_1h"),
+        )
+        .orderBy("event_id")
+        .limit(1000)
+    )
