@@ -143,3 +143,32 @@ def test_sim_ivf_centroid_count_is_corpus_independent():
 
     assert isinstance(similarity.N_CENTROIDS, int)
     assert not hasattr(similarity, "CENT_EVERY")
+
+
+def test_stratified_sample_rank_filter_pushes_into_sort(spark):
+    """row_number() <= K must become WindowGroupLimit: each stratum is
+    truncated to K rows DURING the window sort — without it every
+    stratum materializes full ranks before filtering, which at corpus
+    scale is the difference between K×|strata| and |corpus| rows."""
+    plan = _plan(spark, "pp_stratified_sample")
+    assert "WindowGroupLimit" in plan
+
+
+def test_q36_dims_broadcast(spark):
+    """supplier/nation/region ride explicit broadcasts; no join in the
+    6-way tree may fall back to a nested loop."""
+    plan = _plan(spark, "q36_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q43_unpivot_is_single_pass_expand(spark):
+    """Spark's unpivot compiles to one Expand node — rows×4 output in a
+    single pass; a join- or union-based expansion would rescan lineitem
+    per measure."""
+    plan = _plan(spark, "q43_unpivot")
+    assert "Expand" in plan
+    # one scan of lineitem, not one per measure (formatted explain
+    # details each scan once as "Location: ...")
+    assert plan.count("Location: InMemoryFileIndex") == 1
