@@ -632,3 +632,95 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("label")
     )
+
+
+@query(
+    "q45_approx_distinct_audit",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_distinct,
+           CAST(1 AS INT) AS hll_within_10pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("agg", "sketch", "audit"),
+)
+def q45_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL sketch surface (approx_count_distinct, rsd 0.05) made
+    oracle-checkable by AUDITING instead of comparing estimates: Spark
+    computes exact and approximate distinct counts side by side and
+    emits a within-10% flag; the oracle states the exact counts and
+    asserts the flag. DuckDB can't reproduce Spark's HLL register
+    values — but it doesn't need to: HLL is deterministic for a given
+    input set, so the flag is stable, and a drift past 2× the
+    configured rsd fails the hash. Same audit pattern as
+    sim_recall_report: the approximation's CONTRACT is the certified
+    thing.
+
+    At 100 TB the sketch is the point: one pass, fixed 2^p registers
+    per group regardless of key cardinality, map-side mergeable —
+    COUNT(DISTINCT) re-shuffles the raw keys."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact_distinct"),
+            F.approx_count_distinct("user_id", rsd=0.05).alias("_hll"),
+        )
+        .select(
+            "event_type",
+            "exact_distinct",
+            (
+                F.abs(F.col("_hll") - F.col("exact_distinct"))
+                <= 0.1 * F.col("exact_distinct")
+            )
+            .cast("int")
+            .alias("hll_within_10pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SALT_BUCKETS = 8
+
+
+@query(
+    "q46_salted_agg",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("agg", "skew", "salting"),
+)
+def q46_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation, oracle-certified equivalent to the
+    direct group-by: stage 1 aggregates (user_id, salt) — splitting any
+    hot user across SALT_BUCKETS reducers — stage 2 merges the partial
+    aggregates per user. This is the manual mitigation for Zipf-hot
+    keys when AQE's skew handling can't apply (skewed AGGREGATION keys,
+    not join keys — AQE only splits skewed join partitions). COUNT and
+    SUM re-merge losslessly (the same additive-merge algebra as q08's
+    upsert); the 4-decimal round absorbs double summation-order noise
+    between the two-stage and single-stage float sums.
+
+    The salt is xxhash64(event_id) — derived from data, uniform, and
+    NOT the grouping key, so stage 1's cardinality is exactly
+    |users| × SALT_BUCKETS."""
+    ev = table(spark, sf_dir, "events")
+    salted = ev.withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT_BUCKETS))
+    )
+    stage1 = salted.groupBy("user_id", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("value").alias("_v")
+    )
+    return (
+        stage1.groupBy("user_id")
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.round(F.sum("_v"), 4).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )

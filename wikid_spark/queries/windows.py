@@ -390,3 +390,42 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .limit(1000)
     )
+
+
+@query(
+    "q47_running_distinct",
+    oracle="""
+    SELECT event_id,
+           COUNT(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS distinct_types_so_far
+    FROM events
+    ORDER BY event_id
+    LIMIT 1000
+    """,
+    tags=("window", "distinct"),
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per user — how many distinct event types
+    each user has touched so far. Spark has no COUNT(DISTINCT) window
+    function; the idiom is size(collect_set() OVER w) — the set
+    dedups inside the window buffer, so the expressible frame stays
+    one pass over the partition. The window order is made total
+    (ts, event_id) so both engines see identical frames."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            F.size(F.collect_set("event_type").over(w)).alias(
+                "distinct_types_so_far"
+            ),
+        )
+        .orderBy("event_id")
+        .limit(1000)
+    )
