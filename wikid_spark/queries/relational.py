@@ -912,3 +912,38 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@query(
+    "q48_correlated_subquery",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(o_totalprice /
+             (SELECT AVG(o2.o_totalprice) FROM orders o2
+              WHERE o2.o_custkey = o.o_custkey), 4) AS price_vs_cust_avg
+    FROM orders o
+    ORDER BY o_orderkey
+    LIMIT 1000
+    """,
+    tags=("subquery", "decorrelation"),
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — each order's price relative to its
+    customer's average. Catalyst DECORRELATES this into one aggregate
+    per custkey + an equi-join (RewriteCorrelatedScalarSubquery), so
+    the per-row subquery the SQL spells never executes per row: the
+    plan is the same two-scan join you'd hand-write, which is the
+    whole point of certifying the surface. Division noise bounded by
+    the 4-decimal round (both engines aggregate doubles)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__q48_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               ROUND(o_totalprice /
+                 (SELECT AVG(o2.o_totalprice) FROM __q48_orders o2
+                  WHERE o2.o_custkey = o.o_custkey), 4) AS price_vs_cust_avg
+        FROM __q48_orders o
+        ORDER BY o_orderkey
+        LIMIT 1000
+        """
+    )
