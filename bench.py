@@ -46,6 +46,10 @@ HEADLINE = [
     "q31_weighted_median",
     "graph_pagerank",
     "mm_decode_features",
+    # round-3 additions: the dedup decision capstone (driver-fixpoint
+    # component loop) and the multi-table ANN recall path:
+    "nd_dedup_clusters",
+    "sim_lsh_multitable_topk",
 ]
 
 
@@ -70,14 +74,25 @@ def main() -> None:
         lambda pdf: pdf, "id long"
     ).write.mode("overwrite").format("noop").save()
 
+    # "queries" times EXECUTION (the final action) — comparable round
+    # over round. Iterative ops (graph_pagerank's eager checkpoints,
+    # nd_dedup_clusters' convergence loop) do real cluster work while
+    # BUILDING the DataFrame; that lands in "build" so it is visible
+    # instead of silently untimed, without skewing the per-query
+    # execution comparison for the declarative majority.
     timings: dict[str, float] = {}
+    builds: dict[str, float] = {}
     for name in HEADLINE:
+        t0 = time.perf_counter()
         df = specs[name].fn(spark, sf_dir)
+        build = time.perf_counter() - t0
+        if build > 0.25:
+            builds[name] = round(build, 3)
         t0 = time.perf_counter()
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings.values()) + sum(builds.values()), 3)
     print(
         json.dumps(
             {
@@ -85,6 +100,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "build": builds,
                 "sf": sf,
             }
         )
