@@ -81,18 +81,20 @@ def main() -> None:
     # instead of silently untimed, without skewing the per-query
     # execution comparison for the declarative majority.
     timings: dict[str, float] = {}
-    builds: dict[str, float] = {}
+    all_builds: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         df = specs[name].fn(spark, sf_dir)
-        build = time.perf_counter() - t0
-        if build > 0.25:
-            builds[name] = round(build, 3)
+        all_builds[name] = time.perf_counter() - t0
         t0 = time.perf_counter()
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()) + sum(builds.values()), 3)
+    # every build second counts toward the total (a query crossing the
+    # display threshold between rounds must not jump the total); the
+    # "build" dict only SHOWS the substantial ones.
+    builds = {n: round(b, 3) for n, b in all_builds.items() if b > 0.25}
+    total = round(sum(timings.values()) + sum(all_builds.values()), 3)
     print(
         json.dumps(
             {

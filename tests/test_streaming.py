@@ -235,9 +235,11 @@ def test_keyed_merge_equals_batch_reaggregation(spark, tmp_path):
         F.lit(1).cast("bigint").alias("count"),
     )
     target = str(tmp_path / "merge_target")
+    # deterministic batch split: a bare limit() without ORDER BY may
+    # pick different rows when the plan re-executes for the oneshot
     batches = [updates.filter(F.col("alias") != "click"),
                updates.filter(F.col("alias") == "click"),
-               updates.limit(500)]
+               updates.filter(F.col("entity_id").cast("int") % 3 == 0)]
     for b in batches:
         ingest.merge_alias_counts(spark, target, b)
     oneshot = {
@@ -329,3 +331,63 @@ def test_stateful_running_stats_stream_equals_batch(
     # have emitted more than one distinct running count
     multi = emitted.groupBy("user_id").count().filter("count > 1").count()
     assert multi > 0
+
+
+def test_keyed_merge_crash_between_merge_and_marker_is_safe(spark, tmp_path):
+    """The failure the naive ledger misses: a crash AFTER the merge
+    started mutating the table but BEFORE the done-marker landed. With
+    stage-and-promote, a replay after a crash mid-PROMOTION must resume
+    promotion from the staged (already-computed) state instead of
+    re-merging against the half-promoted table — applying the batch
+    exactly once."""
+    import shutil as _shutil
+
+    import pyspark.sql.functions as F
+
+    from wikid_spark.streaming import ingest
+
+    target = str(tmp_path / "merge_target")
+    base = spark.createDataFrame(
+        [("NYC", "Q60", 5), ("Boston", "Q100", 2), ("LA", "Q65", 4)],
+        "alias string, entity_id string, count bigint",
+    )
+    ingest.merge_alias_counts(spark, target, base)
+    writer = ingest.merge_upsert_batch_writer(spark, target)
+    batch = spark.createDataFrame(
+        [("NYC", "Q60", 1), ("Boston", "Q100", 1), ("LA", "Q65", 1)],
+        "alias string, entity_id string, count bigint",
+    )
+
+    # crash after the FIRST bucket directory is promoted
+    real_copytree = _shutil.copytree
+    state = {"copies": 0}
+
+    def crashing_copytree(src, dst, **kw):
+        if state["copies"] >= 1:
+            raise RuntimeError("simulated crash mid-promotion")
+        state["copies"] += 1
+        return real_copytree(src, dst, **kw)
+
+    _shutil.copytree = crashing_copytree
+    try:
+        with pytest.raises(RuntimeError):
+            writer(batch, 42)
+    finally:
+        _shutil.copytree = real_copytree
+
+    # replay: must resume from staging, not re-merge → exactly-once
+    writer(batch, 42)
+    got = {
+        (r["alias"], r["entity_id"]): r["count"]
+        for r in spark.read.parquet(target)
+        .select("alias", "entity_id", "count").collect()
+    }
+    assert got == {("NYC", "Q60"): 6, ("Boston", "Q100"): 3, ("LA", "Q65"): 5}
+    # and a THIRD delivery after success is a clean no-op
+    writer(batch, 42)
+    again = {
+        (r["alias"], r["entity_id"]): r["count"]
+        for r in spark.read.parquet(target)
+        .select("alias", "entity_id", "count").collect()
+    }
+    assert again == got

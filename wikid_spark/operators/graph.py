@@ -173,7 +173,13 @@ def connected_components(
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    labels = nodes.select("id", F.col("id").alias("label"))
+    # labels appears on BOTH sides of every unrolled round (join input
+    # and neighbor_min input), so without materialization the
+    # nodes-distinct subtree duplicates ~2^iters times in the plan —
+    # the same pathology pagerank's invariant checkpoints prevent.
+    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(
+        eager=True
+    )
     for i in range(iters):
         neighbor_min = (
             edges.join(labels.select(F.col("id").alias("src"), "label"), "src")
@@ -200,8 +206,13 @@ def connected_components_converged(
     join + one min-agg as ``connected_components``; the convergence
     probe is a changed-labels existence check (join + filter +
     ``isEmpty`` — a LocalLimit(1) scan, not a count) against the
-    previous round's labels, which are already materialized by the
-    periodic ``localCheckpoint``.
+    previous round's labels. Between checkpoints the probe re-executes
+    up to ``checkpoint_every - 1`` rounds of lineage; checkpointing
+    every round instead measured 3x SLOWER at sf0.1 (each eager
+    localCheckpoint is an extra materializing action, and per-round
+    label deltas are small), so the recompute is the cheaper side of
+    the trade at realistic cluster sizes too — tune ``checkpoint_every``
+    upward only if the probe's recompute dominates.
 
     Rounds to converge = component radius, not diameter (labels race
     from the minimum-id node outward), and is O(log n) with path
@@ -235,5 +246,9 @@ def connected_components_converged(
         done = changed.isEmpty()
         labels = new_labels
         if done:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components_converged: no fixpoint within {max_iters} "
+        "iterations — labels would be silently wrong (a component of "
+        "radius > max_iters exists); raise max_iters or use path doubling"
+    )

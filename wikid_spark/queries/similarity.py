@@ -35,20 +35,10 @@ def quantize_embedding(emb_col):
 
 def _bucket_expr(qemb_col):
     """LSH bucket id over a QUANTIZED embedding column: for each
-    hyperplane p, bit_p = [Σ_d qemb[d]·w(p,d) >= 0] — all-integer."""
-    bucket = F.lit(0)
-    for p in range(N_PLANES):
-        dot_p = F.aggregate(
-            F.zip_with(
-                qemb_col,
-                F.sequence(F.lit(0), F.size(qemb_col) - 1),
-                lambda x, d: x * (((F.lit(17 * p) + 31 * d) % 7) - 3),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(dot_p >= 0, F.lit(2**p)).otherwise(0)
-    return bucket
+    hyperplane p, bit_p = [Σ_d qemb[d]·w(p,d) >= 0] — all-integer.
+    Delegates to table 0 of the multi-table family (one weight formula
+    to keep in sync with the shared oracle CTE)."""
+    return _bucket_expr_t(qemb_col, 0)
 
 
 # Shared oracle CTE: quantized per-dimension values (mirror of

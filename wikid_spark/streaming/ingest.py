@@ -96,34 +96,7 @@ def merge_alias_counts(
     materialized set is the affected buckets only, bounded by the
     update's key spread.
     """
-    partials = (
-        updates.groupBy("alias", "entity_id")
-        .agg(F.sum("count").alias("count"))
-        .withColumn("pk", _merge_bucket(F.col("alias")))
-    )
-    from pyspark.errors import AnalysisException
-
-    try:
-        base = spark.read.parquet(target_dir)
-        exists = True
-    except AnalysisException:  # PATH_NOT_FOUND: first merge creates the table
-        exists = False
-    if exists:
-        affected = [
-            r["pk"] for r in partials.select("pk").distinct().collect()
-        ]
-        base = base.filter(F.col("pk").isin(affected)).select(
-            "alias", "entity_id", "count"
-        )
-        merged = (
-            base.unionByName(partials.drop("pk"))
-            .groupBy("alias", "entity_id")
-            .agg(F.sum("count").alias("count"))
-            .withColumn("pk", _merge_bucket(F.col("alias")))
-            .localCheckpoint()
-        )
-    else:
-        merged = partials
+    merged = _merged_affected_state(spark, target_dir, updates)
     mode_key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(mode_key, "static")
     spark.conf.set(mode_key, "dynamic")
@@ -133,23 +106,90 @@ def merge_alias_counts(
         spark.conf.set(mode_key, prev)
 
 
+def _merged_affected_state(
+    spark: SparkSession, target_dir: str, updates: DataFrame
+) -> DataFrame:
+    """The post-merge (alias, entity_id, count, pk) rows for exactly the
+    buckets ``updates`` touches, computed from the live table WITHOUT
+    modifying it. (Spark's partition discovery ignores underscore- and
+    dot-prefixed children, so staging directories and ledger markers
+    inside ``target_dir`` are never read back as data.)"""
+    partials = (
+        updates.groupBy("alias", "entity_id")
+        .agg(F.sum("count").alias("count"))
+        .withColumn("pk", _merge_bucket(F.col("alias")))
+    )
+    from pyspark.errors import AnalysisException
+
+    try:
+        base = spark.read.parquet(target_dir)
+    except AnalysisException:  # PATH_NOT_FOUND: first merge creates the table
+        return partials
+    affected = [r["pk"] for r in partials.select("pk").distinct().collect()]
+    base = base.filter(F.col("pk").isin(affected)).select(
+        "alias", "entity_id", "count"
+    )
+    return (
+        base.unionByName(partials.drop("pk"))
+        .groupBy("alias", "entity_id")
+        .agg(F.sum("count").alias("count"))
+        .withColumn("pk", _merge_bucket(F.col("alias")))
+        .localCheckpoint()
+    )
+
+
 def merge_upsert_batch_writer(
     spark: SparkSession, target_dir: str
 ) -> Callable[[DataFrame, int], None]:
-    """foreachBatch hook applying the keyed merge per micro-batch, with
-    a per-batch ledger marker for replay idempotency: foreachBatch is
-    at-least-once, and an additive merge applied twice double-counts,
-    so a replayed batch_id is skipped. The marker write is the same
-    commit-after-output pattern the batch_id-directory sink uses (on a
-    distributed FS the ledger would live next to the checkpoint)."""
+    """foreachBatch hook applying the keyed merge per micro-batch,
+    idempotent under at-least-once replay INCLUDING a crash at any
+    point inside the merge — an additive merge applied twice
+    double-counts, so "skip if marker exists" alone is not enough (a
+    crash between merge and marker would re-merge on replay).
+
+    Stage-and-promote protocol, crash-safe at every boundary:
+
+    1. ``_merged_batch_<id>`` exists → batch fully applied; no-op.
+    2. Otherwise, if the staging dir lacks its ``_STAGED`` marker,
+       compute the merged state of the affected buckets FROM THE LIVE
+       TABLE (untouched until step 3) into
+       ``_staging_batch_<id>/pk=*``, then write ``_STAGED``. A crash
+       anywhere here leaves the live table unmodified; replay simply
+       recomputes the stage (overwrite).
+    3. Promote: copy each staged bucket directory over its live
+       counterpart. Deterministic content → re-copying after a crash
+       mid-promotion converges to the same state (replay sees
+       ``_STAGED`` and resumes promotion WITHOUT recomputing from the
+       now partially-promoted live table, which would double-count).
+    4. Write ``_merged_batch_<id>``, then clear staging.
+
+    Single-writer protocol (one streaming query owns the target — the
+    same assumption Structured Streaming's own file sink makes);
+    readers during step 3 can see a bucket mid-swap. The promotion
+    uses driver-side directory ops — on HDFS/S3 this maps to
+    FileSystem.rename / multi-part copy next to the checkpoint."""
     import os
+    import shutil
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(target_dir, f"_merged_batch_{batch_id}")
-        if os.path.exists(marker):
+        done = os.path.join(target_dir, f"_merged_batch_{batch_id}")
+        if os.path.exists(done):
             return
-        merge_alias_counts(spark, target_dir, batch)
-        open(marker, "w").close()
+        staging = os.path.join(target_dir, f"_staging_batch_{batch_id}")
+        staged_ok = os.path.join(staging, "_STAGED")
+        if not os.path.exists(staged_ok):
+            merged = _merged_affected_state(spark, target_dir, batch)
+            merged.write.mode("overwrite").partitionBy("pk").parquet(staging)
+            open(staged_ok, "w").close()
+        for child in os.listdir(staging):
+            if not child.startswith("pk="):
+                continue
+            live = os.path.join(target_dir, child)
+            if os.path.exists(live):
+                shutil.rmtree(live)
+            shutil.copytree(os.path.join(staging, child), live)
+        open(done, "w").close()
+        shutil.rmtree(staging, ignore_errors=True)
 
     return write_batch
 
