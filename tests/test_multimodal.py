@@ -68,6 +68,30 @@ def test_frame_sampling(spark, media):
     assert idxs == [0, 10, 20]
 
 
+def test_frame_sampling_zero_frames_emits_no_rows(spark):
+    # range(0, n) semantics: n_frames=0 (or null) → no sampled frames,
+    # not a spurious frame 0.
+    docs = spark.range(4).withColumnRenamed("id", "doc_id")
+    media = mm.attach_fake_media(docs, "doc_id", media_type="video").withColumn(
+        "meta",
+        F.col("meta").withField(
+            "n_frames",
+            F.when(F.col("doc_id") == "0", F.lit(0))
+            .when(F.col("doc_id") == "1", F.lit(None).cast("int"))
+            .otherwise(F.lit(5)),
+        ),
+    )
+    out = mm.sample_frames(media, every_n=10)
+    got = {r["doc_id"]: r["frame_idx"] for r in out.collect()}
+    assert got == {"2": 0, "3": 0}
+
+
+def test_attach_fake_media_accepts_plain_int_n_frames(spark):
+    docs = spark.range(3).withColumnRenamed("id", "doc_id")
+    media = mm.attach_fake_media(docs, "doc_id", media_type="video", n_frames=7)
+    assert all(r["meta"]["n_frames"] == 7 for r in media.collect())
+
+
 def test_resize_media_updates_meta_and_keeps_schema(spark):
     from wikid_spark.operators.multimodal import (
         MEDIA_SCHEMA,

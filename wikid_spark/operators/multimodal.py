@@ -82,12 +82,17 @@ def attach_fake_media(
     n_frames=None,
 ) -> DataFrame:
     """Test fixture: deterministic fake payload + metadata per row
-    (sha256 of the id, repeated). ``n_frames`` (a Column, for the video
-    case) defaults to 1. Real pipelines read payloads from object
-    storage via ``spark.read.format('binaryFile')``."""
+    (sha256 of the id, repeated). ``n_frames`` (an int or a Column, for
+    the video case) defaults to 1. Real pipelines read payloads from
+    object storage via ``spark.read.format('binaryFile')``."""
     idc = F.col(id_col).cast("string")
     payload = F.sha2(idc, 256).cast("binary")
-    frames = F.lit(1) if n_frames is None else n_frames.cast("int")
+    if n_frames is None:
+        frames = F.lit(1)
+    elif isinstance(n_frames, int):
+        frames = F.lit(n_frames)
+    else:
+        frames = n_frames.cast("int")
     meta = F.struct(
         F.lit(media_type).alias("media_type"),
         F.lit("fake").alias("format"),
@@ -146,12 +151,13 @@ def decode_media(
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plumbing for video payloads: one output row per
     kept frame index, JVM-side (the payload column is repeated by
-    reference, not copied, until a decoder touches it)."""
-    idxs = F.sequence(
-        F.lit(0),
-        F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
-        F.lit(every_n),
-    )
+    reference, not copied, until a decoder touches it). Zero-frame
+    media (n_frames <= 0 or null) samples to no rows — range(0, n)
+    semantics, not a spurious frame 0."""
+    n = F.col("meta.n_frames")
+    idxs = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(every_n))
+    ).otherwise(F.array().cast("array<int>"))
     return media.select(
         "doc_id", "payload", "meta", F.explode(idxs).alias("frame_idx")
     )

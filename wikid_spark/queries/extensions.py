@@ -634,12 +634,19 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_RSD = 0.05  # approx_count_distinct relative standard deviation
+# Audit band = 3σ: a legitimate HLL estimate lands inside ±3·rsd with
+# ~99.7% probability, so the flag is stable across scale factors and
+# datasets (a 2σ band — the old hard-coded 10% — can legitimately flip).
+HLL_AUDIT_BAND = 3 * HLL_RSD
+
+
 @query(
     "q45_approx_distinct_audit",
     oracle="""
     SELECT event_type,
            COUNT(DISTINCT user_id) AS exact_distinct,
-           CAST(1 AS INT) AS hll_within_10pct
+           CAST(1 AS INT) AS hll_within_band
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -650,11 +657,12 @@ def q45_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HLL sketch surface (approx_count_distinct, rsd 0.05) made
     oracle-checkable by AUDITING instead of comparing estimates: Spark
     computes exact and approximate distinct counts side by side and
-    emits a within-10% flag; the oracle states the exact counts and
+    emits a within-band flag; the oracle states the exact counts and
     asserts the flag. DuckDB can't reproduce Spark's HLL register
     values — but it doesn't need to: HLL is deterministic for a given
-    input set, so the flag is stable, and a drift past 2× the
-    configured rsd fails the hash. Same audit pattern as
+    input set, so the flag is stable, and drift past 3× the configured
+    rsd (HLL_AUDIT_BAND — a 3σ bound, explicit in the contract rather
+    than a hard-coded 10%) fails the hash. Same audit pattern as
     sim_recall_report: the approximation's CONTRACT is the certified
     thing.
 
@@ -666,17 +674,17 @@ def q45_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             F.count_distinct("user_id").alias("exact_distinct"),
-            F.approx_count_distinct("user_id", rsd=0.05).alias("_hll"),
+            F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("_hll"),
         )
         .select(
             "event_type",
             "exact_distinct",
             (
                 F.abs(F.col("_hll") - F.col("exact_distinct"))
-                <= 0.1 * F.col("exact_distinct")
+                <= F.lit(HLL_AUDIT_BAND) * F.col("exact_distinct")
             )
             .cast("int")
-            .alias("hll_within_10pct"),
+            .alias("hll_within_band"),
         )
         .orderBy("event_type")
     )

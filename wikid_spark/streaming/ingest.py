@@ -156,18 +156,25 @@ def merge_upsert_batch_writer(
        ``_staging_batch_<id>/pk=*``, then write ``_STAGED``. A crash
        anywhere here leaves the live table unmodified; replay simply
        recomputes the stage (overwrite).
-    3. Promote: copy each staged bucket directory over its live
-       counterpart. Deterministic content → re-copying after a crash
-       mid-promotion converges to the same state (replay sees
-       ``_STAGED`` and resumes promotion WITHOUT recomputing from the
-       now partially-promoted live table, which would double-count).
+    3. Promote each staged bucket near-atomically: copy it to a
+       dot-prefixed temp dir inside ``target_dir`` (invisible to
+       partition discovery), then swap it in with two ``os.rename``
+       metadata ops (live → trash, temp → live). The only window in
+       which a reader can see the bucket absent is between the two
+       renames — microseconds, vs. the full rmtree+copytree it
+       replaced. Deterministic staged content → re-promoting after a
+       crash converges to the same state (replay sees ``_STAGED`` and
+       resumes promotion WITHOUT recomputing from the now
+       partially-promoted live table, which would double-count); a
+       crash between the renames leaves that bucket absent until the
+       batch replays, which re-runs promotion from staging.
     4. Write ``_merged_batch_<id>``, then clear staging.
 
     Single-writer protocol (one streaming query owns the target — the
-    same assumption Structured Streaming's own file sink makes);
-    readers during step 3 can see a bucket mid-swap. The promotion
-    uses driver-side directory ops — on HDFS/S3 this maps to
-    FileSystem.rename / multi-part copy next to the checkpoint."""
+    same assumption Structured Streaming's own file sink makes). The
+    promotion uses driver-side directory ops on a shared filesystem —
+    on HDFS/S3 this maps to FileSystem.rename / multi-part copy next
+    to the checkpoint."""
     import os
     import shutil
 
@@ -185,9 +192,18 @@ def merge_upsert_batch_writer(
             if not child.startswith("pk="):
                 continue
             live = os.path.join(target_dir, child)
+            tmp = os.path.join(target_dir, f"._promote_{batch_id}_{child}")
+            trash = os.path.join(target_dir, f"._old_{batch_id}_{child}")
+            # Idempotent under replay: clear any partial temp/trash first.
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            if os.path.exists(trash):
+                shutil.rmtree(trash)
+            shutil.copytree(os.path.join(staging, child), tmp)
             if os.path.exists(live):
-                shutil.rmtree(live)
-            shutil.copytree(os.path.join(staging, child), live)
+                os.rename(live, trash)
+            os.rename(tmp, live)
+            shutil.rmtree(trash, ignore_errors=True)
         open(done, "w").close()
         shutil.rmtree(staging, ignore_errors=True)
 
