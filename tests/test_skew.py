@@ -33,6 +33,31 @@ def test_salted_left_join_keeps_unmatched(spark):
     assert got == want
 
 
+def test_content_salt_retry_stable_and_spreads(spark):
+    """The salt is a pure function of row content: two independent
+    evaluations assign byte-identical salts (a retried task re-salts
+    the same way), and a hot key still spreads across salts."""
+    from wikid_spark.operators.skew import content_salt
+
+    orders = table(spark, SF, "orders")
+    big = orders.select(F.col("o_custkey").alias("c_custkey"), "o_orderkey")
+    run1 = _sorted(big.withColumn("_salt", content_salt(big, 4)))
+    run2 = _sorted(big.withColumn("_salt", content_salt(big, 4)))
+    assert run1 == run2
+    # Hot key (every row shares c_custkey=1) spreads over all 4 salts
+    # because o_orderkey varies.
+    hot = spark.createDataFrame(
+        [(1, i) for i in range(64)], "c_custkey int, o_orderkey int"
+    )
+    n_salts = (
+        hot.withColumn("_salt", content_salt(hot, 4))
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts == 4
+
+
 def test_salted_count_distinct_exact(spark):
     events = table(spark, SF, "events")
     plain = _sorted(

@@ -301,6 +301,32 @@ def test_alias_priors_sum_to_one(stage1, pages):
     assert probs[("NYC", "Q60")] == 1.0
 
 
+def test_article_keeper_deterministic(spark):
+    """Two pages mapping to one entity (via alias names): the keeper is
+    the lowest article_id, independent of input row order — a stable
+    analog of the reference's first-writer-wins scan order
+    (wikipedia.py INSERT-then-skip), where dropDuplicates would be
+    plan-dependent."""
+    from wikid_spark.plans.wiki import wikipedia_articles
+
+    entities = spark.createDataFrame(
+        [("NYC", "Q60"), ("New York City", "Q60"), ("Paris", "Q90")],
+        "name string, entity_id string",
+    )
+    rows = [
+        (7, "New York City", "New York City is a city."),
+        (3, "NYC", "NYC is an abbreviation."),
+        (5, "Paris", "Paris is a city."),
+    ]
+    for perm in (rows, rows[::-1]):
+        pages = spark.createDataFrame(
+            perm, "article_id long, title string, raw_text string"
+        )
+        out = wikipedia_articles(pages, entities, skip_terms=[])
+        got = {r["entity_id"]: r["article_id"] for r in out.collect()}
+        assert got == {"Q60": 3, "Q90": 5}
+
+
 def test_load_skip_terms_yaml(tmp_path):
     """S3: per-language YAML skip-term loading (wikipedia.py:317-320)."""
     from wikid_spark.sources.config import load_filter_terms, load_skip_terms

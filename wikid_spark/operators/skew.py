@@ -26,6 +26,18 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+def content_salt(df: DataFrame, n_salt: int) -> F.Column:
+    """Salt in ``[0, n_salt)`` hashed from the FULL row content —
+    deterministic, so a retried task re-salts identically
+    (bit-reproducible partitioned output), unlike
+    monotonically_increasing_id which re-numbers on retry. Hashing only
+    the join key would be useless (one salt per hot key); full-row
+    content spreads a hot key across salts as long as any other column
+    varies, and identical duplicate rows co-locating is
+    correctness-neutral."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt))
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -37,9 +49,7 @@ def salted_join(
     keys spread over ``n_salt`` sub-keys. Result equals
     ``big.join(small, key, how)`` for how ∈ {inner, left}."""
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("_salt")
-    big_s = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt))
-    )
+    big_s = big.withColumn("_salt", content_salt(big, n_salt))
     small_s = small.select("*", salts)
     return big_s.join(small_s, [key, "_salt"], how).drop("_salt")
 

@@ -277,16 +277,26 @@ def wikipedia_articles(
     )
     stripped = annotate(cleaned, "ctext")
     titles = entity_texts.select("name", "entity_id")
+    joined = stripped.join(
+        F.broadcast(titles), stripped["title"] == titles["name"]
+    ).select(
+        "entity_id",
+        "article_id",
+        "title",
+        truncate_on_word(F.col("clean_text"), n_char_limit).alias("content"),
+        "annotations",
+    )
+    # Deterministic one-article-per-entity keeper: lowest article_id
+    # wins. The reference keeps whichever page its single-threaded scan
+    # hit first (wikipedia.py INSERT-then-skip) — arbitrary but stable
+    # per run; dropDuplicates would be plan-dependent (nondeterministic
+    # across runs/partitionings). Same cost class: one shuffle on
+    # entity_id either way.
+    keeper = Window.partitionBy("entity_id").orderBy("article_id")
     return (
-        stripped.join(F.broadcast(titles), stripped["title"] == titles["name"])
-        .select(
-            "entity_id",
-            "article_id",
-            "title",
-            truncate_on_word(F.col("clean_text"), n_char_limit).alias("content"),
-            "annotations",
-        )
-        .dropDuplicates(["entity_id"])
+        joined.withColumn("_rn", F.row_number().over(keeper))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 
