@@ -43,8 +43,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Dispatch on what the reader produced: the driver's files are
+        # TIMESTAMP(NANOS) → raw int64 under nanosAsLong, converted with
+        # integer arithmetic; scaled-up datasets (tools/gen_sf.py) carry
+        # micros → TIMESTAMP_NTZ, which under the UTC session tz casts
+        # to the identical wall-clock timestamp.
+        if isinstance(df.schema["ts"].dataType, LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

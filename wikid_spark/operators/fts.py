@@ -17,17 +17,66 @@ B-tree gives the reference on one node.
 
 from __future__ import annotations
 
+import unicodedata
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 TOKEN_SPLIT = r"\W+"
 
 
-def tokenize(col: Column | str) -> Column:
-    """Lowercased word tokens (FTS5 'unicode61'-ish: split on
-    non-alphanumerics, drop empties)."""
+def _build_fold_table() -> dict[int, str]:
+    """Latin codepoint → ASCII base letter, computed as NFD
+    decomposition + strip-combining-marks — the same diacritic removal
+    FTS5's default unicode61 tokenizer applies (remove_diacritics=1,
+    /root/reference/scripts/wiki/ddl.sql:24-33 relies on it for MATCH).
+    Covers Latin-1 Supplement through Latin Extended-B; characters with
+    no canonical decomposition (ø, đ, ß…) are left alone, exactly like
+    NFD-stripping would."""
+    out: dict[int, str] = {}
+    for cp in range(0x00C0, 0x0250):
+        ch = chr(cp)
+        nfd = unicodedata.normalize("NFD", ch)
+        base, marks = nfd[0], nfd[1:]
+        if (
+            len(nfd) > 1
+            and base.isascii()
+            and base.isalpha()
+            and all(unicodedata.category(m) == "Mn" for m in marks)
+        ):
+            out[cp] = base
+    return out
+
+
+_FOLD = _build_fold_table()
+_FOLD_SRC = "".join(chr(cp) for cp in sorted(_FOLD))
+_FOLD_DST = "".join(_FOLD[cp] for cp in sorted(_FOLD))
+
+
+def fold_diacritics(col: Column | str) -> Column:
+    """Strip diacritics from Latin text, JVM-side: one ``translate``
+    over a precomputed NFD-derived table — no UDF, stays inside
+    whole-stage codegen."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(c), TOKEN_SPLIT), lambda t: t != "")
+    return F.translate(c, _FOLD_SRC, _FOLD_DST)
+
+
+def fold_term(term: str) -> str:
+    """Driver-side twin of :func:`fold_diacritics` for query terms, so
+    a search for "Zürich" matches documents tokenized as "zurich"."""
+    return term.lower().translate(_FOLD)
+
+
+def tokenize(col: Column | str) -> Column:
+    """Lowercased, diacritic-folded word tokens (FTS5 unicode61 with
+    its default remove_diacritics=1: case-fold, strip accents, split on
+    non-alphanumerics, drop empties). Folding BEFORE the split also
+    keeps accented words whole — Java's ``\\W`` is ASCII-only, so an
+    unfolded "zürich" would split into "z" + "rich"."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(fold_diacritics(F.lower(c)), TOKEN_SPLIT), lambda t: t != ""
+    )
 
 
 def build_inverted_index(
@@ -50,7 +99,7 @@ def search_all(index: DataFrame, terms: list[str]) -> DataFrame:
     filtered scan of the postings + one aggregation — the filter on
     ``term`` prunes partitions when the index is stored partitioned by
     term."""
-    t = [s.lower() for s in terms]
+    t = [fold_term(s) for s in terms]
     return (
         index.filter(F.col("term").isin(t))
         .groupBy("doc")
@@ -65,7 +114,7 @@ def search_any(index: DataFrame, terms: list[str]) -> DataFrame:
     docs containing AT LEAST ONE query term, with how many distinct
     query terms matched. Same single filtered scan + aggregation as
     ``search_all`` — only the HAVING threshold differs."""
-    t = [s.lower() for s in terms]
+    t = [fold_term(s) for s in terms]
     return (
         index.filter(F.col("term").isin(t))
         .groupBy("doc")
@@ -84,7 +133,7 @@ def search_not(
     exclude terms)."""
     neg = (
         index.filter(
-            F.col("term").isin([s.lower() for s in exclude])
+            F.col("term").isin([fold_term(s) for s in exclude])
         )
         .select("doc")
         .distinct()
@@ -99,7 +148,7 @@ def search_prefix(index: DataFrame, prefix: str) -> DataFrame:
     predicate, so on a term-sorted/partitioned postings store it prunes
     via column min/max statistics exactly like FTS5's term B-tree range
     scan does on one node."""
-    p = prefix.lower()
+    p = fold_term(prefix)
     return (
         index.filter(F.col("term").startswith(p))
         .groupBy("doc")
@@ -118,7 +167,7 @@ def phrase_search(index: DataFrame, terms: list[str]) -> DataFrame:
     chained equi-joins on ``(doc, pos + offset)``. Each side is tiny
     after the term filter — at 100 TB these are broadcast-able
     per-term posting lists, never a corpus-wide shuffle."""
-    t = [s.lower() for s in terms]
+    t = [fold_term(s) for s in terms]
     if not t:
         raise ValueError("phrase_search needs at least one term")
     out = (
@@ -154,7 +203,7 @@ def bm25(
     aggregate — no driver actions, so the whole ranking is one job and
     composes lazily with whatever the caller does next.
     """
-    t = [s.lower() for s in terms]
+    t = [fold_term(s) for s in terms]
     corpus = (
         index.select("doc", "doc_len")
         .distinct()
@@ -205,13 +254,15 @@ def bm25_from_docs(
     matching docs; non-matching docs contribute no postings for the
     query terms either way).
     """
-    t = [s.lower() for s in terms]
+    t = [fold_term(s) for s in terms]
     toks = tokenize(text_col)
     corpus = docs.select(F.size(toks).alias("_dl")).agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("_dl").alias("avgdl"),
     )
-    lower = F.lower(F.col(text_col))
+    # Fold the text in the prefilter too, or an accented "Zürich" doc
+    # would never reach the explode for the folded query term "zurich".
+    lower = fold_diacritics(F.lower(F.col(text_col)))
     candidates = docs.filter(
         F.greatest(*[F.contains(lower, F.lit(s)) for s in t])
     )

@@ -145,6 +145,41 @@ def fts_search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fts_search_folded",
+    oracle="""
+    WITH acc AS (
+      SELECT doc_id, translate(text, 'aeu', 'áëü') AS text FROM documents
+    ), postings AS (
+      SELECT doc_id AS doc, t.term
+      FROM acc,
+           unnest(list_filter(
+             string_split_regex(strip_accents(lower(text)), '\\W+'),
+             x -> x <> '')) AS t(term)
+    )
+    SELECT doc
+    FROM postings
+    WHERE term IN ('spark', 'vector')
+    GROUP BY doc
+    HAVING COUNT(DISTINCT term) = 2
+    ORDER BY doc
+    """,
+    tags=("fts",),
+)
+def fts_search_folded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode61 diacritic folding (FTS5 default remove_diacritics=1):
+    an ACCENTED corpus (every a/e/u → á/ë/ü) searched with ACCENTED
+    query terms still matches — tokenizer and query terms both
+    NFD-fold, mirroring SQLite's behavior where "Zürich" and "Zurich"
+    hit the same index entry. Oracle folds with DuckDB's strip_accents,
+    independently implemented from our translate table."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.translate("text", "aeu", "áëü").alias("text")
+    )
+    idx = build_inverted_index(docs, "doc_id", "text")
+    return search_all(idx, ["SPÁRK", "vëctor"]).orderBy("doc")
+
+
+@query(
     "fts_phrase",
     oracle="""
     WITH toks AS (
