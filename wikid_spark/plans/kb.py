@@ -92,6 +92,38 @@ def spacy_encoder(
     return enc
 
 
+def hashed_bow_encoder(
+    dim: int = 64,
+) -> Callable[[list[str]], list[list[float]]]:
+    """U3 vendored real encoder: hashed bag-of-words ("hashing trick",
+    Weinberger et al. 2009) with L2 normalization. A genuine
+    content-dependent embedding — tokens hash to buckets with a
+    hash-derived sign, so similar texts get high cosine and disjoint
+    texts get near-zero — with zero external dependencies, so the
+    real-encoder seam (reference create_kb.py:46-56) is exercised in
+    every environment, not only where spaCy + a model are installed.
+
+    Deterministic: hashing uses zlib.crc32, stable across processes and
+    Python versions (unlike builtin hash())."""
+    import re
+    import zlib
+
+    token_re = re.compile(r"[a-z0-9]+")
+
+    def enc(texts: list[str]) -> list[list[float]]:
+        out = []
+        for t in texts:
+            vec = [0.0] * dim
+            for tok in token_re.findall((t or "").lower()):
+                h = zlib.crc32(tok.encode())
+                vec[h % dim] += 1.0 if (h >> 31) & 1 == 0 else -1.0
+            norm = sum(x * x for x in vec) ** 0.5
+            out.append([x / norm for x in vec] if norm else vec)
+        return out
+
+    return enc
+
+
 def embed_descriptions(
     profiles: DataFrame,
     encoder: Callable[[list[str]], list[list[float]]] | None = None,
