@@ -62,8 +62,13 @@ def test_encoder_seam_real_model(profiles):
     vendored hashed bag-of-words encoder — either way the real path
     runs, no environment skips."""
     try:
+        # Probe availability with a THROWAWAY encoder, then hand
+        # embed_descriptions a fresh one whose cache is still empty —
+        # the kb module pickles by value, so a pre-loaded cache would
+        # ship the whole spaCy pipeline to executors and defeat the
+        # lazy per-executor load design.
+        kb.spacy_encoder("en_core_web_sm")(["probe"])
         enc = kb.spacy_encoder("en_core_web_sm")
-        enc(["probe"])  # force the lazy model load now
     except (ImportError, OSError):
         enc = kb.hashed_bow_encoder(dim=64)
     ds = kb.embed_descriptions(

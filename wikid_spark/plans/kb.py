@@ -93,7 +93,7 @@ def spacy_encoder(
 
 
 def hashed_bow_encoder(
-    dim: int = 64,
+    dim: int = EMBED_DIM,
 ) -> Callable[[list[str]], list[list[float]]]:
     """U3 vendored real encoder: hashed bag-of-words ("hashing trick",
     Weinberger et al. 2009) with L2 normalization. A genuine
@@ -108,7 +108,9 @@ def hashed_bow_encoder(
     import re
     import zlib
 
-    token_re = re.compile(r"[a-z0-9]+")
+    # \w is Unicode-aware in Python 3, so non-Latin scripts tokenize to
+    # real tokens instead of embedding to the all-zero vector.
+    token_re = re.compile(r"\w+")
 
     def enc(texts: list[str]) -> list[list[float]]:
         out = []
