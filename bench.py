@@ -62,6 +62,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
 
+    # --full: regression-track the ENTIRE registry (not just headline).
+    # Same one-JSON-line contract; the driver's default invocation
+    # (no args) is unchanged.
+    names = sorted(specs) if "--full" in sys.argv[1:] else HEADLINE
+
     # Warmup: JVM + codegen + parquet footer reads, not billed below.
     specs["q01_scan_filter_project"].fn(spark, sf_dir).write.mode("overwrite").format(
         "noop"
@@ -82,7 +87,7 @@ def main() -> None:
     # execution comparison for the declarative majority.
     timings: dict[str, float] = {}
     all_builds: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         t0 = time.perf_counter()
         df = specs[name].fn(spark, sf_dir)
         all_builds[name] = time.perf_counter() - t0
@@ -101,7 +106,11 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_wall_seconds",
+                "metric": (
+                    "full_registry_wall_seconds"
+                    if "--full" in sys.argv[1:]
+                    else "headline_queries_wall_seconds"
+                ),
                 "value": exec_total,
                 "unit": "sec",
                 "exec_total": exec_total,

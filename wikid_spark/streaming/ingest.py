@@ -138,8 +138,76 @@ def _merged_affected_state(
     )
 
 
+LEASE_FILE = "_WRITER_LEASE"
+DEFAULT_LEASE_SECONDS = 300.0
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second live writer attempted to own the keyed-merge target."""
+
+
+def _acquire_or_renew_lease(
+    target_dir: str, writer_id: str, lease_seconds: float
+) -> None:
+    """Single-writer lease on the merge target: a lock file holding the
+    writer id, heartbeat-renewed (mtime) on every batch. A DIFFERENT
+    writer may take over only when the heartbeat is older than
+    ``lease_seconds`` (holder crashed); a live holder makes the intruder
+    raise instead of interleaving promotions. Local-fs ops here
+    (O_EXCL create, rename) map to conditional-put / rename-if-absent
+    on HDFS or an S3-consistency layer in a cluster deployment."""
+    import os
+    import time
+
+    os.makedirs(target_dir, exist_ok=True)
+    path = os.path.join(target_dir, LEASE_FILE)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, writer_id.encode())
+        os.close(fd)
+        return
+    except FileExistsError:
+        pass
+    with open(path) as f:
+        holder = f.read().strip()
+    if holder == writer_id:
+        os.utime(path)  # heartbeat
+        return
+    age = time.time() - os.path.getmtime(path)
+    if age <= lease_seconds:
+        raise ConcurrentWriterError(
+            f"merge target {target_dir!r} is owned by live writer "
+            f"{holder!r} (heartbeat {age:.0f}s ago, lease "
+            f"{lease_seconds:.0f}s); refusing to interleave promotions"
+        )
+    tmp = f"{path}.takeover.{writer_id}"
+    with open(tmp, "w") as f:
+        f.write(writer_id)
+    os.rename(tmp, path)  # atomic takeover of a stale lease
+
+
+def _assert_lease_held(target_dir: str, writer_id: str) -> None:
+    import os
+
+    path = os.path.join(target_dir, LEASE_FILE)
+    try:
+        with open(path) as f:
+            holder = f.read().strip()
+    except FileNotFoundError:
+        holder = "<missing>"
+    if holder != writer_id:
+        raise ConcurrentWriterError(
+            f"lost merge-target lease on {target_dir!r} to {holder!r} "
+            "before promotion; aborting to avoid double-applying staged "
+            "buckets over another writer's output"
+        )
+
+
 def merge_upsert_batch_writer(
-    spark: SparkSession, target_dir: str
+    spark: SparkSession,
+    target_dir: str,
+    writer_id: str | None = None,
+    lease_seconds: float = DEFAULT_LEASE_SECONDS,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch hook applying the keyed merge per micro-batch,
     idempotent under at-least-once replay INCLUDING a crash at any
@@ -170,15 +238,24 @@ def merge_upsert_batch_writer(
        batch replays, which re-runs promotion from staging.
     4. Write ``_merged_batch_<id>``, then clear staging.
 
-    Single-writer protocol (one streaming query owns the target — the
-    same assumption Structured Streaming's own file sink makes). The
-    promotion uses driver-side directory ops on a shared filesystem —
-    on HDFS/S3 this maps to FileSystem.rename / multi-part copy next
-    to the checkpoint."""
+    Single-writer protocol, now ENFORCED by a heartbeat lease
+    (``_WRITER_LEASE``): each batch acquires/renews the lease before
+    touching the table and re-asserts ownership between staging and
+    promotion, so a second live writer raises ``ConcurrentWriterError``
+    instead of interleaving bucket promotions; a crashed writer's lease
+    expires after ``lease_seconds`` and a successor takes over (its
+    replayed batch resumes from the ``_STAGED`` state exactly as a
+    same-writer restart would). The promotion uses driver-side
+    directory ops on a shared filesystem — on HDFS/S3 this maps to
+    FileSystem.rename / multi-part copy next to the checkpoint."""
     import os
     import shutil
+    import socket
+
+    wid = writer_id or f"{socket.gethostname()}-{os.getpid()}"
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
+        _acquire_or_renew_lease(target_dir, wid, lease_seconds)
         done = os.path.join(target_dir, f"_merged_batch_{batch_id}")
         if os.path.exists(done):
             return
@@ -188,6 +265,7 @@ def merge_upsert_batch_writer(
             merged = _merged_affected_state(spark, target_dir, batch)
             merged.write.mode("overwrite").partitionBy("pk").parquet(staging)
             open(staged_ok, "w").close()
+        _assert_lease_held(target_dir, wid)
         for child in os.listdir(staging):
             if not child.startswith("pk="):
                 continue
