@@ -204,15 +204,17 @@ def connected_components_converged(
     known up front (the dedup-cluster case — a chain of pairwise
     near-dups can be arbitrarily long). Each round is the same one
     join + one min-agg as ``connected_components``; the convergence
-    probe is a changed-labels existence check (join + filter +
-    ``isEmpty`` — a LocalLimit(1) scan, not a count) against the
-    previous round's labels. Between checkpoints the probe re-executes
-    up to ``checkpoint_every - 1`` rounds of lineage; checkpointing
-    every round instead measured 3x SLOWER at sf0.1 (each eager
-    localCheckpoint is an extra materializing action, and per-round
-    label deltas are small), so the recompute is the cheaper side of
-    the trade at realistic cluster sizes too — tune ``checkpoint_every``
-    upward only if the probe's recompute dominates.
+    probe runs ONLY at checkpoint boundaries, comparing the fresh
+    checkpoint against the previous one. Labels are monotonically
+    non-increasing per node, so equality across a ``checkpoint_every``-
+    round window proves every intervening round was a no-op — the probe
+    is a join of two MATERIALIZED datasets (no lineage replay), and
+    between boundaries the loop launches no Spark action at all.
+    (The earlier per-round ``isEmpty`` probe replayed up to
+    ``checkpoint_every - 1`` rounds of lineage per round — measured
+    ~2x the loop wall-time at sf0.1.) Detection lags convergence by at
+    most ``checkpoint_every - 1`` rounds; those extra rounds are
+    near-empty shuffles on an already-stable label set.
 
     Rounds to converge = component radius, not diameter (labels race
     from the minimum-id node outward), and is O(log n) with path
@@ -228,25 +230,26 @@ def connected_components_converged(
     labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(
         eager=True
     )
+    prev_ck = labels
     for i in range(max_iters):
         neighbor_min = (
             edges.join(labels.select(F.col("id").alias("src"), "label"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr"))
         )
-        new_labels = labels.join(neighbor_min, "id", "left").select(
+        labels = labels.join(neighbor_min, "id", "left").select(
             "id", F.least("label", F.coalesce("nbr", "label")).alias("label")
         )
-        new_labels = _maybe_checkpoint(new_labels, i, checkpoint_every)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-        )
-        done = changed.isEmpty()
-        labels = new_labels
-        if done:
-            return labels
+        if (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+            changed = (
+                labels.alias("n")
+                .join(prev_ck.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+            )
+            if changed.isEmpty():
+                return labels
+            prev_ck = labels
     raise RuntimeError(
         f"connected_components_converged: no fixpoint within {max_iters} "
         "iterations — labels would be silently wrong (a component of "
