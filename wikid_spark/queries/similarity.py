@@ -162,10 +162,15 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = emb.withColumn("qemb", quantize_embedding(F.col("embedding"))).select(
         "vec_id", "embedding", _bucket_expr(F.col("qemb")).cast("long").alias("bucket")
     )
-    q = bucketed.filter(F.col("vec_id") % 50 == 0).select(
+    # Query side: FILTER the scan before bucketing, so the (broadcast)
+    # side computes bucket ids for the 1/50 sample only — not a second
+    # full-corpus bucket pass that is then thrown away.
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
-        F.col("bucket").alias("qbucket"),
+        _bucket_expr(quantize_embedding(F.col("embedding")))
+        .cast("long")
+        .alias("qbucket"),
     )
     cands = (
         bucketed.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
@@ -745,11 +750,18 @@ def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_bkts", buckets_arr)
         .select("vec_id", "embedding", F.posexplode("_bkts").alias("t", "bucket"))
     )
-    q = bucketed.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("t").alias("qt"),
-        F.col("bucket").alias("qbucket"),
+    # Same query-side pruning as sim_lsh_ann_topk: bucket the 1/50
+    # sample directly instead of re-running the corpus bucket pass on
+    # the broadcast side.
+    q = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .withColumn("qemb", quantize_embedding(F.col("embedding")))
+        .withColumn("_bkts", buckets_arr)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.posexplode("_bkts").alias("qt", "qbucket"),
+        )
     )
     cands = (
         bucketed.join(
