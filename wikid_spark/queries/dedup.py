@@ -228,6 +228,29 @@ def nd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, sig): LSH band signatures — band j's sig is md5
+    over its BAND_R consecutive signature mins, all derived from the
+    one-row-per-doc signature in a single pass."""
+    sig = _signature_row(spark, sf_dir)
+    n_bands = N_PERM // BAND_R
+    band_sigs = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"m{j * BAND_R + r}").cast("string")
+                        for r in range(BAND_R)
+                    ],
+                ).cast("binary")
+            )
+            for j in range(n_bands)
+        ]
+    )
+    return sig.select("doc_id", F.posexplode(band_sigs).alias("band", "sig"))
+
+
 @query(
     "nd_minhash_lsh_candidates",
     oracle=f"""
@@ -260,25 +283,7 @@ def nd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Band signatures are derived directly from the one-row-per-doc
     signature (no collect_list, no second shuffle): band j's sig is
     md5 over its BAND_R consecutive mins."""
-    sig = _signature_row(spark, sf_dir)
-    n_bands = N_PERM // BAND_R
-    band_sigs = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"m{j * BAND_R + r}").cast("string")
-                        for r in range(BAND_R)
-                    ],
-                ).cast("binary")
-            )
-            for j in range(n_bands)
-        ]
-    )
-    bands = sig.select(
-        "doc_id", F.posexplode(band_sigs).alias("band", "sig")
-    )
+    bands = _band_table(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -753,3 +758,135 @@ def nd_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster"),
         (F.col("label") == F.col("id")).cast("int").alias("keep"),
     ).orderBy("doc_id")
+
+
+@query(
+    "nd_incremental_dedup",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh
+      FROM documents
+    ), su AS (
+      SELECT doc_id, unnest(sh) AS sh FROM s
+    ), h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 15))::BIGINT % 1073741824 AS h
+      FROM su
+    ), mh AS (
+      SELECT doc_id, i AS perm,
+             MIN((h * (2*i + 1) + (12345*i + 67890)) % {PERM_P}) AS minhash
+      FROM h, range({N_PERM}) t(i)
+      GROUP BY doc_id, i
+    ), bands AS (
+      SELECT doc_id, perm // {BAND_R} AS band,
+             md5(string_agg(minhash::VARCHAR, '|' ORDER BY perm)) AS sig
+      FROM mh GROUP BY doc_id, perm // {BAND_R}
+    ), cand AS (
+      SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS old_id
+      FROM bands nb JOIN bands cb ON nb.band = cb.band AND nb.sig = cb.sig
+      WHERE nb.doc_id % 10 = 0 AND cb.doc_id % 10 <> 0
+    ), ver AS (
+      SELECT c.new_id, c.old_id,
+             len(list_intersect(x.sh, y.sh))::DOUBLE
+               / len(list_distinct(list_concat(x.sh, y.sh))) AS j
+      FROM cand c
+      JOIN s x ON x.doc_id = c.new_id
+      JOIN s y ON y.doc_id = c.old_id
+      WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+            / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.2
+    ), best AS (
+      SELECT new_id, MIN(old_id) AS dup_of FROM ver GROUP BY new_id
+    ), bj AS (
+      SELECT b.new_id, b.dup_of, ROUND(v.j, 4) AS jaccard
+      FROM best b JOIN ver v ON v.new_id = b.new_id AND v.old_id = b.dup_of
+    )
+    SELECT d.doc_id, bj.dup_of, bj.jaccard,
+           CASE WHEN bj.dup_of IS NULL THEN 'keep' ELSE 'drop' END AS verdict
+    FROM documents d LEFT JOIN bj ON bj.new_id = d.doc_id
+    WHERE d.doc_id % 10 = 0
+    ORDER BY d.doc_id
+    """,
+    tags=("dedup", "minhash", "lsh", "incremental"),
+)
+def nd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the nightly-ingest shape every corpus
+    pipeline runs after the initial backfill: a (small) batch of new
+    documents is checked against the (huge) existing corpus, and each
+    new doc gets a keep/drop verdict; corpus docs are never re-deduped
+    against each other. Here "new" is the deterministic 1/10 sample
+    (doc_id % 10 = 0), standing in for tonight's arrivals.
+
+    Asymmetric by design, which is what makes it scale: band signatures
+    for the BATCH side broadcast into an equi-join against the corpus
+    band table — the corpus is touched by one signature pass + one
+    probe, never a self-join, so cost is |corpus| + |batch| × bucket
+    occupancy rather than the full-dedup pair space. Verification
+    (exact Jaccard ≥ 0.2) runs only on the LSH candidates, and the
+    verdict keeps the MINIMUM matching corpus doc_id (deterministic
+    dup_of attribution). In production the corpus band table is the
+    persisted LSH index (cf. the FTS index build) — the nightly job
+    computes batch signatures only; this query recomputes both sides
+    because the synthetic tables are ephemeral.
+
+    Output: one row per batch doc — (doc_id, dup_of, jaccard, verdict);
+    dup_of/jaccard NULL + 'keep' when no verified near-dup exists."""
+    is_new = F.col("doc_id") % 10 == 0
+    bands = _band_table(spark, sf_dir)
+    nb = bands.filter(is_new).select(
+        F.col("doc_id").alias("new_id"), "band", "sig"
+    )
+    cb = bands.filter(~is_new).select(
+        F.col("doc_id").alias("old_id"), "band", "sig"
+    )
+    cand = (
+        cb.join(F.broadcast(nb), ["band", "sig"])
+        .select("new_id", "old_id")
+        .dropDuplicates()
+    )
+    # exact-Jaccard verify on candidates only (same funnel as
+    # nd_lsh_verified_pairs: broadcast the tiny pair set into the
+    # shingle probe, semi-filter the other side)
+    sh = shingle_table(spark, sf_dir).select(
+        "doc_id", F.xxhash64("sh").alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    new_sh = sh.select(F.col("doc_id").alias("new_id"), "sh").join(
+        F.broadcast(cand), "new_id"
+    )
+    old_docs = cand.select(F.col("old_id").alias("doc_id")).distinct()
+    old_sh = sh.join(F.broadcast(old_docs), "doc_id", "left_semi")
+    inter = (
+        new_sh.join(
+            old_sh.select(F.col("doc_id").alias("old_id"), "sh"),
+            ["old_id", "sh"],
+        )
+        .groupBy("new_id", "old_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sz_n = sizes.select(F.col("doc_id").alias("new_id"), F.col("n_sh").alias("n_a"))
+    sz_o = sizes.select(F.col("doc_id").alias("old_id"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    ver = (
+        inter.join(sz_n, "new_id")
+        .join(sz_o, "old_id")
+        .filter(jac >= 0.2)
+        .select("new_id", "old_id", jac.alias("j"))
+    )
+    best = ver.groupBy("new_id").agg(F.min("old_id").alias("dup_of"))
+    bj = best.join(
+        ver,
+        (best["new_id"] == ver["new_id"]) & (best["dup_of"] == ver["old_id"]),
+    ).select(best["new_id"], "dup_of", F.round("j", 4).alias("jaccard"))
+    batch = table(spark, sf_dir, "documents").filter(is_new).select("doc_id")
+    return (
+        batch.join(bj, batch["doc_id"] == bj["new_id"], "left")
+        .select(
+            "doc_id",
+            "dup_of",
+            "jaccard",
+            F.when(F.col("dup_of").isNull(), "keep")
+            .otherwise("drop")
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )

@@ -17,6 +17,7 @@ from wikid_spark.functions.vectors import cosine_similarity
 from wikid_spark.registry import query
 
 N_PLANES = 8  # 2^8 = 256 buckets
+N_TABLES = 3  # OR'd LSH hash tables (recall ∝ 1-(1-p^planes)^tables)
 # w(p, d) = ((17p + 31d) mod 7) - 3 ∈ [-3, 3]: a fixed pseudo-random
 # projection matrix both engines can compute with integer arithmetic.
 
@@ -530,8 +531,34 @@ def sim_ivf_ann_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM probes p JOIN assigned a ON a.cent_id = p.pcell
               WHERE a.vec_id <> p.query_id))
       WHERE rn <= 3
+    ), mplanes AS (
+      SELECT vec_id, t, p,
+             SUM(x * (((17 * p + (31 + t) * d) % 7) - 3)) AS dot_p
+      FROM dims, range({N_PLANES}) u(p), range({N_TABLES}) v(t)
+      GROUP BY vec_id, t, p
+    ), mbuckets AS (
+      SELECT vec_id, t,
+             CAST(SUM(CASE WHEN dot_p >= 0 THEN POWER(2, p)::BIGINT ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM mplanes GROUP BY vec_id, t
+    ), mq AS (
+      SELECT b.vec_id AS query_id, e.embedding AS qe, b.t, b.bucket
+      FROM mbuckets b JOIN embeddings e ON e.vec_id = b.vec_id
+      WHERE b.vec_id % 50 = 0
+    ), mt3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rn
+        FROM (SELECT DISTINCT mq.query_id, e.vec_id AS neighbor_id,
+                     ROUND(list_cosine_similarity(e.embedding::DOUBLE[], mq.qe::DOUBLE[]), 4) AS sim
+              FROM mq JOIN mbuckets b ON b.t = mq.t AND b.bucket = mq.bucket
+              JOIN embeddings e ON e.vec_id = b.vec_id
+              WHERE e.vec_id <> mq.query_id))
+      WHERE rn <= 3
     ), methods AS (
       SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh3
+      UNION ALL SELECT 'lsh_multitable', query_id, neighbor_id FROM mt3
       UNION ALL SELECT 'ivf_nprobe1', query_id, neighbor_id FROM ivf1
       UNION ALL SELECT 'ivf_nprobe2', query_id, neighbor_id FROM ivf2
     ), hits AS (
@@ -561,6 +588,7 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     methods = None
     for name, fn in (
         ("lsh", sim_lsh_ann_topk),
+        ("lsh_multitable", sim_lsh_multitable_topk),
         ("ivf_nprobe1", sim_ivf_ann_topk),
         ("ivf_nprobe2", sim_ivf_ann_topk_nprobe2),
     ):
@@ -655,9 +683,6 @@ def sim_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
-
-
-N_TABLES = 3  # OR'd LSH hash tables (recall ∝ 1-(1-p^planes)^tables)
 
 
 def _bucket_expr_t(qemb_col, t: int):
