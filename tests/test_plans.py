@@ -172,3 +172,13 @@ def test_q43_unpivot_is_single_pass_expand(spark):
     # one scan of lineitem, not one per measure (formatted explain
     # details each scan once as "Location: ...")
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_incremental_dedup_broadcasts_batch_side(spark):
+    """nd_incremental_dedup's scale contract: the batch band table and
+    the candidate pair set BROADCAST into the corpus probes — the
+    corpus-sized sides never shuffle on the probe keys."""
+    plan = _plan(spark, "nd_incremental_dedup")
+    # batch-bands x corpus-bands probe, candidate x shingle probe, and
+    # the old-docs semi filter all broadcast
+    assert plan.count("BroadcastHashJoin") >= 3
