@@ -80,6 +80,16 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_every: int | None = None,
 ) -> DataFrame:
+    ranks, _nodes = pagerank_with_nodes(edges, iters, damping, checkpoint_every)
+    return ranks
+
+
+def pagerank_with_nodes(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
     """Synchronous PageRank for a FIXED number of iterations:
     r_{k+1}(v) = (1-d)/N + d·Σ_{u→v} r_k(u)/outdeg(u).
 
@@ -96,6 +106,12 @@ def pagerank(
     pass ``checkpoint_every`` (e.g. 3) to cut lineage periodically —
     the registered 3-iter oracle queries leave it off so the whole
     computation stays one deterministic Catalyst DAG.
+
+    Returns ``(ranks, nodes)`` — ``nodes`` is the MATERIALIZED
+    (localCheckpointed) node set, so callers needing |V| or a node
+    list reuse the checkpoint instead of replaying the edge-derivation
+    subtree (a full source re-scan, measured ~0.9 s at sf0.1 in
+    graph_pagerank's output scaling).
     """
     # Iteration-invariant inputs materialize ONCE (eager localCheckpoint)
     # and feed every unrolled round: without this the whole
@@ -144,7 +160,7 @@ def pagerank(
             )
         )
         ranks = _maybe_checkpoint(ranks, i, checkpoint_every)
-    return ranks
+    return ranks, nodes
 
 
 def connected_components(

@@ -477,7 +477,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≈1.0 for an average node) and rounded so cross-engine float-sum
     ordering noise (~1e-13 after 3 iterations) can't flip the output;
     ties break on node id."""
-    from wikid_spark.operators.graph import pagerank
+    from wikid_spark.operators.graph import pagerank_with_nodes
 
     # Long node ids INSIDE the iteration (part → 2k, supplier → 2k+1:
     # disjoint namespaces, so the symmetric union needs no re-distinct),
@@ -493,13 +493,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    ranks = pagerank(edges, iters=3, damping=0.85)
-    n_df = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
-        .agg(F.count(F.lit(1)).cast("double").alias("n"))
-    )
+    # nodes comes back MATERIALIZED from the iteration (the same
+    # localCheckpoint the rounds use), so |V| for output scaling is a
+    # count over the checkpoint — not a second lineitem scan + distinct.
+    ranks, nodes = pagerank_with_nodes(edges, iters=3, damping=0.85)
+    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     id_str = F.when(
         F.col("id") % 2 == 0, F.concat(F.lit("P"), F.shiftright("id", 1))
     ).otherwise(F.concat(F.lit("S"), F.shiftright("id", 1)))
