@@ -215,18 +215,22 @@ def tx_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     that is TakeOrderedAndProject — 25 rows cross the final wire, never
     the n-gram universe."""
     docs = table(spark, sf_dir, "documents")
-    ts = F.split("text", " ")
-    tri = docs.select(
+    # Bind the split to a projected column BEFORE the HOF lambda:
+    # expressions referenced inside transform() are not CSE'd, so an
+    # inline split() re-tokenizes the document on every element access
+    # (the _shingles lesson; measured 3.9 s → 1.3 s here at sf0.1).
+    ws = docs.select(F.split("text", " ").alias("w"))
+    tri = ws.select(
         F.explode(
             F.when(
-                F.size(ts) >= 3,
+                F.size("w") >= 3,
                 F.transform(
-                    F.sequence(F.lit(0), F.size(ts) - 3),
+                    F.sequence(F.lit(0), F.size("w") - 3),
                     lambda i: F.concat_ws(
                         " ",
-                        F.element_at(ts, i + 1),
-                        F.element_at(ts, i + 2),
-                        F.element_at(ts, i + 3),
+                        F.element_at(F.col("w"), i + 1),
+                        F.element_at(F.col("w"), i + 2),
+                        F.element_at(F.col("w"), i + 3),
                     ),
                 ),
             ).otherwise(F.array().cast("array<string>"))
