@@ -50,6 +50,10 @@ HEADLINE = [
     # component loop) and the multi-table ANN recall path:
     "nd_dedup_clusters",
     "sim_lsh_multitable_topk",
+    # round-5 additions: incremental batch-vs-corpus dedup and the
+    # end-to-end prepare-training-corpus composition:
+    "nd_incremental_dedup",
+    "pp_training_corpus",
 ]
 
 

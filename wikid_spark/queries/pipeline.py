@@ -22,6 +22,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from wikid_spark.catalog import table
 from wikid_spark.operators.fts import tokenize
+from wikid_spark.queries.dedup import (
+    _SHINGLES_SQL as _ND_SHINGLES_SQL,
+    BAND_R as _ND_BAND_R,
+    N_PERM as _ND_N_PERM,
+    PERM_P as _ND_PERM_P,
+)
 from wikid_spark.registry import query
 
 SPAN = 5          # words per dedup span
@@ -580,4 +586,132 @@ def pp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sample_rank") <= SAMPLE_K)
         .orderBy("lang", "source", "sample_rank")
+    )
+
+
+@query(
+    "pp_training_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_TOKS_CTE},
+    gop AS (
+      SELECT doc_id FROM toks
+      WHERE len(ts) > 0
+        AND len(ts) >= 50
+        AND list_sum(list_transform(ts, x -> len(x))) / CAST(len(ts) AS DOUBLE)
+            BETWEEN 3 AND 10
+        AND len(list_filter(ts, x -> x IN ('the', 'a', 'of', 'and')))
+            / CAST(len(ts) AS DOUBLE) >= 0.02
+    ),
+    d1 AS (
+      SELECT d.doc_id, d.lang, d.text FROM documents d JOIN gop USING (doc_id)
+    ),
+    d2 AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    s AS (
+      SELECT doc_id, {_ND_SHINGLES_SQL} AS sh FROM documents
+    ), su AS (
+      SELECT doc_id, unnest(sh) AS sh FROM s
+    ), h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 15))::BIGINT % 1073741824 AS h
+      FROM su
+    ), mh AS (
+      SELECT doc_id, i AS perm,
+             MIN((h * (2*i + 1) + (12345*i + 67890)) % {_ND_PERM_P}) AS minhash
+      FROM h, range({_ND_N_PERM}) t(i)
+      GROUP BY doc_id, i
+    ), bands AS (
+      SELECT doc_id, perm // {_ND_BAND_R} AS band,
+             md5(string_agg(minhash::VARCHAR, '|' ORDER BY perm)) AS sig
+      FROM mh GROUP BY doc_id, perm // {_ND_BAND_R}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.doc_id < b.doc_id
+    ), ver AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN s x ON x.doc_id = c.doc_a
+      JOIN s y ON y.doc_id = c.doc_b
+      WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+            / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.2
+    ), e AS (
+      SELECT doc_a AS src, doc_b AS dst FROM ver
+      UNION ALL
+      SELECT doc_b, doc_a FROM ver
+    ), reach(id, label) AS (
+      SELECT DISTINCT src, src FROM e
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.id
+    ), drops AS (
+      SELECT id AS doc_id FROM reach GROUP BY id HAVING MIN(label) <> id
+    )
+    SELECT d2.doc_id, d2.lang,
+           CASE WHEN ((d2.doc_id * {_HASH_MULT}) % {_HASH_MOD}) % 10 < 8 THEN 'train'
+                WHEN ((d2.doc_id * {_HASH_MULT}) % {_HASH_MOD}) % 10 = 8 THEN 'dev'
+                ELSE 'test' END AS split,
+           CAST(len(t.ts) AS BIGINT) AS n_tok
+    FROM d2
+    JOIN toks t ON t.doc_id = d2.doc_id
+    WHERE d2.doc_id NOT IN (SELECT doc_id FROM drops)
+    ORDER BY d2.doc_id
+    """,
+    tags=("pipeline", "capstone", "dedup", "quality", "split"),
+)
+def pp_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIPELINE CAPSTONE — the full prepare-training-corpus flow as ONE
+    declarative plan: Gopher quality gate → exact dedup (deterministic
+    min-doc_id keeper per md5(text)) → near-dup removal (the
+    nd_dedup_clusters drop list: LSH candidates → exact-Jaccard verify
+    → converged components) → deterministic 80/10/10 hash split. Output
+    is the per-document manifest (doc_id, lang, split, n_tok) a trainer
+    would consume.
+
+    Every stage is a registered, independently-oracled operator
+    (pp_gopher_filter / q25-style keeper / nd_dedup_clusters /
+    pp_hash_split) — this query certifies their COMPOSITION end-to-end
+    against one DuckDB oracle, the way a production pipeline actually
+    runs them. Because the whole flow is one Catalyst plan (the only
+    imperative step is the cluster fixpoint loop, which materializes
+    its tiny label table), Catalyst shares the tokenize pass between
+    the quality gate and the token counts, and the dedup drop list
+    broadcasts into an anti-join — no orchestration glue, no
+    intermediate tables."""
+    from wikid_spark.queries.dedup import nd_dedup_clusters
+
+    t = _toks(spark, sf_dir)
+    n = F.size("ts")
+    sum_len = F.aggregate(
+        F.transform("ts", F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    mean_len = sum_len / n.cast("double")
+    stop_frac = (
+        F.size(F.filter("ts", lambda x: x.isin("the", "a", "of", "and")))
+        / n.cast("double")
+    )
+    keep = (n > 0) & (n >= 50) & mean_len.between(3.0, 10.0) & (stop_frac >= 0.02)
+    g = t.filter(keep).select("doc_id", "lang", "ts")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    d1 = g.join(docs, "doc_id")
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    d2 = d1.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    drops = nd_dedup_clusters(spark, sf_dir).filter(F.col("keep") == 0).select(
+        "doc_id"
+    )
+    d3 = d2.join(F.broadcast(drops), "doc_id", "left_anti")
+    h = ((F.col("doc_id") * _HASH_MULT) % _HASH_MOD) % 10
+    return (
+        d3.select(
+            "doc_id",
+            "lang",
+            F.when(h < 8, "train").when(h == 8, "dev").otherwise("test").alias(
+                "split"
+            ),
+            F.size("ts").cast("long").alias("n_tok"),
+        )
+        .orderBy("doc_id")
     )
