@@ -182,3 +182,14 @@ def test_incremental_dedup_broadcasts_batch_side(spark):
     # batch-bands x corpus-bands probe, candidate x shingle probe, and
     # the old-docs semi filter all broadcast
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_training_corpus_dedup_droplist_broadcasts(spark):
+    """pp_training_corpus: the near-dup drop list must broadcast into
+    the anti-join (it is candidate-bounded, tiny by the LSH funnel),
+    and the exact-dedup keeper must be a window rank, not a
+    dropDuplicates (deterministic keeper)."""
+    plan = _plan(spark, "pp_training_corpus")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "row_number" in plan.lower() or "RunningWindowFunction" in plan
