@@ -683,7 +683,13 @@ def pp_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate tables."""
     from wikid_spark.queries.dedup import nd_dedup_clusters
 
-    t = _toks(spark, sf_dir)
+    # One corpus scan carries text + tokens together, so the quality
+    # gate, the md5 keeper key, and the n_tok output all come from a
+    # single pass (joining _toks back to documents would scan the
+    # corpus twice — verified via explain: 1 documents scan this side).
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", tokenize("text").alias("ts")
+    )
     n = F.size("ts")
     sum_len = F.aggregate(
         F.transform("ts", F.length), F.lit(0).cast("long"), lambda a, x: a + x
@@ -694,9 +700,7 @@ def pp_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         / n.cast("double")
     )
     keep = (n > 0) & (n >= 50) & mean_len.between(3.0, 10.0) & (stop_frac >= 0.02)
-    g = t.filter(keep).select("doc_id", "lang", "ts")
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    d1 = g.join(docs, "doc_id")
+    d1 = t.filter(keep)
     w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
     d2 = d1.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     drops = nd_dedup_clusters(spark, sf_dir).filter(F.col("keep") == 0).select(
