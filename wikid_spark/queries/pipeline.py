@@ -719,3 +719,65 @@ def pp_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+TEMP_ALPHA = 0.7  # temperature exponent for language rebalancing
+
+
+@query(
+    "pp_lang_temperature",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    per_lang AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(len(ts)) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY lang
+    ), tot AS (
+      SELECT SUM(n_tokens) AS tok_total,
+             SUM(POWER(n_tokens, {TEMP_ALPHA})) AS pow_total
+      FROM per_lang
+    )
+    SELECT p.lang, p.n_docs, p.n_tokens,
+           ROUND(p.n_tokens / t.tok_total, 4) AS p_raw,
+           ROUND(POWER(p.n_tokens, {TEMP_ALPHA}) / t.pow_total, 4) AS p_temp,
+           ROUND((POWER(p.n_tokens, {TEMP_ALPHA}) / t.pow_total)
+                 / (p.n_tokens / t.tok_total), 4) AS boost
+    FROM per_lang p, tot t
+    ORDER BY lang
+    """,
+    tags=("pipeline", "sampling", "multilingual"),
+)
+def pp_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing weights — the standard
+    multilingual-training recipe (sample language l with probability
+    ∝ n_tokens(l)^α, α < 1, so low-resource languages are upsampled;
+    the published mBERT/XLM-R exponential-smoothing rule). Emits per
+    language: raw token share, temperature-adjusted sampling
+    probability, and the boost factor a sampler must apply.
+
+    Scale: one map-side-combinable aggregation to |languages| rows,
+    then a broadcast of the two scalar totals back onto them — the
+    corpus is touched once, the arithmetic is on a handful of rows."""
+    t = _toks(spark, sf_dir)
+    per_lang = t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("ts")).alias("n_tokens"),
+    )
+    tot = per_lang.agg(
+        F.sum("n_tokens").alias("tok_total"),
+        F.sum(F.pow("n_tokens", F.lit(TEMP_ALPHA))).alias("pow_total"),
+    )
+    p_raw = F.col("n_tokens") / F.col("tok_total")
+    p_temp = F.pow("n_tokens", F.lit(TEMP_ALPHA)) / F.col("pow_total")
+    return (
+        per_lang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(p_raw, 4).alias("p_raw"),
+            F.round(p_temp, 4).alias("p_temp"),
+            F.round(p_temp / p_raw, 4).alias("boost"),
+        )
+        .orderBy("lang")
+    )
