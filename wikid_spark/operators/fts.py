@@ -186,6 +186,37 @@ def phrase_search(index: DataFrame, terms: list[str]) -> DataFrame:
     return out
 
 
+def near_search(
+    index: DataFrame, term_a: str, term_b: str, n: int = 10
+) -> DataFrame:
+    """Proximity match (FTS5 ``NEAR(a b, N)`` MATCH syntax): documents
+    where the two terms occur with at most ``n`` intervening tokens
+    (FTS5's N = the maximum token count BETWEEN the phrases, so the
+    position gap is ≤ n + 1). Returns one row per doc with the pair
+    count and the tightest gap — the ranking signal proximity scoring
+    builds on.
+
+    Plan shape: two term-filtered posting scans (partition-prunable on
+    ``term``), one equi-join on doc with the gap predicate — per-term
+    posting lists, broadcast-able at scale, same as phrase_search."""
+    ta, tb = fold_term(term_a), fold_term(term_b)
+    a = index.filter(F.col("term") == ta).select(
+        "doc", F.col("pos").alias("pa")
+    )
+    b = index.filter(F.col("term") == tb).select(
+        F.col("doc").alias("_d"), F.col("pos").alias("pb")
+    )
+    gap = F.abs(F.col("pa") - F.col("pb"))
+    return (
+        a.join(b, (a["doc"] == b["_d"]) & (gap <= n + 1) & (gap > 0))
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (F.min(gap) - 1).cast("long").alias("min_between"),
+        )
+    )
+
+
 def bm25(
     index: DataFrame,
     terms: list[str],

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from wikid_spark.catalog import table
 from wikid_spark.operators.fts import (
     bm25_from_docs,
+    near_search,
     build_inverted_index,
     phrase_search,
     search_all,
@@ -253,4 +254,41 @@ def fts_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.select("doc", F.round("score", 4).alias("score"))
         .orderBy(F.desc("score"), "doc")
         .limit(20)
+    )
+
+
+@query(
+    "fts_near",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             list_filter(string_split_regex(lower(text), '\\W+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ), pos_postings AS (
+      SELECT doc, u.s.pos AS pos, u.s.term AS term
+      FROM toks,
+           unnest(list_transform(ts, (x, i) -> {'term': x, 'pos': i - 1}))
+             AS u(s)
+    ), pairs AS (
+      SELECT a.doc, abs(a.pos - b.pos) AS gap
+      FROM pos_postings a
+      JOIN pos_postings b ON a.doc = b.doc
+      WHERE a.term = 'spark' AND b.term = 'vector'
+        AND abs(a.pos - b.pos) BETWEEN 1 AND 6
+    )
+    SELECT doc, COUNT(*) AS n_pairs,
+           CAST(MIN(gap) - 1 AS BIGINT) AS min_between
+    FROM pairs
+    GROUP BY doc
+    ORDER BY doc
+    """,
+    tags=("fts", "near"),
+)
+def fts_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR(spark vector, 5): proximity MATCH — the last FTS5 MATCH
+    grammar feature (after AND/OR/NOT/phrase/prefix), as a positional
+    postings join with a gap predicate."""
+    return near_search(_index(spark, sf_dir), "spark", "vector", n=5).orderBy(
+        "doc"
     )
