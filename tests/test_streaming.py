@@ -431,3 +431,63 @@ def test_keyed_merge_single_writer_lease(spark, tmp_path):
     assert got == {("NYC", "Q60"): 3}
     with open(lease) as f:
         assert f.read().strip() == "writer-b"
+
+
+def test_streaming_incremental_dedup_against_persisted_index(
+    spark, tmp_path
+):
+    """Streaming twin of nd_incremental_dedup: the corpus LSH index is
+    built ONCE and persisted; new documents arrive as a 3-file stream
+    and each micro-batch probes the index via foreachBatch. The union
+    of streamed verdicts must equal the batch query's verdicts on the
+    same corpus/batch partition — same signature math by construction
+    (shared band_table_from / shingles_from), certified here
+    end-to-end. A replayed batch_id must overwrite, not duplicate."""
+    from wikid_spark.queries.dedup import nd_incremental_dedup
+    from wikid_spark.streaming import dedup_ingest
+
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 10 == 0)
+
+    index_dir = str(tmp_path / "lsh_index")
+    dedup_ingest.persist_dedup_index(corpus, index_dir)
+
+    src = str(tmp_path / "incoming")
+    new_docs.repartition(3).write.mode("overwrite").json(src)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    out_dir = str(tmp_path / "verdicts")
+    q = (
+        stream.writeStream.foreachBatch(
+            dedup_ingest.dedup_verdict_batch_writer(spark, index_dir, out_dir)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        map(tuple, dedup_ingest.read_verdicts(spark, out_dir).collect())
+    )
+    want = sorted(map(tuple, nd_incremental_dedup(spark, SF).collect()))
+    assert got == want and len(got) > 0
+
+    # replay idempotency: delivering the same batch twice overwrites
+    # its own output — row set unchanged, no duplicates
+    out2 = str(tmp_path / "verdicts_replay")
+    writer = dedup_ingest.dedup_verdict_batch_writer(spark, index_dir, out2)
+    replay = new_docs.limit(20)
+    writer(replay, 0)
+    once = sorted(
+        map(tuple, dedup_ingest.read_verdicts(spark, out2).collect())
+    )
+    writer(replay, 0)
+    twice = sorted(
+        map(tuple, dedup_ingest.read_verdicts(spark, out2).collect())
+    )
+    assert once == twice and len(once) == 20

@@ -91,11 +91,18 @@ def _shingles(words, n: int = 3):
     )
 
 
+def shingles_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) for an arbitrary (doc_id, text) DataFrame — the
+    DataFrame-first variant so streaming micro-batches and persisted-
+    index builders share the exact shingle semantics of the registered
+    queries."""
+    return docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("words")
+    ).select("doc_id", F.explode(_shingles(F.col("words"))).alias("sh"))
+
+
 def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    return d.select("doc_id", F.split(F.col("text"), " ").alias("words")).select(
-        "doc_id", F.explode(_shingles(F.col("words"))).alias("sh")
-    )
+    return shingles_from(table(spark, sf_dir, "documents"))
 
 
 @query(
@@ -187,11 +194,22 @@ def _shingle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.select("doc_id", (h60.cast("long") % H_MOD).alias("h"))
 
 
+def signature_row_from(docs: DataFrame) -> DataFrame:
+    """One row per doc with columns m0..m{N_PERM-1} from an arbitrary
+    (doc_id, text) DataFrame: the whole MinHash signature from a SINGLE
+    HashAggregate (16 numeric mins computed in one pass — no
+    per-permutation explode, one shuffle of tiny rows)."""
+    sh = shingles_from(docs)
+    h60 = F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 15), 16, 10)
+    hashed = sh.select("doc_id", (h60.cast("long") % H_MOD).alias("h"))
+    mins = [
+        F.min((F.col("h") * _perm_a(i) + _perm_b(i)) % PERM_P).alias(f"m{i}")
+        for i in range(N_PERM)
+    ]
+    return hashed.groupBy("doc_id").agg(*mins)
+
+
 def _signature_row(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per doc with columns m0..m{N_PERM-1}: the whole MinHash
-    signature from a SINGLE HashAggregate (16 numeric mins computed in
-    one pass — no per-permutation explode, one shuffle of 5k tiny
-    rows)."""
     hashed = _shingle_hash(spark, sf_dir)
     mins = [
         F.min((F.col("h") * _perm_a(i) + _perm_b(i)) % PERM_P).alias(f"m{i}")
@@ -228,11 +246,21 @@ def nd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def band_table_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) LSH band signatures for an arbitrary
+    (doc_id, text) DataFrame — the builder the persisted-index and
+    streaming paths share with the registered batch queries."""
+    return _bands_of(signature_row_from(docs))
+
+
 def _band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band, sig): LSH band signatures — band j's sig is md5
     over its BAND_R consecutive signature mins, all derived from the
     one-row-per-doc signature in a single pass."""
-    sig = _signature_row(spark, sf_dir)
+    return _bands_of(_signature_row(spark, sf_dir))
+
+
+def _bands_of(sig: DataFrame) -> DataFrame:
     n_bands = N_PERM // BAND_R
     band_sigs = F.array(
         *[
