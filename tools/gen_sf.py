@@ -9,12 +9,17 @@ reflects the engine, not artifacts of naive duplication:
 * Star-schema tables get key offsets (copy i shifts every key by
   i × source cardinality) so join fan-outs stay 1:1 per copy; the
   fixed dims (region, nation) are not replicated.
-* ``documents.text`` gets a per-copy vocab ROTATION (the corpus is a
-  closed 31-word vocabulary): copy i maps word_j → word_{(j+7i) mod 31}.
-  Token counts, doc lengths, global df shape, and within-copy duplicate
-  structure are all preserved, while cross-copy shingle collisions drop
-  to natural background rates — naive duplication would inflate LSH
-  candidate pairs ~FACTOR² instead of FACTOR.
+* ``documents.text`` gets a per-copy AFFINE vocab map (the corpus is a
+  closed 31-word vocabulary, 31 prime): copy i maps
+  word_j → word_{(a_i·j + b_i) mod 31} with a_i = (i mod 30) + 1,
+  b_i = 7i mod 31 — a bijection per copy, distinct for i < 930, and
+  copy 0 is the identity. Token counts, doc lengths, global df shape,
+  and within-copy duplicate structure are all preserved, while
+  cross-copy shingle collisions drop to natural background rates —
+  naive duplication would inflate LSH candidate pairs ~FACTOR² instead
+  of FACTOR. (A plain rotation only supports factor ≤ 31 before copies
+  repeat verbatim; the affine family extends honest scaling to
+  factor ≈ 930, i.e. ~sf30.)
 * ``embeddings.embedding`` gets a per-copy ORTHOGONAL transform
   (dimension rotation + deterministic sign flips): within-copy pairwise
   cosines are bit-preserved, cross-copy similarities randomized — again
@@ -152,13 +157,18 @@ def generate(src: str, out: str, factor: int) -> None:
     def doc_select(i):
         if i == 0:
             return f"SELECT * FROM {rd('documents')}"
-        rot = (7 * i) % N_VOCAB
+        a = (i % (N_VOCAB - 1)) + 1
+        b = (7 * i) % N_VOCAB
+        expr = (
+            f"({vlist})[1 + (({a} * (list_position({vlist}, w) - 1) + {b})"
+            f" % {N_VOCAB})]"
+        )
         return f"""SELECT doc_id + {i * card['documents']} AS doc_id,
             array_to_string(list_transform(string_split(text, ' '),
-                w -> ({vlist})[1 + ((list_position({vlist}, w) - 1 + {rot}) % {N_VOCAB})]), ' ') AS text,
+                w -> {expr}), ' ') AS text,
             lang, source,
             length(array_to_string(list_transform(string_split(text, ' '),
-                w -> ({vlist})[1 + ((list_position({vlist}, w) - 1 + {rot}) % {N_VOCAB})]), ' ')) AS n_chars
+                w -> {expr}), ' ')) AS n_chars
             FROM {rd('documents')}"""
 
     copy_to(_union(con, factor, doc_select), "documents")
