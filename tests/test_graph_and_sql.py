@@ -117,3 +117,44 @@ def test_connected_components_converged_deep_chain(spark):
         for r in connected_components_converged(edges, checkpoint_every=3).collect()
     }
     assert got == {**{i: 1 for i in range(1, 13)}, 100: 100, 101: 100}
+
+
+def test_converged_probe_covers_final_rounds(spark):
+    """Convergence must be observable even when max_iters is not a
+    multiple of checkpoint_every (rounds clamp UP to the next probe
+    boundary) and when checkpoint_every exceeds max_iters — both
+    previously raised despite the graph converging in time."""
+    import pytest
+
+    from wikid_spark.operators.graph import connected_components_converged
+
+    chain = [(i, i + 1) for i in range(1, 5)]  # radius 4 from node 1
+    e0 = spark.createDataFrame(chain, "src long, dst long")
+    edges = e0.union(e0.selectExpr("dst as src", "src as dst"))
+
+    # converges in round 4; probes land at 3 and 6 (clamped past max_iters=4)
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components_converged(
+            edges, checkpoint_every=3, max_iters=4
+        ).collect()
+    }
+    assert got == {i: 1 for i in range(1, 6)}
+
+    # checkpoint_every > max_iters: single probe at round checkpoint_every
+    got2 = {
+        r["id"]: r["label"]
+        for r in connected_components_converged(
+            edges, checkpoint_every=7, max_iters=4
+        ).collect()
+    }
+    assert got2 == got
+
+    # a genuinely-too-deep graph still raises: budget 2 (+1 confirming
+    # window = 4 rounds), radius 4 → last probe window still changing
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components_converged(edges, checkpoint_every=2, max_iters=2)
+    with pytest.raises(ValueError):
+        connected_components_converged(edges, checkpoint_every=0)
+    with pytest.raises(ValueError):
+        connected_components_converged(edges, max_iters=0)

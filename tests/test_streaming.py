@@ -481,7 +481,9 @@ def test_streaming_incremental_dedup_against_persisted_index(
     # its own output — row set unchanged, no duplicates
     out2 = str(tmp_path / "verdicts_replay")
     writer = dedup_ingest.dedup_verdict_batch_writer(spark, index_dir, out2)
-    replay = new_docs.limit(20)
+    # deterministic replay batch: an unordered limit() may pick
+    # different rows on each of the two writer calls
+    replay = new_docs.orderBy("doc_id").limit(20)
     writer(replay, 0)
     once = sorted(
         map(tuple, dedup_ingest.read_verdicts(spark, out2).collect())

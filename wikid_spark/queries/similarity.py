@@ -165,13 +165,18 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Query side: FILTER the scan before bucketing, so the (broadcast)
     # side computes bucket ids for the 1/50 sample only — not a second
-    # full-corpus bucket pass that is then thrown away.
-    q = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        _bucket_expr(quantize_embedding(F.col("embedding")))
-        .cast("long")
-        .alias("qbucket"),
+    # full-corpus bucket pass that is then thrown away. The quantized
+    # array is BOUND to a projected column before _bucket_expr: HOF
+    # lambdas are not common-subexpression-eliminated, so an inline
+    # quantize would re-run per plane (same pitfall as _shingles).
+    q = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .withColumn("qemb", quantize_embedding(F.col("embedding")))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            _bucket_expr(F.col("qemb")).cast("long").alias("qbucket"),
+        )
     )
     cands = (
         bucketed.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))

@@ -153,9 +153,18 @@ def _acquire_or_renew_lease(
     writer id, heartbeat-renewed (mtime) on every batch. A DIFFERENT
     writer may take over only when the heartbeat is older than
     ``lease_seconds`` (holder crashed); a live holder makes the intruder
-    raise instead of interleaving promotions. Local-fs ops here
-    (O_EXCL create, rename) map to conditional-put / rename-if-absent
-    on HDFS or an S3-consistency layer in a cluster deployment."""
+    raise instead of interleaving promotions.
+
+    Takeover of a STALE lease is best-effort on a local filesystem: two
+    successors can both pass the age check and rename concurrently —
+    rename is atomic but last-writer-wins, so after renaming we RE-READ
+    the lease and back off unless the file names us (closes the common
+    interleaving; a successor that renames after our re-read is still
+    caught by ``_assert_lease_held`` before promotion, though a window
+    between that assert and the renames remains). True mutual exclusion
+    needs storage with conditional-put / compare-and-swap (S3
+    If-None-Match, HDFS atomic create, a lock service) — swap this
+    function there; the call sites don't change."""
     import os
     import time
 
@@ -183,7 +192,14 @@ def _acquire_or_renew_lease(
     tmp = f"{path}.takeover.{writer_id}"
     with open(tmp, "w") as f:
         f.write(writer_id)
-    os.rename(tmp, path)  # atomic takeover of a stale lease
+    os.rename(tmp, path)  # atomic rename; concurrent takeovers race here
+    with open(path) as f:
+        winner = f.read().strip()
+    if winner != writer_id:
+        raise ConcurrentWriterError(
+            f"lost stale-lease takeover race on {target_dir!r} to "
+            f"{winner!r}; backing off"
+        )
 
 
 def _assert_lease_held(target_dir: str, writer_id: str) -> None:
@@ -238,14 +254,19 @@ def merge_upsert_batch_writer(
        batch replays, which re-runs promotion from staging.
     4. Write ``_merged_batch_<id>``, then clear staging.
 
-    Single-writer protocol, now ENFORCED by a heartbeat lease
+    Single-writer protocol, guarded by a heartbeat lease
     (``_WRITER_LEASE``): each batch acquires/renews the lease before
     touching the table and re-asserts ownership between staging and
     promotion, so a second live writer raises ``ConcurrentWriterError``
     instead of interleaving bucket promotions; a crashed writer's lease
     expires after ``lease_seconds`` and a successor takes over (its
     replayed batch resumes from the ``_STAGED`` state exactly as a
-    same-writer restart would). The promotion uses driver-side
+    same-writer restart would). On a local filesystem the guard is
+    BEST-EFFORT — stale-lease takeover is last-writer-wins rename plus
+    a re-read/back-off, and a TOCTOU window remains between the
+    ownership assert and the promotion renames; real deployments back
+    ``_acquire_or_renew_lease`` with conditional-put/CAS storage (see
+    its docstring). The promotion uses driver-side
     directory ops on a shared filesystem — on HDFS/S3 this maps to
     FileSystem.rename / multi-part copy next to the checkpoint."""
     import os
