@@ -187,11 +187,29 @@ def test_incremental_dedup_broadcasts_batch_side(spark):
 
 
 def test_training_corpus_dedup_droplist_broadcasts(spark):
-    """pp_training_corpus: the near-dup drop list must broadcast into
-    the anti-join (it is candidate-bounded, tiny by the LSH funnel),
-    and the exact-dedup keeper must be a window rank, not a
-    dropDuplicates (deterministic keeper)."""
+    """pp_training_corpus: the drop-list broadcast is SIZE-AWARE — on
+    the test corpora the measured list sits under the threshold, so the
+    anti-join must be a BroadcastHashJoin; the exact-dedup keeper must
+    be a window rank, not a dropDuplicates (deterministic keeper)."""
     plan = _plan(spark, "pp_training_corpus")
     assert "BroadcastHashJoin" in plan
     assert "LeftAnti" in plan
     assert "row_number" in plan.lower() or "RunningWindowFunction" in plan
+
+
+def test_training_corpus_droplist_unhinted_above_threshold(spark, monkeypatch):
+    """Above DROP_BROADCAST_MAX_ROWS (a high-dup-rate crawl) the hint
+    must be OMITTED — the anti-join stays correct and the strategy is
+    AQE's choice, not a pinned corpus-scale broadcast. Forced here by
+    dropping the threshold to zero; results must match the hinted run."""
+    from wikid_spark.queries import pipeline
+
+    fn = all_queries()["pp_training_corpus"].fn
+    hinted = fn(spark, SF).collect()
+    monkeypatch.setattr(pipeline, "DROP_BROADCAST_MAX_ROWS", 0)
+    df = fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "LeftAnti" in buf.getvalue()
+    assert df.collect() == hinted

@@ -145,16 +145,32 @@ def nd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     faster end-to-end (smaller shuffle, long comparisons), exact up to
     64-bit collisions (expected collisions ≈ n²/2⁶⁵ — immaterial below
     ~10¹² distinct shingles; the string oracle would catch one)."""
-    sh = shingle_table(spark, sf_dir).select(
-        "doc_id", F.xxhash64("sh").alias("sh")
+    return ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
     )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """The inverted-index Jaccard join over an arbitrary (doc_id, text)
+    DataFrame — the core of ``nd_ngram_jaccard``, parameterized so the
+    hot-shingle cap's firing semantics are directly testable
+    (tests/test_dedup_caps.py builds a corpus whose boilerplate shingle
+    exceeds the cap). ``df_cap`` defaults to the module's
+    ``JACCARD_DF_CAP``; see nd_ngram_jaccard's docstring for the
+    exactness contract when the cap fires."""
+    cap = JACCARD_DF_CAP if df_cap is None else df_cap
+    sh = shingles_from(docs).select("doc_id", F.xxhash64("sh").alias("sh"))
     # Sizes from the PRE-cap table: denominators stay exact even if the
     # hot-shingle cap drops rows from the pair-generation join below.
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     hot = (
         sh.groupBy("sh")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > JACCARD_DF_CAP)
+        .filter(F.col("df") > cap)
         .select("sh")
     )
     sh = sh.join(F.broadcast(hot), "sh", "left_anti")
@@ -170,7 +186,7 @@ def nd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(sz_a, "doc_a")
         .join(sz_b, "doc_b")
-        .filter(jac >= 0.2)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from wikid_spark.catalog import table
 from wikid_spark.operators.fts import tokenize
+from wikid_spark.operators.graph import _materialize as _graph_materialize
 from wikid_spark.queries.dedup import (
     _SHINGLES_SQL as _ND_SHINGLES_SQL,
     BAND_R as _ND_BAND_R,
@@ -34,6 +35,13 @@ SPAN = 5          # words per dedup span
 CHUNK = 32        # tokens per training chunk
 STEP = 24         # chunk stride (CHUNK - overlap of 8)
 PACK_BUDGET = 512  # tokens per packed sequence
+# Max near-dup drop-list rows to pin as a broadcast in the training-
+# corpus anti-join: 20M longs ≈ 160 MB — comfortably under Spark's
+# 8 GiB broadcast hard cap with headroom for the driver copy, far above
+# any funnel output at benchmark scales. Above it (high-dup-rate web
+# crawls) the hint is omitted and AQE picks the join strategy from the
+# runtime size. See SCALE.md "Dup-rate dial".
+DROP_BROADCAST_MAX_ROWS = 20_000_000
 
 # DuckDB twin of operators.fts.tokenize.
 _TOKS_CTE = """
@@ -679,7 +687,8 @@ def pp_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     imperative step is the cluster fixpoint loop, which materializes
     its tiny label table), Catalyst shares the tokenize pass between
     the quality gate and the token counts, and the dedup drop list
-    broadcasts into an anti-join — no orchestration glue, no
+    joins anti-style — broadcast-hinted only while it is measured small
+    (``DROP_BROADCAST_MAX_ROWS``) — no orchestration glue, no
     intermediate tables."""
     from wikid_spark.queries.dedup import nd_dedup_clusters
 
@@ -706,7 +715,18 @@ def pp_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops = nd_dedup_clusters(spark, sf_dir).filter(F.col("keep") == 0).select(
         "doc_id"
     )
-    d3 = d2.join(F.broadcast(drops), "doc_id", "left_anti")
+    # Size-aware broadcast (the dup-rate dial): the drop list scales
+    # with the corpus duplicate rate — candidate-bounded and tiny on a
+    # curated corpus, but corpus-scale on a 30-50%-duplicate web crawl,
+    # where a pinned broadcast would exceed the 8 GiB broadcast limit.
+    # The list is disk-checkpointed anyway (the cluster fixpoint already
+    # materialized its labels; this also stops the funnel joins from
+    # re-executing inside the main plan), so counting it is free; hint
+    # below the documented threshold, let AQE pick the strategy above.
+    drops = _graph_materialize(drops)
+    if drops.count() <= DROP_BROADCAST_MAX_ROWS:
+        drops = F.broadcast(drops)
+    d3 = d2.join(drops, "doc_id", "left_anti")
     h = ((F.col("doc_id") * _HASH_MULT) % _HASH_MOD) % 10
     return (
         d3.select(
