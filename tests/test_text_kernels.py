@@ -169,3 +169,41 @@ def test_truncate_on_word_punct_before_word_drop(spark):
     raw = "alpha , beta gamma"
     # reference: 'alpha , beta gamma' → 'alphabeta gamma' → drop last
     assert _one(spark, truncate_on_word(F.col("v"), 1000), raw) == "alphabeta"
+
+
+def test_fold_diacritics_beyond_latin(spark):
+    """unicode61-style category folding across scripts: Greek and
+    Cyrillic combining marks strip to the base letter IN ITS OWN
+    script (never transliterated to Latin), and tokenization keeps
+    the folded non-Latin words whole."""
+    import pyspark.sql.functions as F
+
+    from wikid_spark.operators.fts import fold_term, tokenize
+
+    # driver-side twin
+    assert fold_term("Ζürich") == "ζurich"  # Greek cap zeta → ζ, ü → u
+    assert fold_term("ώρα") == "ωρα"        # Greek tonos stripped
+    assert fold_term("зимний") == "зимнии"  # Cyrillic breve stripped
+    assert fold_term("Ёлка") == "елка"      # Cyrillic diaeresis stripped
+    assert fold_term("naïve") == "naive"    # Latin still folds
+
+    # JVM-side tokenizer: same folds, words survive the Unicode split
+    df = spark.createDataFrame(
+        [("καλή ώρα — зимний день; naïve c'est",)], "v string"
+    )
+    toks = df.select(tokenize("v").alias("t")).collect()[0]["t"]
+    assert toks == ["καλη", "ωρα", "зимнии", "день", "naive", "c", "est"]
+
+
+def test_folded_search_matches_across_scripts(spark):
+    """An accented Greek/Cyrillic corpus searched with differently-
+    accented terms still matches via the shared fold."""
+    from wikid_spark.operators.fts import build_inverted_index, search_all
+
+    docs = spark.createDataFrame(
+        [(1, "ώρα зимний spark"), (2, "ωρα зимнии vector"), (3, "nothing here")],
+        "doc_id long, text string",
+    )
+    idx = build_inverted_index(docs, "doc_id", "text")
+    got = sorted(r["doc"] for r in search_all(idx, ["ΏΡΑ", "ЗИМНИЙ"]).collect())
+    assert got == [1, 2]

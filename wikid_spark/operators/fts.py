@@ -22,25 +22,34 @@ import unicodedata
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-TOKEN_SPLIT = r"\W+"
+# Unicode-aware token split: like \W+ but keeping non-ASCII letters
+# and digits whole, so folded Greek/Cyrillic words survive tokenization
+# (Java's bare \W is ASCII-only and would erase them). \p{L}/\p{N} are
+# supported identically by Java regex (Spark) and RE2 (the DuckDB
+# oracle twins use the same class); on pure-ASCII text this is
+# exactly \W+.
+TOKEN_SPLIT = r"[^\p{L}\p{N}_]+"
+TOKEN_SPLIT_SQL = r"[^\p{L}\p{N}_]+"
 
 
 def _build_fold_table() -> dict[int, str]:
-    """Latin codepoint → ASCII base letter, computed as NFD
-    decomposition + strip-combining-marks — the same diacritic removal
-    FTS5's default unicode61 tokenizer applies (remove_diacritics=1,
+    """Accented codepoint → base letter, computed as NFD decomposition
+    + strip-combining-marks — the same diacritic removal FTS5's default
+    unicode61 tokenizer applies (remove_diacritics=1,
     /root/reference/scripts/wiki/ddl.sql:24-33 relies on it for MATCH).
-    Covers Latin-1 Supplement through Latin Extended-B; characters with
-    no canonical decomposition (ø, đ, ß…) are left alone, exactly like
-    NFD-stripping would."""
+    Covers Latin-1 Supplement through Latin Extended-B plus the
+    Greek/Coptic, Cyrillic, Latin Extended Additional and Greek
+    Extended blocks (ώ→ω, й→и, ё→е — the categorical fold unicode61
+    applies beyond Latin-1); the base letter stays in its own script,
+    never transliterated. Characters with no canonical decomposition
+    (ø, đ, ß…) are left alone, exactly like NFD-stripping would."""
     out: dict[int, str] = {}
-    for cp in range(0x00C0, 0x0250):
+    for cp in range(0x00C0, 0x2000):
         ch = chr(cp)
         nfd = unicodedata.normalize("NFD", ch)
         base, marks = nfd[0], nfd[1:]
         if (
             len(nfd) > 1
-            and base.isascii()
             and base.isalpha()
             and all(unicodedata.category(m) == "Mn" for m in marks)
         ):
@@ -54,9 +63,9 @@ _FOLD_DST = "".join(_FOLD[cp] for cp in sorted(_FOLD))
 
 
 def fold_diacritics(col: Column | str) -> Column:
-    """Strip diacritics from Latin text, JVM-side: one ``translate``
-    over a precomputed NFD-derived table — no UDF, stays inside
-    whole-stage codegen."""
+    """Strip diacritics from Latin/Greek/Cyrillic text, JVM-side: one
+    ``translate`` over a precomputed NFD-derived table — no UDF, stays
+    inside whole-stage codegen."""
     c = F.col(col) if isinstance(col, str) else col
     return F.translate(c, _FOLD_SRC, _FOLD_DST)
 
@@ -70,9 +79,10 @@ def fold_term(term: str) -> str:
 def tokenize(col: Column | str) -> Column:
     """Lowercased, diacritic-folded word tokens (FTS5 unicode61 with
     its default remove_diacritics=1: case-fold, strip accents, split on
-    non-alphanumerics, drop empties). Folding BEFORE the split also
-    keeps accented words whole — Java's ``\\W`` is ASCII-only, so an
-    unfolded "zürich" would split into "z" + "rich"."""
+    non-alphanumerics, drop empties). The split is Unicode-aware
+    (``TOKEN_SPLIT``), so folded Greek/Cyrillic words stay whole; the
+    fold still runs BEFORE the split so a stray unfoldable mark never
+    fragments a word."""
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(
         F.split(fold_diacritics(F.lower(c)), TOKEN_SPLIT), lambda t: t != ""

@@ -28,10 +28,10 @@ from wikid_spark.registry import query
 _POSTINGS_CTE = """
     postings AS (
       SELECT doc_id AS doc, t.term,
-             len(list_filter(string_split_regex(lower(text), '\\W+'),
+             len(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                              x -> x <> '')) AS doc_len
       FROM documents,
-           unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+           unnest(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                               x -> x <> '')) AS t(term)
     )
 """
@@ -149,17 +149,17 @@ def fts_search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fts_search_folded",
     oracle="""
     WITH acc AS (
-      SELECT doc_id, translate(text, 'aeu', 'áëü') AS text FROM documents
+      SELECT doc_id, translate(text, 'aeuio', 'áëüйό') AS text FROM documents
     ), postings AS (
       SELECT doc_id AS doc, t.term
       FROM acc,
            unnest(list_filter(
-             string_split_regex(strip_accents(lower(text)), '\\W+'),
+             string_split_regex(strip_accents(lower(text)), '[^\\p{L}\\p{N}_]+'),
              x -> x <> '')) AS t(term)
     )
     SELECT doc
     FROM postings
-    WHERE term IN ('spark', 'vector')
+    WHERE term IN ('spark', 'vectοr')
     GROUP BY doc
     HAVING COUNT(DISTINCT term) = 2
     ORDER BY doc
@@ -167,17 +167,21 @@ def fts_search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("fts",),
 )
 def fts_search_folded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unicode61 diacritic folding (FTS5 default remove_diacritics=1):
-    an ACCENTED corpus (every a/e/u → á/ë/ü) searched with ACCENTED
-    query terms still matches — tokenizer and query terms both
-    NFD-fold, mirroring SQLite's behavior where "Zürich" and "Zurich"
+    """Unicode61 diacritic folding (FTS5 default remove_diacritics=1)
+    across SCRIPTS: the corpus is accented with Latin (á ë ü), Cyrillic
+    (й = и + breve) and Greek (ό = ο + tonos) marks, and accented query
+    terms still match — tokenizer and query terms both NFD-fold, with
+    the folded base staying in its own script (ό→ο Greek omicron, NOT
+    Latin o), mirroring SQLite's unicode61 where "Zürich" and "Zurich"
     hit the same index entry. Oracle folds with DuckDB's strip_accents,
-    independently implemented from our translate table."""
+    independently implemented from our translate table — note the
+    oracle's 'vectοr' literal carries a Greek omicron for exactly that
+    reason."""
     docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.translate("text", "aeu", "áëü").alias("text")
+        "doc_id", F.translate("text", "aeuio", "áëüйό").alias("text")
     )
     idx = build_inverted_index(docs, "doc_id", "text")
-    return search_all(idx, ["SPÁRK", "vëctor"]).orderBy("doc")
+    return search_all(idx, ["SPÁRK", "vëctόr"]).orderBy("doc")
 
 
 @query(
@@ -185,7 +189,7 @@ def fts_search_folded(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id AS doc,
-             list_filter(string_split_regex(lower(text), '\\W+'),
+             list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                          x -> x <> '') AS ts
       FROM documents
     ), pos_postings AS (
@@ -262,7 +266,7 @@ def fts_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id AS doc,
-             list_filter(string_split_regex(lower(text), '\\W+'),
+             list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                          x -> x <> '') AS ts
       FROM documents
     ), pos_postings AS (

@@ -9,8 +9,8 @@ they extend SURVEY.md §2's inventory the way the brief's
 "training-data pipeline" section demands.
 
 Every op is pure DataFrame algebra (no UDFs): tokenization is the same
-``\\W+`` split the FTS layer uses, so one tokenizer serves search,
-dedup, and pipeline ops. Scale notes per-op; the common theme is that
+Unicode-aware split the FTS layer uses (``operators.fts.TOKEN_SPLIT``),
+so one tokenizer serves search, dedup, and pipeline ops. Scale notes per-op; the common theme is that
 per-document signals are single-pass HOF arithmetic (no shuffle) and
 corpus-wide ops shuffle once on a well-distributed key.
 """
@@ -47,7 +47,7 @@ DROP_BROADCAST_MAX_ROWS = 20_000_000
 _TOKS_CTE = """
     toks AS (
       SELECT doc_id, lang, source,
-             list_filter(string_split_regex(lower(text), '\\W+'),
+             list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                          x -> x <> '') AS ts
       FROM documents
     )

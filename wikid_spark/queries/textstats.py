@@ -249,7 +249,7 @@ def tx_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id, lang, source,
-             unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+             unnest(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                                 x -> x <> '')) AS tok
       FROM documents
     ), tf AS (
