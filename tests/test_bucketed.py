@@ -54,3 +54,59 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
     o, li = table(spark, SF, "orders"), table(spark, SF, "lineitem")
     want = o.join(li, o["o_orderkey"] == li["l_orderkey"]).count()
     assert j.count() == want and want > 0
+
+
+@pytest.fixture(scope="module")
+def dedup_index_tables(spark, tmp_path_factory):
+    from wikid_spark.streaming.dedup_ingest import persist_dedup_index_bucketed
+
+    d = tmp_path_factory.mktemp("dedupidx")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS dedupidx LOCATION '{d}'")
+    corpus = table(spark, SF, "documents").select("doc_id", "text").filter(
+        "doc_id % 10 != 0"
+    )
+    persist_dedup_index_bucketed(spark, corpus, "dedupidx.lsh", buckets=16)
+    yield "dedupidx.lsh"
+    for t in ("lsh_bands", "lsh_shingles", "lsh_sizes"):
+        spark.sql(f"DROP TABLE IF EXISTS dedupidx.{t}")
+    spark.sql("DROP DATABASE IF EXISTS dedupidx")
+
+
+def test_bucketed_index_probe_prunes_buckets(spark, tmp_path, dedup_index_tables):
+    """A micro-batch probe against the bucketed LSH index must
+    bucket-prune every index scan (SelectedBucketsCount < total) —
+    the point of the layout: probe cost follows the batch's key set,
+    not the corpus — and its verdicts must equal the path-partitioned
+    index's on the same corpus/batch."""
+    import re
+
+    from wikid_spark.streaming.dedup_ingest import (
+        batch_verdicts,
+        bucketed_batch_verdicts,
+        persist_dedup_index,
+    )
+
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+    batch = docs.filter("doc_id % 10 = 0").limit(5).localCheckpoint()
+    got_df = bucketed_batch_verdicts(spark, batch, dedup_index_tables)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got_df.explain("formatted")
+    plan = buf.getvalue()
+    selected = [
+        (int(a), int(b))
+        for a, b in re.findall(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    ]
+    # all three index tables scan pruned (bands via bsig, shingles and
+    # sizes via doc_id)
+    assert len(selected) >= 3
+    assert all(sel < total for sel, total in selected)
+
+    # correctness: identical verdicts vs the path-partitioned layout
+    pdir = str(tmp_path / "plain_idx")
+    corpus = docs.filter("doc_id % 10 != 0")
+    persist_dedup_index(corpus, pdir)
+    want = sorted(map(tuple, batch_verdicts(spark, batch, pdir).collect()))
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == want and len(got) == 5

@@ -463,7 +463,11 @@ def test_streaming_incremental_dedup_against_persisted_index(
     out_dir = str(tmp_path / "verdicts")
     q = (
         stream.writeStream.foreachBatch(
-            dedup_ingest.dedup_verdict_batch_writer(spark, index_dir, out_dir)
+            # evolve=False: this test certifies the STATIC-index mode,
+            # whose semantics are exactly the registered batch query
+            dedup_ingest.dedup_verdict_batch_writer(
+                spark, index_dir, out_dir, evolve=False
+            )
         )
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
@@ -493,3 +497,135 @@ def test_streaming_incremental_dedup_against_persisted_index(
         map(tuple, dedup_ingest.read_verdicts(spark, out2).collect())
     )
     assert once == twice and len(once) == 20
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+_CORPUS_ROWS = [
+    (1, "oak maple birch cedar willow pine elm ash fir spruce"),
+    (2, "red orange yellow green blue indigo violet purple pink teal"),
+]
+_DOC_A = "quantum entanglement allows correlated measurement outcomes across distance boundaries today"
+_DOC_A_NEARDUP = "quantum entanglement allows correlated measurement outcomes across distance boundaries tomorrow"
+_DOC_UNRELATED = "gravel cement asphalt concrete mortar brick tile slate plaster stone"
+
+
+def test_evolving_index_catches_cross_batch_neardups(spark, tmp_path):
+    """The read-your-own-writes contract: doc A arrives (and is kept)
+    in batch 0; a near-dup of A — matching NOTHING in the original
+    corpus — arrives in batch 1 and must get 'drop' with dup_of = A,
+    because batch 0's kept signatures were appended to the index.
+    Replaying batch 1 yields identical verdicts (its probe reads
+    strictly batch_id < 1, so its own appends are invisible), and the
+    verdicts equal a fresh static probe against corpus ∪ batch-0-kept
+    (the batch-twin definition of the evolving semantics)."""
+    from wikid_spark.streaming import dedup_ingest
+
+    corpus = _mkdocs(spark, _CORPUS_ROWS)
+    index_dir = str(tmp_path / "idx")
+    dedup_ingest.persist_dedup_index(corpus, index_dir)
+
+    out_dir = str(tmp_path / "verdicts")
+    writer = dedup_ingest.dedup_verdict_batch_writer(spark, index_dir, out_dir)
+    b0 = _mkdocs(spark, [(100, _DOC_A)])
+    b1 = _mkdocs(spark, [(200, _DOC_A_NEARDUP), (201, _DOC_UNRELATED)])
+    writer(b0, 0)
+    writer(b1, 1)
+
+    got = {
+        r["doc_id"]: (r["verdict"], r["dup_of"])
+        for r in dedup_ingest.read_verdicts(spark, out_dir).collect()
+    }
+    assert got[100] == ("keep", None)
+    assert got[200] == ("drop", 100)  # cross-batch near-dup caught
+    assert got[201] == ("keep", None)
+
+    # replay idempotency including the index appends
+    before = sorted(
+        map(tuple, dedup_ingest.read_verdicts(spark, out_dir).collect())
+    )
+    writer(b1, 1)
+    after = sorted(
+        map(tuple, dedup_ingest.read_verdicts(spark, out_dir).collect())
+    )
+    assert before == after
+
+    # batch-twin equality: evolving verdicts for batch 1 == static
+    # verdicts against corpus ∪ earlier kept docs
+    twin_dir = str(tmp_path / "twin_idx")
+    dedup_ingest.persist_dedup_index(
+        corpus.unionByName(b0), twin_dir
+    )
+    want = sorted(
+        map(tuple, dedup_ingest.batch_verdicts(spark, b1, twin_dir).collect())
+    )
+    got1 = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{out_dir}/batch_id=1")
+            .select("doc_id", "dup_of", "jaccard", "verdict")
+            .collect(),
+        )
+    )
+    assert got1 == want
+
+    # compaction folds deltas into the base without changing probes
+    dedup_ingest.compact_dedup_index(spark, index_dir)
+    b2 = _mkdocs(spark, [(300, _DOC_A + " entirely")])
+    v2 = {
+        r["doc_id"]: r["verdict"]
+        for r in dedup_ingest.batch_verdicts(spark, b2, index_dir).collect()
+    }
+    assert v2[300] == "drop"  # still sees doc 100 post-compaction
+
+
+def test_evolving_index_through_stream(spark, tmp_path):
+    """End-to-end through a real file-source stream: the near-dup pair
+    spans two micro-batches (one file per trigger, mtime-ordered), so
+    exactly one of the pair survives and the other names it dup_of."""
+    import os
+    import time
+
+    from wikid_spark.streaming import dedup_ingest
+
+    corpus = _mkdocs(spark, _CORPUS_ROWS)
+    index_dir = str(tmp_path / "idx")
+    dedup_ingest.persist_dedup_index(corpus, index_dir)
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    with open(f"{src}/f0.json", "w") as f:
+        f.write(json.dumps({"doc_id": 100, "text": _DOC_A}) + "\n")
+    with open(f"{src}/f1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 200, "text": _DOC_A_NEARDUP}) + "\n")
+    now = time.time()
+    os.utime(f"{src}/f0.json", (now - 60, now - 60))  # f0 strictly older
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    out_dir = str(tmp_path / "verdicts")
+    q = (
+        stream.writeStream.foreachBatch(
+            dedup_ingest.dedup_verdict_batch_writer(spark, index_dir, out_dir)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: (r["verdict"], r["dup_of"])
+        for r in dedup_ingest.read_verdicts(spark, out_dir).collect()
+    }
+    assert len(got) == 2
+    verdicts = sorted(v for v, _ in got.values())
+    assert verdicts == ["drop", "keep"]  # one of the pair survives
+    dropped = next(d for d, (v, _) in got.items() if v == "drop")
+    kept = next(d for d, (v, _) in got.items() if v == "keep")
+    assert got[dropped][1] == kept  # and names the survivor

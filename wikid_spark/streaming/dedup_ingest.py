@@ -1,4 +1,4 @@
-"""Streaming incremental dedup against a PERSISTED LSH index.
+"""Streaming incremental dedup against a persisted, EVOLVING LSH index.
 
 The production shape `queries/dedup.nd_incremental_dedup` stands in
 for: the corpus's MinHash band signatures and shingle hashes are built
@@ -8,15 +8,46 @@ its OWN signatures, probes the index, exact-Jaccard-verifies the
 candidates, and appends per-doc keep/drop verdicts. The corpus is
 never re-signed per batch — nightly cost is O(batch), not O(corpus).
 
-Exactly-once: verdicts write to a deterministic ``batch_id=<n>`` path
-in overwrite mode (the same replay-idempotency contract as
-`streaming.ingest.alias_count_batch_writer`).
+The index EVOLVES (read-your-own-writes across batches): after a
+batch's verdicts commit, its KEPT documents' band signatures, shingle
+hashes and sizes are appended to the index under deterministic
+``batch_id=<n>`` partitions, so a near-dup arriving in a later
+micro-batch is caught against them — the normal case for a nightly
+ingest whose batches contain dups of each other (the reference's
+incremental anti-join restart likewise sees prior writes,
+/root/reference/scripts/wiki/wikipedia.py:280-282). A batch's OWN
+probe reads strictly ``batch_id < n`` partitions, which makes replay
+deterministic: a redelivered batch sees exactly the index state its
+first attempt saw, regardless of whether its own appends already
+landed. Batches are assumed sequential (Structured Streaming's
+contract): a crashed batch replays before the next one starts, so a
+torn append (bands landed, shingles not) is always overwritten before
+any later batch can read it.
 
-All logic is shared with the registered batch queries
-(`band_table_from` / `shingles_from` — one implementation of the
-signature math), so the streaming path cannot drift from the
-oracle-certified semantics; `tests/test_streaming.py` asserts
-stream-vs-batch verdict equality end-to-end.
+Exactly-once: verdicts AND index appends write to deterministic
+``batch_id=<n>`` paths in overwrite mode (the same replay-idempotency
+contract as `streaming.ingest.alias_count_batch_writer`).
+
+Two physical layouts share one logical schema:
+
+* **Path-partitioned parquet** (`persist_dedup_index` /
+  `batch_verdicts`): base under ``batch_id=-1``, appends under their
+  batch id — the evolving form the stream writes.
+* **Bucketed catalog tables** (`persist_dedup_index_bucketed` /
+  `bucketed_batch_verdicts`): the static/compacted base at scale,
+  bands bucketed by a single derived ``bsig = xxhash64(band, sig)``
+  column and shingles/sizes by ``doc_id``, so a batch probe
+  bucket-prunes (``SelectedBucketsCount`` in the scan — Spark prunes
+  only single-column bucket specs, hence the derived key) instead of
+  scanning the whole index. `compact_dedup_index` folds accumulated
+  deltas into such a base, the LSM discipline `streaming.ingest`
+  applies to its merge log.
+
+All signature math is shared with the registered batch queries
+(`band_table_from` / `shingles_from` — one implementation), so the
+streaming path cannot drift from the oracle-certified semantics;
+`tests/test_streaming.py` asserts stream-vs-batch verdict equality
+end-to-end in both static and evolving modes.
 """
 
 from __future__ import annotations
@@ -29,46 +60,83 @@ from pyspark.sql import DataFrame, SparkSession
 from wikid_spark.queries.dedup import band_table_from, shingles_from
 
 JACCARD_THRESHOLD = 0.2
+BASE_BATCH_ID = -1  # partition id of the initial corpus index
+
+
+def _write_part(df: DataFrame, index_dir: str, part: str, batch_id: int) -> None:
+    df.write.mode("overwrite").parquet(
+        f"{index_dir}/{part}/batch_id={batch_id}"
+    )
+
+
+def _read_part(
+    spark: SparkSession, index_dir: str, part: str, as_of_batch: int | None
+) -> DataFrame:
+    """One index component across base + appended deltas. With
+    ``as_of_batch`` set, reads strictly earlier partitions — partition
+    pruning on ``batch_id``, and the probe's replay determinism."""
+    df = spark.read.option("basePath", f"{index_dir}/{part}").parquet(
+        f"{index_dir}/{part}/batch_id=*"
+    )
+    if as_of_batch is not None:
+        df = df.filter(F.col("batch_id") < as_of_batch)
+    return df.drop("batch_id")
+
+
+def _hashed_shingles(docs: DataFrame) -> DataFrame:
+    return shingles_from(docs).select(
+        "doc_id", F.xxhash64("sh").alias("sh")
+    )
 
 
 def persist_dedup_index(corpus: DataFrame, index_dir: str) -> None:
     """Build and persist the corpus LSH index: band signatures (the
     candidate-generation side) and hashed shingles + sizes (the
-    exact-verify side). One corpus pass each; at scale, write these
-    bucketed by (band, sig) / doc_id so probes prune."""
-    band_table_from(corpus).write.mode("overwrite").parquet(
-        f"{index_dir}/bands"
+    exact-verify side), under ``batch_id=-1`` partitions so streaming
+    appends evolve the same tree. For the bucket-pruned catalog-table
+    form at scale, see `persist_dedup_index_bucketed`."""
+    _write_part(band_table_from(corpus), index_dir, "bands", BASE_BATCH_ID)
+    sh = _hashed_shingles(corpus)
+    _write_part(sh, index_dir, "shingles", BASE_BATCH_ID)
+    _write_part(
+        sh.groupBy("doc_id").agg(F.count("*").alias("n_sh")),
+        index_dir,
+        "sizes",
+        BASE_BATCH_ID,
     )
-    sh = shingles_from(corpus).select("doc_id", F.xxhash64("sh").alias("sh"))
-    sh.write.mode("overwrite").parquet(f"{index_dir}/shingles")
-    sh.groupBy("doc_id").agg(F.count("*").alias("n_sh")).write.mode(
-        "overwrite"
-    ).parquet(f"{index_dir}/sizes")
 
 
-def batch_verdicts(
-    spark: SparkSession, batch: DataFrame, index_dir: str
+def append_kept_to_index(
+    batch: DataFrame, kept_ids: DataFrame, index_dir: str, batch_id: int
+) -> None:
+    """Append the kept docs' signatures under this batch's partitions —
+    overwrite mode, so a replayed batch rewrites its own appends
+    byte-identically instead of duplicating them."""
+    kept_docs = batch.join(F.broadcast(kept_ids), "doc_id", "left_semi")
+    _write_part(band_table_from(kept_docs), index_dir, "bands", batch_id)
+    sh = _hashed_shingles(kept_docs)
+    _write_part(sh, index_dir, "shingles", batch_id)
+    _write_part(
+        sh.groupBy("doc_id").agg(F.count("*").alias("n_sh")),
+        index_dir,
+        "sizes",
+        batch_id,
+    )
+
+
+def _verify_verdicts(
+    batch: DataFrame,
+    cand: DataFrame,
+    corpus_sh: DataFrame,
+    corpus_sizes: DataFrame,
 ) -> DataFrame:
-    """Verdicts for one batch of (doc_id, text) against the persisted
-    index: LSH candidate probe (batch bands BROADCAST into the index
-    band table) → exact-Jaccard verify on candidates → min-doc_id
-    dup_of attribution. Same funnel as nd_incremental_dedup, with the
-    corpus side read from the index instead of recomputed."""
-    corpus_bands = spark.read.parquet(f"{index_dir}/bands")
-    corpus_sh = spark.read.parquet(f"{index_dir}/shingles")
-    corpus_sizes = spark.read.parquet(f"{index_dir}/sizes")
-
-    nb = band_table_from(batch).select(
-        F.col("doc_id").alias("new_id"), "band", "sig"
-    )
-    cand = (
-        corpus_bands.join(F.broadcast(nb), ["band", "sig"])
-        .select("new_id", F.col("doc_id").alias("old_id"))
-        .dropDuplicates()
-    )
-    new_sh = (
-        shingles_from(batch)
-        .select(F.col("doc_id").alias("new_id"), F.xxhash64("sh").alias("sh"))
+    """Shared tail of both probe paths: exact-Jaccard verify the LSH
+    candidates, min-doc_id dup_of attribution, one verdict row per
+    batch doc. Same funnel as nd_incremental_dedup: the (tiny)
+    candidate set broadcasts into the shingle probes; the corpus
+    shingle table is semi-filtered to candidate docs only."""
+    new_sh = _hashed_shingles(batch).select(
+        F.col("doc_id").alias("new_id"), "sh"
     )
     new_sizes = new_sh.groupBy("new_id").agg(F.count("*").alias("n_a"))
     probe = new_sh.join(F.broadcast(cand), "new_id")
@@ -109,18 +177,62 @@ def batch_verdicts(
     )
 
 
+def batch_verdicts(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    as_of_batch: int | None = None,
+) -> DataFrame:
+    """Verdicts for one batch of (doc_id, text) against the persisted
+    index as of ``as_of_batch`` (None = whole index): LSH candidate
+    probe (batch bands BROADCAST into the index band table) → exact
+    verify → verdict. The corpus side is read from the index, never
+    recomputed."""
+    nb = band_table_from(batch).select(
+        F.col("doc_id").alias("new_id"), "band", "sig"
+    )
+    cand = (
+        _read_part(spark, index_dir, "bands", as_of_batch)
+        .join(F.broadcast(nb), ["band", "sig"])
+        .select("new_id", F.col("doc_id").alias("old_id"))
+        .dropDuplicates()
+    )
+    return _verify_verdicts(
+        batch,
+        cand,
+        _read_part(spark, index_dir, "shingles", as_of_batch),
+        _read_part(spark, index_dir, "sizes", as_of_batch),
+    )
+
+
 def dedup_verdict_batch_writer(
-    spark: SparkSession, index_dir: str, out_dir: str
+    spark: SparkSession, index_dir: str, out_dir: str, evolve: bool = True
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch hook: verdicts for the micro-batch, written to a
     deterministic ``batch_id=<n>`` path in overwrite mode — replayed
     batches overwrite their own output (exactly-once without a table
-    format, the `alias_count_batch_writer` contract)."""
+    format, the `alias_count_batch_writer` contract).
+
+    With ``evolve=True`` (the production default) each batch's kept
+    docs are appended to the index after the verdicts commit, so
+    later batches dedup against them; the probe reads strictly
+    ``batch_id < n``, keeping replays deterministic. ``evolve=False``
+    probes the static corpus-only index — the exact semantics of the
+    registered `nd_incremental_dedup` batch query."""
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
-        batch_verdicts(spark, batch, index_dir).write.mode(
-            "overwrite"
-        ).parquet(f"{out_dir}/batch_id={batch_id}")
+        out = f"{out_dir}/batch_id={batch_id}"
+        batch_verdicts(
+            spark, batch, index_dir,
+            as_of_batch=batch_id if evolve else None,
+        ).write.mode("overwrite").parquet(out)
+        if evolve:
+            kept = (
+                spark.read.parquet(out)
+                .filter(F.col("verdict") == "keep")
+                .select("doc_id")
+            )
+            append_kept_to_index(batch, kept, index_dir, batch_id)
 
     return write_batch
 
@@ -132,3 +244,97 @@ def read_verdicts(spark: SparkSession, out_dir: str) -> DataFrame:
         .parquet(f"{out_dir}/batch_id=*")
         .select("doc_id", "dup_of", "jaccard", "verdict")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed catalog-table index: the compacted base at scale. At 100 TB
+# the band table is corpus × 8 rows; a micro-batch probe must not scan
+# it. Bucketing by one derived key and filtering with the batch's
+# (bounded: |batch| × 8 values) literal key set turns the probe into a
+# SelectedBucketsCount-pruned scan of ~|batch keys| buckets.
+# ---------------------------------------------------------------------------
+
+
+def persist_dedup_index_bucketed(
+    spark: SparkSession, corpus: DataFrame, prefix: str, buckets: int = 16
+) -> None:
+    """Catalog-table form of the LSH index via `sources.bucketed`'s
+    layout discipline: bands bucketed+sorted by ``bsig =
+    xxhash64(band, sig)`` (single column — Spark's bucket pruning
+    requires it), shingles and sizes by ``doc_id`` for the verify
+    fetch. ``prefix`` names the tables ``{prefix}_bands`` /
+    ``_shingles`` / ``_sizes``."""
+    bands = band_table_from(corpus).withColumn(
+        "bsig", F.xxhash64("band", "sig")
+    )
+    (
+        bands.write.mode("overwrite")
+        .bucketBy(buckets, "bsig")
+        .sortBy("bsig")
+        .saveAsTable(f"{prefix}_bands")
+    )
+    sh = _hashed_shingles(corpus)
+    (
+        sh.write.mode("overwrite")
+        .bucketBy(buckets, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(f"{prefix}_shingles")
+    )
+    (
+        sh.groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "doc_id")
+        .saveAsTable(f"{prefix}_sizes")
+    )
+
+
+def bucketed_batch_verdicts(
+    spark: SparkSession, batch: DataFrame, prefix: str
+) -> DataFrame:
+    """`batch_verdicts` against the bucketed index: the batch's band
+    keys and then the candidate doc ids are collected (both bounded by
+    the micro-batch size, not the corpus) and pushed as IN-filters on
+    the bucket columns, so every index scan is bucket-pruned."""
+    nb = band_table_from(batch).select(
+        F.col("doc_id").alias("new_id"), "band", "sig"
+    ).localCheckpoint(eager=True)  # sign the batch once, not per reuse
+    bsigs = [
+        r[0]
+        for r in nb.select(F.xxhash64("band", "sig").alias("b"))
+        .distinct()
+        .collect()
+    ]
+    cand = (
+        spark.table(f"{prefix}_bands")
+        .filter(F.col("bsig").isin(bsigs))
+        .drop("bsig")
+        .join(F.broadcast(nb), ["band", "sig"])
+        .select("new_id", F.col("doc_id").alias("old_id"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    old_ids = [r[0] for r in cand.select("old_id").distinct().collect()]
+    corpus_sh = spark.table(f"{prefix}_shingles").filter(
+        F.col("doc_id").isin(old_ids)
+    )
+    corpus_sizes = spark.table(f"{prefix}_sizes").filter(
+        F.col("doc_id").isin(old_ids)
+    )
+    return _verify_verdicts(batch, cand, corpus_sh, corpus_sizes)
+
+
+def compact_dedup_index(spark: SparkSession, index_dir: str) -> None:
+    """Fold base + accumulated per-batch deltas back into a single
+    ``batch_id=-1`` base (localCheckpoint cuts lineage so the source
+    partitions can be overwritten — the `streaming.ingest` compaction
+    discipline). Run between streaming jobs, not concurrently with
+    one."""
+    import shutil
+
+    for part in ("bands", "shingles", "sizes"):
+        folded = _read_part(spark, index_dir, part, None).localCheckpoint(
+            eager=True
+        )
+        shutil.rmtree(f"{index_dir}/{part}", ignore_errors=True)
+        _write_part(folded, index_dir, part, BASE_BATCH_ID)
