@@ -595,6 +595,42 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_resize",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           224 AS width, 224 AS height,
+           CAST(64 AS BIGINT) AS payload_len,
+           substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2) AS head
+    FROM documents WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+    tags=("multimodal",),
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing certified end-to-end: payload → Arrow-batched
+    mapInPandas resize kernel (deterministic pass-through stub; a
+    PIL/ffmpeg resize plugs into the same seam) → meta dimensions
+    updated JVM-side. The oracle recomputes the payload from first
+    principles, so the check proves the payload SURVIVES the kernel
+    byte-for-byte (length + head bytes) and the new dimensions land in
+    the metadata struct — the schema contract a real decoder slots
+    into."""
+    from wikid_spark.operators.multimodal import attach_fake_media, resize_media
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    resized = resize_media(
+        attach_fake_media(docs, "doc_id"), width=224, height=224, fake=True
+    )
+    return resized.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.length("payload").cast("long").alias("payload_len"),
+        F.substring(F.col("payload").cast("string"), 1, 2).alias("head"),
+    ).orderBy("doc_id")
+
+
+@query(
     "graph_components",
     oracle="""
     WITH sizes AS (

@@ -18,6 +18,14 @@ from wikid_spark.registry import query
 
 N_PLANES = 8  # 2^8 = 256 buckets
 N_TABLES = 3  # OR'd LSH hash tables (recall ∝ 1-(1-p^planes)^tables)
+# Query-side sample: vec_id % 50 = 0 AND vec_id < 2000 — a FIXED query
+# budget (max 40 queries) rather than a corpus fraction. At the driver
+# SFs every vec_id is < 2000, so results are unchanged; at sf1/sf10 the
+# benchmark measures a constant serving workload instead of one that
+# grows with the corpus (the round-5 scale run showed the proportional
+# form going quadratic across decades by construction and exhausting
+# the single-JVM heap on the multitable path — SCALE.md "fixed query
+# budget"). Per-query cost remains the serving metric either way.
 # w(p, d) = ((17p + 31d) mod 7) - 3 ∈ [-3, 3]: a fixed pseudo-random
 # projection matrix both engines can compute with integer arithmetic.
 
@@ -65,7 +73,7 @@ _BUCKETS_CTE = f"""
 @query(
     "sim_ann_brute_topk",
     oracle="""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000),
     sims AS (
       SELECT q.query_id, e.vec_id AS neighbor_id,
              ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS sim
@@ -83,11 +91,11 @@ _BUCKETS_CTE = f"""
 )
 def sim_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force ANN baseline: top-3 cosine neighbors for each sampled
-    query vector. The query side (vec_id % 50 = 0) broadcasts; ranking
+    query vector. The query side (vec_id % 50 = 0 AND vec_id < 2000) broadcasts; ranking
     happens on the ROUNDED similarity so cross-engine float noise can't
     reorder ties."""
     emb = table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+    q = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     sims = (
@@ -137,7 +145,7 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_BUCKETS_CTE}, q AS (
       SELECT e.vec_id AS query_id, e.embedding AS qe, b.bucket
       FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
-      WHERE e.vec_id % 50 = 0
+      WHERE e.vec_id % 50 = 0 AND e.vec_id < 2000
     ), cands AS (
       SELECT q.query_id, e.vec_id AS neighbor_id,
              ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS sim
@@ -170,7 +178,7 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lambdas are not common-subexpression-eliminated, so an inline
     # quantize would re-run per plane (same pitfall as _shingles).
     q = (
-        emb.filter(F.col("vec_id") % 50 == 0)
+        emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
         .withColumn("qemb", quantize_embedding(F.col("embedding")))
         .select(
             F.col("vec_id").alias("query_id"),
@@ -312,7 +320,7 @@ def sim_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_IVF_CTE}, q AS (
       SELECT vec_id AS query_id, embedding AS qe, cent_id AS qcell
-      FROM assigned WHERE vec_id % 50 = 0
+      FROM assigned WHERE vec_id % 50 = 0 AND vec_id < 2000
     ), cands AS (
       SELECT q.query_id, a.vec_id AS neighbor_id,
              ROUND(list_cosine_similarity(a.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS sim
@@ -336,7 +344,7 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     — per-query work is |cell|, not |corpus|."""
     emb = table(spark, sf_dir, "embeddings")
     assigned = _assignments(emb)
-    q = assigned.filter(F.col("vec_id") % 50 == 0).select(
+    q = assigned.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("cent_id").alias("qcell"),
@@ -384,7 +392,7 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, embedding, cent_id FROM dists WHERE rn = 1
     ), probes AS (
       SELECT vec_id AS query_id, embedding AS qe, cent_id AS pcell
-      FROM dists WHERE rn <= 2 AND vec_id % 50 = 0
+      FROM dists WHERE rn <= 2 AND vec_id % 50 = 0 AND vec_id < 2000
     ), cands AS (
       SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
              ROUND(list_cosine_similarity(a.embedding::DOUBLE[], p.qe::DOUBLE[]), 4) AS sim
@@ -427,7 +435,7 @@ def sim_ivf_ann_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", "cent_id"
     )
     probes = ranked_cents.filter(
-        (F.col("rn") <= 2) & (F.col("vec_id") % 50 == 0)
+        (F.col("rn") <= 2) & ((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -486,7 +494,7 @@ def sim_ivf_ann_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dists d JOIN embeddings e ON e.vec_id = d.vec_id
       WHERE d.rn = 1
     ), bq AS (
-      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000
     ), brute AS (
       SELECT query_id, neighbor_id FROM (
         SELECT bq.query_id, e.vec_id AS neighbor_id,
@@ -498,7 +506,7 @@ def sim_ivf_ann_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), lq AS (
       SELECT e.vec_id AS query_id, e.embedding AS qe, b.bucket
       FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
-      WHERE e.vec_id % 50 = 0
+      WHERE e.vec_id % 50 = 0 AND e.vec_id < 2000
     ), lsh3 AS (
       SELECT query_id, neighbor_id FROM (
         SELECT lq.query_id, e.vec_id AS neighbor_id,
@@ -512,7 +520,7 @@ def sim_ivf_ann_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE rn <= 3
     ), iq AS (
       SELECT vec_id AS query_id, embedding AS qe, cent_id AS qcell
-      FROM assigned WHERE vec_id % 50 = 0
+      FROM assigned WHERE vec_id % 50 = 0 AND vec_id < 2000
     ), ivf1 AS (
       SELECT query_id, neighbor_id FROM (
         SELECT iq.query_id, a.vec_id AS neighbor_id,
@@ -525,7 +533,7 @@ def sim_ivf_ann_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), probes AS (
       SELECT d.vec_id AS query_id, e.embedding AS qe, d.cent_id AS pcell
       FROM dists d JOIN embeddings e ON e.vec_id = d.vec_id
-      WHERE d.rn <= 2 AND d.vec_id % 50 = 0
+      WHERE d.rn <= 2 AND d.vec_id % 50 = 0 AND d.vec_id < 2000
     ), ivf2 AS (
       SELECT query_id, neighbor_id FROM (
         SELECT query_id, neighbor_id,
@@ -549,7 +557,7 @@ def sim_ivf_ann_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), mq AS (
       SELECT b.vec_id AS query_id, e.embedding AS qe, b.t, b.bucket
       FROM mbuckets b JOIN embeddings e ON e.vec_id = b.vec_id
-      WHERE b.vec_id % 50 = 0
+      WHERE b.vec_id % 50 = 0 AND b.vec_id < 2000
     ), mt3 AS (
       SELECT query_id, neighbor_id FROM (
         SELECT query_id, neighbor_id,
@@ -583,7 +591,7 @@ def sim_ivf_ann_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@3 of every approximate ANN path against the brute-force
-    baseline on the shared query sample (vec_id % 50 = 0). Composes the
+    baseline on the shared query sample (vec_id % 50 = 0 AND vec_id < 2000). Composes the
     registered method queries directly, so the report can never drift
     from what the methods actually return. One row per method:
     (method, n_hits, n_brute, recall_at_3)."""
@@ -737,7 +745,7 @@ def _bucket_expr_t(qemb_col, t: int):
     ), q AS (
       SELECT b.vec_id AS query_id, e.embedding AS qe, b.t, b.bucket
       FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
-      WHERE b.vec_id % 50 = 0
+      WHERE b.vec_id % 50 = 0 AND b.vec_id < 2000
     ), cands AS (
       SELECT DISTINCT q.query_id, e.vec_id AS neighbor_id,
              ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS sim
@@ -784,7 +792,7 @@ def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sample directly instead of re-running the corpus bucket pass on
     # the broadcast side.
     q = (
-        emb.filter(F.col("vec_id") % 50 == 0)
+        emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
         .withColumn("qemb", quantize_embedding(F.col("embedding")))
         .withColumn("_bkts", buckets_arr)
         .select(
