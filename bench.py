@@ -111,6 +111,7 @@ def main() -> None:
     p95s: dict[str, float] = {}
     all_builds: dict[str, float] = {}
     for name in names:
+        print(f"bench: {name}", file=sys.stderr, flush=True)  # scale-run triage
         t0 = time.perf_counter()
         df = specs[name].fn(spark, sf_dir)
         all_builds[name] = time.perf_counter() - t0

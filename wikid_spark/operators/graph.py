@@ -127,34 +127,34 @@ def pagerank_with_nodes(
     computation stays one deterministic Catalyst DAG.
 
     Returns ``(ranks, nodes)`` — ``nodes`` is the MATERIALIZED
-    (localCheckpointed) node set, so callers needing |V| or a node
-    list reuse the checkpoint instead of replaying the edge-derivation
+    (checkpointed) node set, so callers needing |V| or a node list
+    reuse the checkpoint instead of replaying the edge-derivation
     subtree (a full source re-scan, measured ~0.9 s at sf0.1 in
     graph_pagerank's output scaling).
     """
-    # Iteration-invariant inputs materialize ONCE (eager localCheckpoint)
-    # and feed every unrolled round: without this the whole
-    # edge-derivation subtree (scan + distinct shuffle) replays per
-    # iteration — measured 30 parquet scans / 67 exchanges /
-    # 0 ReusedExchange for 3 rounds at sf0.1, and 2x wall time.
-    # localCheckpoint beats .persist() here: the InMemoryRelation cache
-    # disables AQE inside the cached subplan and costs a columnar
-    # encode, measured ~2x slower cold than the RDD-backed checkpoint.
-    # Blocks are freed by the ContextCleaner when the DataFrame is
-    # garbage-collected — the same discipline GraphX applies to its
-    # iteration-invariant edge RDD.
-    edges = edges.localCheckpoint(eager=True)
-    nodes = (
+    # Iteration-invariant inputs materialize ONCE and feed every
+    # unrolled round: without this the whole edge-derivation subtree
+    # (scan + distinct shuffle) replays per iteration — measured 30
+    # parquet scans / 67 exchanges / 0 ReusedExchange for 3 rounds at
+    # sf0.1, and 2x wall time. Materialization is the DISK-backed
+    # reliable checkpoint (`_materialize`), not localCheckpoint: local-
+    # checkpoint blocks live DESERIALIZED in executor storage memory,
+    # and at sf10 the ~60 M-row edge table's object-inflated blocks
+    # OOM'd the default 8 GiB single-JVM heap during unroll; checkpoint
+    # files cost no heap and the per-iteration re-read stays in page
+    # cache. (.persist() remains worse than either: the
+    # InMemoryRelation cache disables AQE inside the cached subplan and
+    # costs a columnar encode, measured ~2x slower cold.)
+    edges = _materialize(edges)
+    nodes = _materialize(
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    deg = (
+    deg = _materialize(
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
-        .localCheckpoint(eager=True)
     )
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "id", (F.lit(1.0) / F.col("n")).alias("rank")
@@ -201,8 +201,9 @@ def connected_components(
     At 100 TB each round is one join on the edge list + one min-agg on
     node id — the same shuffle profile as one PageRank round.
     """
-    # Same iteration-invariant materialization rationale as pagerank.
-    edges = edges.localCheckpoint(eager=True)
+    # Same iteration-invariant materialization rationale (and the same
+    # disk-backed-not-heap reasoning) as pagerank.
+    edges = _materialize(edges)
     nodes = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
@@ -212,9 +213,7 @@ def connected_components(
     # and neighbor_min input), so without materialization the
     # nodes-distinct subtree duplicates ~2^iters times in the plan —
     # the same pathology pagerank's invariant checkpoints prevent.
-    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(
-        eager=True
-    )
+    labels = _materialize(nodes.select("id", F.col("id").alias("label")))
     for i in range(iters):
         neighbor_min = (
             edges.join(labels.select(F.col("id").alias("src"), "label"), "src")
