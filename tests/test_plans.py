@@ -121,10 +121,22 @@ def test_pp_map_only_ops_have_no_exchange_before_sink(spark):
 
 def test_lsh_verified_pairs_broadcasts_candidates(spark):
     """The two-stage dedup flow must probe the candidate pair set
-    map-side: an explicit broadcast of the LSH candidates (and the
+    map-side when the measured pair count is small (it is, on the test
+    corpora): an explicit broadcast of the LSH candidates (and the
     doc_b semi-filter), never a corpus-wide shuffle on the pair key."""
     plan = _plan(spark, "nd_lsh_verified_pairs")
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_lsh_verified_pairs_unhinted_above_threshold(spark, monkeypatch):
+    """Above PAIR_BROADCAST_MAX_ROWS (a high-dup-rate corpus) the hint
+    must be omitted — results identical, strategy left to AQE."""
+    from wikid_spark.queries import dedup
+
+    hinted = all_queries()["nd_lsh_verified_pairs"].fn(spark, SF).collect()
+    monkeypatch.setattr(dedup, "PAIR_BROADCAST_MAX_ROWS", 0)
+    got = all_queries()["nd_lsh_verified_pairs"].fn(spark, SF).collect()
+    assert got == hinted and len(got) > 0
 
 
 def test_sim_ivf_assignment_broadcasts_centroids(spark):

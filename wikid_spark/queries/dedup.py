@@ -37,6 +37,21 @@ NEARDUP_BLOCKS = 8  # block-pair grid for exact embedding near-dup
 # Far above every df in the test corpora (max 25 at sf0.1), so the
 # oracle — which computes the uncapped exact Jaccard — still matches.
 JACCARD_DF_CAP = 1000
+# Max LSH candidate-pair rows to pin as a broadcast in the verify
+# funnel (the dup-rate dial, same reasoning as pipeline's
+# DROP_BROADCAST_MAX_ROWS): the candidate set scales with corpus dup
+# rate — tiny on a curated corpus, corpus-scale on a high-duplicate
+# crawl (measured: the closed-vocab sf10 corpus OOM'd an 8 GiB JVM
+# under the pinned broadcast). Below the cap the hint pins the
+# map-side probe; above it the hint is omitted and the verify joins
+# shuffle — slower, but they complete and spill.
+PAIR_BROADCAST_MAX_ROWS = 5_000_000
+
+
+def _hint_if_small(df: DataFrame, n_rows: int):
+    """F.broadcast(df) when the measured size is under the cap, else
+    the bare plan (AQE picks the strategy from runtime sizes)."""
+    return F.broadcast(df) if n_rows <= PAIR_BROADCAST_MAX_ROWS else df
 
 # DuckDB twin of _shingles below, including the short-document fallback:
 # docs with fewer than 3 words contribute one whole-text shingle (the
@@ -327,6 +342,13 @@ def nd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Band signatures are derived directly from the one-row-per-doc
     signature (no collect_list, no second shuffle): band j's sig is
     md5 over its BAND_R consecutive mins."""
+    return _lsh_candidate_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered candidate pair core of nd_minhash_lsh — the funnel
+    consumers materialize this, so it must not carry the registered
+    query's global orderBy (a checkpoint would pay the sort)."""
     bands = _band_table(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     return (
@@ -338,7 +360,6 @@ def nd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates()
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -621,22 +642,32 @@ def nd_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactness baseline; here the verification join touches
     |candidates| × avg-shingle-count rows, nothing corpus-squared.
 
-    Plan: the candidate pair set (tiny by the LSH guarantee) BROADCASTS
-    into the doc_a-side shingle probe — pinned with an explicit
-    F.broadcast and a plan test, not left to AQE heuristics — and the
-    doc_b side is semi-join-prefiltered to candidate docs, so the
-    corpus-sized shingle table never shuffles on the intersection key;
-    only candidate docs' shingles do."""
-    cands = nd_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    Plan: the candidate pair set (tiny by the LSH guarantee on a
+    curated corpus) BROADCASTS into the doc_a-side shingle probe —
+    pinned with an explicit F.broadcast and a plan test, not left to
+    AQE heuristics — and the doc_b side is semi-join-prefiltered to
+    candidate docs, so the corpus-sized shingle table never shuffles
+    on the intersection key; only candidate docs' shingles do. The
+    hint is SIZE-AWARE (``PAIR_BROADCAST_MAX_ROWS``): the candidates
+    are disk-checkpointed (they feed two probes anyway) and counted,
+    and above the cap — a high-dup-rate corpus, where a pinned
+    corpus-scale broadcast would OOM the executors — the joins fall
+    back to AQE's choice."""
+    from wikid_spark.operators.graph import _materialize
+
+    cands = _materialize(
+        _lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    n_cands = cands.count()
     sh = shingle_table(spark, sf_dir).select(
         "doc_id", F.xxhash64("sh").alias("sh")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a_side = sh.select(F.col("doc_id").alias("doc_a"), "sh").join(
-        F.broadcast(cands), "doc_a"
+        _hint_if_small(cands, n_cands), "doc_a"
     )
     b_docs = cands.select(F.col("doc_b").alias("doc_id")).distinct()
-    b_sh = sh.join(F.broadcast(b_docs), "doc_id", "left_semi")
+    b_sh = sh.join(_hint_if_small(b_docs, n_cands), "doc_id", "left_semi")
     inter = (
         a_side.join(
             b_sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"]
@@ -696,8 +727,12 @@ def nd_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the 16-column signature table, no shingle re-scan at all.
     Production uses it to pre-rank candidates before paying the exact
     intersection join of nd_lsh_verified_pairs."""
+    from wikid_spark.operators.graph import _materialize
+
     sig = _signature_row(spark, sf_dir)
-    cands = nd_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    cands = _materialize(
+        _lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    )
     a = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_PERM)],
@@ -711,7 +746,7 @@ def nd_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(N_PERM)
     )
     return (
-        a.join(F.broadcast(cands), "doc_a")
+        a.join(_hint_if_small(cands, cands.count()), "doc_a")
         .join(b, "doc_b")
         .select(
             "doc_a",
