@@ -39,6 +39,20 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Fine-grained INITIAL shuffle partitioning, coalesced down by
+        # AQE to demand: shuffle.partitions alone caps parallelism AND
+        # per-task input size at once, so at sf10 a 32-way exact-verify
+        # join put multi-GB partitions in front of 32 concurrent tasks
+        # and exhausted the shared 8 GiB local-mode heap (hash-agg
+        # buffers scale with partition size; spill read-ahead OOM'd).
+        # With a high initial count each task's slice stays heap-sized
+        # at any SF, while AQE's target-size coalescing keeps small-SF
+        # runs at the same effective partition count as before — this
+        # is the config pair we'd ship to a 1000-executor cluster.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", str(max(256, 8 * cpus))),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
