@@ -820,3 +820,166 @@ def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .orderBy("query_id", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd refinement) — the training loop IVF skips.
+# One Lloyd iteration = broadcast-K assignment (map-side argmin, zero
+# shuffle of the corpus) + a K×64-cell re-centering agg (map-side
+# combinable). Everything runs on quantized integers except the mean,
+# which is re-quantized by floor(S/n) — S is an exact long, S/n a double
+# division of exactly-representable operands, so both engines floor the
+# identical value. Empty cells (a centroid that attracts no vectors)
+# drop out, shrinking K — the standard Lloyd behavior, applied
+# identically in the oracle.
+# ---------------------------------------------------------------------------
+
+EMBED_DIMS = 64
+
+
+def _lloyd_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, qemb, cent_id): nearest centroid by integer squared-L2,
+    ties to the lowest cent_id. Same broadcast-argmin shape as
+    `_assignments`, over already-quantized vectors."""
+    dist = F.aggregate(
+        F.zip_with("qemb", "cemb", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        vecs.join(F.broadcast(cents))
+        .select("vec_id", "qemb", "cent_id", dist.alias("dist"))
+        .groupBy("vec_id")
+        .agg(
+            F.first("qemb").alias("qemb"),
+            F.min_by("cent_id", F.struct("dist", "cent_id")).alias("cent_id"),
+        )
+    )
+
+
+@query(
+    "sim_kmeans_lloyd",
+    oracle=f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(FLOOR(x::DOUBLE * 1000.0) AS BIGINT)) AS qemb
+      FROM embeddings
+    ), cents0 AS (
+      SELECT vec_id AS cent_id, qemb AS cemb FROM qv
+      ORDER BY {_CENT_HASH_SQL}, vec_id
+      LIMIT {N_CENTROIDS}
+    ), d1 AS (
+      SELECT qv.vec_id, qv.qemb, c.cent_id,
+             CAST(list_sum(list_transform(qv.qemb,
+                    (x, i) -> (x - c.cemb[i]) * (x - c.cemb[i])))
+                  AS BIGINT) AS dist
+      FROM qv, cents0 c
+    ), a1 AS (
+      SELECT vec_id, qemb, cent_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cent_id) AS rn
+            FROM d1)
+      WHERE rn = 1
+    ), dims AS (
+      SELECT cent_id, d, qemb[d + 1] AS x FROM a1, range({EMBED_DIMS}) t(d)
+    ), sums AS (
+      SELECT cent_id, d, CAST(SUM(x) AS BIGINT) AS s
+      FROM dims GROUP BY cent_id, d
+    ), counts AS (
+      SELECT cent_id, COUNT(*) AS n FROM a1 GROUP BY cent_id
+    ), newc AS (
+      SELECT s.cent_id, c.n,
+             list(CAST(FLOOR(s::DOUBLE / c.n) AS BIGINT) ORDER BY d) AS cemb
+      FROM sums s JOIN counts c ON s.cent_id = c.cent_id
+      GROUP BY s.cent_id, c.n
+    ), d2 AS (
+      SELECT qv.vec_id, nc.cent_id,
+             CAST(list_sum(list_transform(qv.qemb,
+                    (x, i) -> (x - nc.cemb[i]) * (x - nc.cemb[i])))
+                  AS BIGINT) AS dist
+      FROM qv, newc nc
+    ), a2 AS (
+      SELECT vec_id, cent_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cent_id) AS rn
+            FROM d2)
+      WHERE rn = 1
+    ), c2 AS (
+      SELECT cent_id, COUNT(*) AS n2 FROM a2 GROUP BY cent_id
+    )
+    SELECT nc.cent_id, nc.n AS n_iter1, COALESCE(c2.n2, 0) AS n_iter2,
+           CAST(list_sum(list_transform(c0.cemb,
+                  (x, i) -> (x - nc.cemb[i]) * (x - nc.cemb[i])))
+                AS BIGINT) AS shift,
+           nc.cemb[1] AS c0, nc.cemb[2] AS c1
+    FROM newc nc
+    JOIN cents0 c0 ON nc.cent_id = c0.cent_id
+    LEFT JOIN c2 ON nc.cent_id = c2.cent_id
+    ORDER BY nc.cent_id
+    """,
+    tags=("similarity", "kmeans", "iterative"),
+)
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd refinement of the IVF seed centroids, then the
+    re-assignment it induces: seed K centroids (the deterministic
+    hash-sample `_centroids` uses), assign every vector (iteration 1),
+    re-center each cell at the member mean, re-assign (iteration 2).
+    Reported per surviving cell: member counts before/after, the
+    squared-L2 the centroid moved (integer — the convergence metric a
+    full k-means loop would threshold on), and the first two centroid
+    coordinates.
+
+    Exactness: assignment and shift are all-integer; the only division
+    is the mean, re-quantized as floor(S/n) where S is an exact long
+    and S/n divides exactly-representable doubles — bit-identical in
+    both engines.
+
+    Scale: per iteration, the corpus never shuffles — centroids
+    broadcast (K rows), assignment is a map-side argmin, and
+    re-centering aggregates K·{EMBED_DIMS} partial sums via 64 column
+    expressions (no posexplode row blow-up). Iterations are a driver
+    loop over K-row DataFrames; corpus passes = 2 per iteration, the
+    textbook distributed-Lloyd layout."""
+    emb = table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
+    )
+    cents0 = _centroids(emb)
+    a1 = _lloyd_assign(vecs, cents0)
+    sums = a1.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col("qemb")[d]).alias(f"s{d}") for d in range(EMBED_DIMS)],
+    )
+    newc = sums.select(
+        "cent_id",
+        "n",
+        F.array(
+            *[
+                F.floor(F.col(f"s{d}") / F.col("n")).cast("long")
+                for d in range(EMBED_DIMS)
+            ]
+        ).alias("cemb"),
+    )
+    a2 = _lloyd_assign(vecs, newc.select("cent_id", "cemb"))
+    c2 = a2.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n2"))
+    shift = F.aggregate(
+        F.zip_with("cemb0", "cemb", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        newc.join(
+            cents0.select("cent_id", F.col("cemb").alias("cemb0")), "cent_id"
+        )
+        .join(c2, "cent_id", "left")
+        .select(
+            "cent_id",
+            F.col("n").alias("n_iter1"),
+            F.coalesce(F.col("n2"), F.lit(0)).cast("long").alias("n_iter2"),
+            shift.alias("shift"),
+            F.col("cemb")[0].alias("c0"),
+            F.col("cemb")[1].alias("c1"),
+        )
+        .orderBy("cent_id")
+    )

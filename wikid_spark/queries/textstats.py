@@ -311,3 +311,128 @@ def tx_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "tx_lm_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), bg AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+    ), doc_bg AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS k FROM bg GROUP BY doc_id, w1, w2
+    ), c12 AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1
+    ), v AS (
+      SELECT COUNT(DISTINCT w) AS v
+      FROM (SELECT unnest(ws) AS w FROM toks)
+    ), scored AS (
+      SELECT b.doc_id, b.k,
+             CAST(FLOOR(1e6 * LN((c12.c12 + 1)::DOUBLE / (c1.c1 + v.v)))
+                  AS BIGINT) AS lpq
+      FROM doc_bg b
+      JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+      JOIN c1 ON b.w1 = c1.w1
+      CROSS JOIN v
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(k) AS BIGINT) AS n_bigrams,
+             ROUND(-SUM(k * lpq) / (SUM(k) * 1e6 * LN(2)), 4) AS bits
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, bits,
+           CASE WHEN bits <= 6.0 THEN 'fluent'
+                WHEN bits <= 8.0 THEN 'typical'
+                ELSE 'suspect' END AS quality_bucket
+    FROM per_doc
+    ORDER BY doc_id
+    LIMIT 500
+    """,
+    tags=("textstats", "lm", "quality"),
+)
+def tx_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality score: train an add-one-
+    smoothed bigram LM on the corpus itself (one aggregation), then
+    score every document by its mean per-bigram cross-entropy in bits —
+    low bits = fluent/repetitive text, high bits = unusual token
+    sequences (boilerplate soup, encoding damage). Buckets are fixed
+    thresholds on the rounded score. Docs with fewer than 2 tokens
+    have no bigrams and are excluded (no model evidence either way).
+
+    Exactness across engines: each bigram's log-probability is
+    FIXED-POINT QUANTIZED per row (floor(1e6·ln p) — the same idiom as
+    quantize_embedding) before the per-document SUM, so the aggregate
+    is exact integer arithmetic regardless of accumulation order; the
+    only cross-engine float exposure is one ln() per DISTINCT
+    (w1, w2), not a float sum over rows.
+
+    Scale: the "model" is two count tables — bigram types (bounded by
+    corpus vocabulary², in practice Zipf-truncated millions, NOT corpus
+    rows) and unigram types — built map-side-combinable. Scoring joins
+    per-document DISTINCT bigrams (k-weighted) against the model on
+    (w1, w2); AQE broadcasts the model when it is small and shuffles
+    otherwise — the join never touches raw token positions. V is a
+    1-row aggregate cross-joined in. Compare tx_quality_score: that is
+    heuristic per-row arithmetic; this is the statistical filter CCNet
+    runs before it."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - 2),
+                    lambda i: F.struct(
+                        F.element_at("ws", i + 1).alias("w1"),
+                        F.element_at("ws", i + 2).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = toks.select(F.explode("ws").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    lpq = F.floor(
+        F.lit(1e6)
+        * F.log(
+            (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v"))
+        )
+    ).cast("long")
+    scored = (
+        doc_bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", "k", lpq.alias("lpq"))
+    )
+    import math
+
+    bits = F.round(
+        -F.sum(F.col("k") * F.col("lpq"))
+        / (F.sum("k") * 1e6 * math.log(2.0)),
+        4,
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_bigrams"), bits.alias("bits")
+    )
+    bucket = (
+        F.when(F.col("bits") <= 6.0, "fluent")
+        .when(F.col("bits") <= 8.0, "typical")
+        .otherwise("suspect")
+    )
+    return (
+        per_doc.select(
+            "doc_id", "n_bigrams", "bits", bucket.alias("quality_bucket")
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )
