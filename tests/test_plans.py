@@ -225,3 +225,50 @@ def test_training_corpus_droplist_unhinted_above_threshold(spark, monkeypatch):
         df.explain("formatted")
     assert "LeftAnti" in buf.getvalue()
     assert df.collect() == hinted
+
+
+def test_ivf_assignment_is_projected_argmin(spark):
+    """Centroid assignment must stay a map-side projection: the K
+    centroids broadcast as ONE array row and argmin runs inside the
+    projection. The regression this pins: carrying the embedding array
+    through a groupBy agg buffer forces SortAggregate (the ~50x
+    fallback), and an n×K join expansion shuffles corpus-scale rows."""
+    for name in ("sim_ivf_cells", "sim_kmeans_lloyd", "nd_semantic_dedup",
+                 "sim_ivf_ann_topk_nprobe2"):
+        plan = _plan(spark, name)
+        assert "SortAggregate" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        # the one-row centroid-array side arrives by broadcast
+        assert "BroadcastExchange" in plan, name
+
+
+def test_semantic_dedup_one_corpus_shuffle(spark):
+    """The only corpus shuffle is the groupBy(cent_id) feeding the
+    per-cell BLAS kernel; the pairwise work happens inside
+    FlatMapGroupsInPandas, never as a relational self-join."""
+    plan = _plan(spark, "nd_semantic_dedup")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lm_perplexity_single_bigram_extraction(spark):
+    """Model counts (c12, c1) roll up from the per-doc bigram table, so
+    the doc_bg subtree is SHARED — it appears three times in the
+    pre-execution plan (Catalyst prints shared subplans expanded) but
+    AQE reuses its shuffle exchange at runtime, which the post-execution
+    plan shows as ReusedExchange / ReusedQueryStage. Scans read only
+    doc_id + text (V's unigram pass prunes to text alone)."""
+    from wikid_spark.registry import all_queries
+
+    df = all_queries()["tx_lm_perplexity"].fn(spark, SF)
+    plan = _plan(spark, "tx_lm_perplexity")
+    # pruning: every corpus scan reads at most doc_id + text
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "ReadSchema: struct<text:string>" in plan
+    # runtime dedup of the shared doc_bg aggregation: execute THIS
+    # DataFrame's own QueryExecution (a write would spawn a fresh one),
+    # then read back the finalized adaptive plan
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "reused" in final.lower(), final[:2000]

@@ -242,25 +242,55 @@ def _centroids(emb: DataFrame) -> DataFrame:
     )
 
 
+def _cent_array(cents: DataFrame) -> DataFrame:
+    """Fold a (cent_id, cemb) centroid table into ONE row holding
+    array<struct<cent_id, cemb>> — the broadcastable form that turns
+    assignment into a pure projection. collect_list order is
+    nondeterministic, but every consumer ranks by (dist, cent_id)
+    structs, which is order-independent."""
+    return cents.agg(F.collect_list(F.struct("cent_id", "cemb")).alias("cs"))
+
+
+def _cell_ranks(qemb_col, cs_col):
+    """array<struct<dist, cent_id>> sorted ascending — cell preference
+    order for one vector, computed entirely inside a projection
+    (array_sort on struct ordering = (dist, then cent_id), the same
+    tie-break as the oracle's ROW_NUMBER)."""
+    return F.array_sort(
+        F.transform(
+            cs_col,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        qemb_col, c["cemb"], lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                c["cent_id"].alias("cent_id"),
+            ),
+        )
+    )
+
+
 def _assignments(emb: DataFrame) -> DataFrame:
     """(vec_id, embedding, cent_id): each vector mapped to its nearest
     centroid by integer squared-L2 over the quantized vectors, ties to
-    the lowest cent_id. Broadcast centroids → map-side argmin via
-    min_by, no shuffle of the big side at all."""
+    the lowest cent_id.
+
+    Plan shape: the K centroids broadcast as ONE array row; argmin is
+    array_min over (dist, cent_id) structs inside the projection — the
+    corpus is never shuffled, K-expanded, or carried through an
+    aggregation buffer. (The previous join+groupBy+first(embedding)
+    form put an ARRAY column in the agg buffer, forcing SortAggregate —
+    the 50x fallback the verify notes warn about.)"""
     qemb = emb.withColumn("qemb", quantize_embedding(F.col("embedding")))
-    dist = F.aggregate(
-        F.zip_with("qemb", "cemb", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return (
-        qemb.join(F.broadcast(_centroids(emb)))
-        .select("vec_id", "embedding", "cent_id", dist.alias("dist"))
-        .groupBy("vec_id")
-        .agg(
-            F.first("embedding").alias("embedding"),
-            F.min_by("cent_id", F.struct("dist", "cent_id")).alias("cent_id"),
-        )
+    return qemb.crossJoin(F.broadcast(_cent_array(_centroids(emb)))).select(
+        "vec_id",
+        "embedding",
+        F.array_min(_cell_ranks(F.col("qemb"), F.col("cs")))["cent_id"].alias(
+            "cent_id"
+        ),
     )
 
 
@@ -415,31 +445,28 @@ def sim_ivf_ann_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles; recall strictly dominates nprobe=1. Candidates are
     de-duplicated across probes before ranking."""
     emb = table(spark, sf_dir, "embeddings")
-    qemb = emb.withColumn("qemb", quantize_embedding(F.col("embedding")))
-    dist = F.aggregate(
-        F.zip_with("qemb", "cemb", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    # Cell preference order per vector as a projected sorted array —
+    # rank-1 is the assignment, ranks 1..2 are the probes; no n×K
+    # expansion or window shuffle (same map-side idiom as _assignments).
+    ranked = emb.withColumn(
+        "qemb", quantize_embedding(F.col("embedding"))
+    ).crossJoin(F.broadcast(_cent_array(_centroids(emb)))).select(
+        "vec_id",
+        "embedding",
+        _cell_ranks(F.col("qemb"), F.col("cs")).alias("ranks"),
     )
-    ranked_cents = (
-        qemb.join(F.broadcast(_centroids(emb)))
-        .select("vec_id", "embedding", "cent_id", dist.alias("dist"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy("dist", "cent_id")
-            ),
+    assigned = ranked.select(
+        "vec_id", "embedding", F.col("ranks")[0]["cent_id"].alias("cent_id")
+    )
+    probes = (
+        ranked.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(
+                F.transform(F.slice("ranks", 1, 2), lambda r: r["cent_id"])
+            ).alias("pcell"),
         )
-    )
-    assigned = ranked_cents.filter(F.col("rn") == 1).select(
-        "vec_id", "embedding", "cent_id"
-    )
-    probes = ranked_cents.filter(
-        (F.col("rn") <= 2) & ((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("cent_id").alias("pcell"),
     )
     cands = (
         assigned.join(F.broadcast(probes), F.col("cent_id") == F.col("pcell"))
@@ -839,21 +866,15 @@ EMBED_DIMS = 64
 
 def _lloyd_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, qemb, cent_id): nearest centroid by integer squared-L2,
-    ties to the lowest cent_id. Same broadcast-argmin shape as
-    `_assignments`, over already-quantized vectors."""
-    dist = F.aggregate(
-        F.zip_with("qemb", "cemb", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return (
-        vecs.join(F.broadcast(cents))
-        .select("vec_id", "qemb", "cent_id", dist.alias("dist"))
-        .groupBy("vec_id")
-        .agg(
-            F.first("qemb").alias("qemb"),
-            F.min_by("cent_id", F.struct("dist", "cent_id")).alias("cent_id"),
-        )
+    ties to the lowest cent_id. Same map-side projected-argmin shape as
+    `_assignments` (no shuffle, no array in an agg buffer), over
+    already-quantized vectors."""
+    return vecs.crossJoin(F.broadcast(_cent_array(cents))).select(
+        "vec_id",
+        "qemb",
+        F.array_min(_cell_ranks(F.col("qemb"), F.col("cs")))["cent_id"].alias(
+            "cent_id"
+        ),
     )
 
 

@@ -397,8 +397,12 @@ def tx_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
     doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # Model counts ROLL UP from doc_bg instead of re-scanning the
+    # corpus: c12 = Σ_doc k, c1 = Σ_w2 c12 (c1 counts w1 in bigram-first
+    # position, which is exactly the w2-marginal of c12) — one bigram
+    # extraction feeds scoring and both model tables.
+    c12 = doc_bg.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     v = toks.select(F.explode("ws").alias("w")).agg(
         F.countDistinct("w").alias("v")
     )
