@@ -54,6 +54,11 @@ HEADLINE = [
     # end-to-end prepare-training-corpus composition:
     "nd_incremental_dedup",
     "pp_training_corpus",
+    # round-6 additions: the distributed Lloyd iteration, cell-restricted
+    # semantic dedup, and the statistical LM quality filter:
+    "sim_kmeans_lloyd",
+    "nd_semantic_dedup",
+    "tx_lm_perplexity",
 ]
 
 

@@ -207,3 +207,42 @@ def test_folded_search_matches_across_scripts(spark):
     idx = build_inverted_index(docs, "doc_id", "text")
     got = sorted(r["doc"] for r in search_all(idx, ["ΏΡΑ", "ЗИМНИЙ"]).collect())
     assert got == [1, 2]
+
+
+def test_bpe_greedy_leftmost_application(spark, tmp_path):
+    """The sentinel-replace encoding must implement BPE's greedy
+    leftmost non-overlapping merge: after learning (a, a),
+    'a a a'   -> [aa, a]   (NOT three overlapping merges)
+    'a a a a' -> [aa, aa]  (second merge starts after the first)
+    Hand-derived round 2: doc1 yields (aa, a), doc2 (aa, aa) — tied at
+    1, lexicographic tie-break picks y='a' < y='a~a'."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wikid_spark.registry import get
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"]:
+        os.symlink(f"/root/testdata/sf0.01/{t}.parquet", d / f"{t}.parquet")
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a a a", "a a a a"]),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["t", "t"]),
+            "n_chars": pa.array([5, 7], pa.int64()),
+        }
+    )
+    pq.write_table(docs, d / "documents.parquet")
+    rows = [tuple(r) for r in get("tx_bpe_merges").fn(spark, str(d)).collect()]
+    assert rows[0] == (1, "a", "a", 5)
+    assert rows[1] == (2, "a~a", "a", 1)
+    # round 2's rule (aa, a) must NOT fire on doc2's (aa, aa) pair —
+    # the symbol 'a' is a PREFIX of 'aa', and only the full-symbol
+    # delimiter encoding blocks that false match. doc1 collapses to one
+    # symbol [aaa]; doc2 stays [aa, aa], so round 3 learns (aa, aa).
+    assert rows[2] == (3, "a~a", "a~a", 1)

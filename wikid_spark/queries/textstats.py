@@ -440,3 +440,148 @@ def tx_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(500)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training — the tokenizer-training primitive of an LLM data
+# pipeline, as a fully declarative multi-round plan. Each round: count
+# adjacent symbol pairs corpus-wide (one map-side-combinable shuffle),
+# take the global top pair (TakeOrderedAndProject — one row crosses the
+# wire), and apply the merge with a single literal replace() over a
+# sentinel-delimited symbol string. Greedy leftmost non-overlapping
+# application — the BPE rule — falls out of replace-all semantics over
+# the delimiter encoding: symbols are flanked by single \x1f and
+# separated by double \x1f, so the pattern \x1f x \x1f\x1f y \x1f
+# consumes the next symbol's shared flank exactly when BPE's greedy
+# scan would (aaa -> [aa, a], aaaa -> [aa, aa] — property-tested).
+# No driver action anywhere: each round's winner joins back as a
+# broadcast 1-row DataFrame, so M rounds compose into ONE lazy plan.
+# ---------------------------------------------------------------------------
+
+BPE_SEP = "\x1f"  # unit separator — assumed absent from corpus text
+BPE_ROUNDS = 3
+
+
+def _bpe_pairs(s_df: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts of a sentinel-encoded corpus."""
+    ts = F.split(F.btrim(F.col("s"), F.lit(BPE_SEP)), BPE_SEP + BPE_SEP)
+    pairs = s_df.select(ts.alias("ts")).select(
+        F.explode(
+            F.when(
+                F.size("ts") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ts") - 2),
+                    lambda i: F.struct(
+                        F.element_at("ts", i + 1).alias("x"),
+                        F.element_at("ts", i + 2).alias("y"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+        ).alias("p")
+    )
+    return pairs.groupBy("p.x", "p.y").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "tx_bpe_merges",
+    oracle="""
+    WITH s0 AS (
+      SELECT doc_id,
+             chr(31) || replace(text, ' ', chr(31) || chr(31)) || chr(31) AS s
+      FROM documents
+    ), p1 AS (
+      SELECT ts[i] AS x, ts[i + 1] AS y, COUNT(*) AS cnt
+      FROM (SELECT string_split(trim(s, chr(31)), chr(31) || chr(31)) AS ts
+            FROM s0),
+           LATERAL (SELECT unnest(range(1, len(ts))) AS i)
+      GROUP BY x, y
+    ), m1 AS (
+      SELECT x, y, cnt FROM p1 ORDER BY cnt DESC, x, y LIMIT 1
+    ), s1 AS (
+      SELECT doc_id,
+             replace(s, chr(31) || m1.x || chr(31) || chr(31) || m1.y || chr(31),
+                        chr(31) || m1.x || '~' || m1.y || chr(31)) AS s
+      FROM s0, m1
+    ), p2 AS (
+      SELECT ts[i] AS x, ts[i + 1] AS y, COUNT(*) AS cnt
+      FROM (SELECT string_split(trim(s, chr(31)), chr(31) || chr(31)) AS ts
+            FROM s1),
+           LATERAL (SELECT unnest(range(1, len(ts))) AS i)
+      GROUP BY x, y
+    ), m2 AS (
+      SELECT x, y, cnt FROM p2 ORDER BY cnt DESC, x, y LIMIT 1
+    ), s2 AS (
+      SELECT doc_id,
+             replace(s, chr(31) || m2.x || chr(31) || chr(31) || m2.y || chr(31),
+                        chr(31) || m2.x || '~' || m2.y || chr(31)) AS s
+      FROM s1, m2
+    ), p3 AS (
+      SELECT ts[i] AS x, ts[i + 1] AS y, COUNT(*) AS cnt
+      FROM (SELECT string_split(trim(s, chr(31)), chr(31) || chr(31)) AS ts
+            FROM s2),
+           LATERAL (SELECT unnest(range(1, len(ts))) AS i)
+      GROUP BY x, y
+    ), m3 AS (
+      SELECT x, y, cnt FROM p3 ORDER BY cnt DESC, x, y LIMIT 1
+    )
+    SELECT 1 AS round, x, y, cnt FROM m1
+    UNION ALL SELECT 2, x, y, cnt FROM m2
+    UNION ALL SELECT 3, x, y, cnt FROM m3
+    ORDER BY round
+    """,
+    tags=("textstats", "tokenizer", "iterative"),
+)
+def tx_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first {BPE_ROUNDS} BPE merge rules from the corpus:
+    per round, the globally most frequent adjacent symbol pair (ties →
+    lexicographically smallest) becomes a merge, is applied greedily
+    left-to-right (leftmost non-overlapping, the BPE rule), and the
+    next round counts pairs over the merged symbols. Output: one row
+    per learned rule (round, x, y, cnt).
+
+    Production tokenizer trainers (e.g. the published BPE algorithm,
+    Sennrich et al. 2016) iterate this exact step ~30k times over a
+    word-frequency table; the mechanism here — count-shuffle, 1-row
+    top pair, broadcast it back, map-side rewrite — is the distributed
+    layout that loop needs, with zero driver-side state: all
+    {BPE_ROUNDS} rounds compose into one lazy plan (each winner is a
+    TakeOrderedAndProject row that re-enters as a broadcast
+    nested-loop join).
+
+    Scale: per round the corpus is touched by exactly one projection
+    (replace) and one pair-count aggregation whose key space is
+    vocabulary², Zipf-bounded — never corpus-row-bounded; the top-1 is
+    K=1 crossing the wire. At real vocab scale you first collapse the
+    corpus to a (word, freq) table and train on that — same plan with
+    a weight column."""
+    d = table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        F.concat(
+            F.lit(BPE_SEP),
+            F.replace(F.col("text"), F.lit(" "), F.lit(BPE_SEP + BPE_SEP)),
+            F.lit(BPE_SEP),
+        ).alias("s"),
+    )
+    merges = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        m = (
+            _bpe_pairs(s)
+            .orderBy(F.col("cnt").desc(), "x", "y")
+            .limit(1)
+        )
+        merges.append(m.select(F.lit(rnd).alias("round"), "x", "y", "cnt"))
+        pat = F.concat(
+            F.lit(BPE_SEP), F.col("x"), F.lit(BPE_SEP + BPE_SEP),
+            F.col("y"), F.lit(BPE_SEP),
+        )
+        rep = F.concat(
+            F.lit(BPE_SEP), F.col("x"), F.lit("~"), F.col("y"), F.lit(BPE_SEP)
+        )
+        s = s.crossJoin(F.broadcast(m)).select(
+            "doc_id", F.replace(F.col("s"), pat, rep).alias("s")
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("round")
