@@ -1030,37 +1030,63 @@ def nd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikid_spark.queries.similarity import _assignments
 
     def cell_dups(key, pdf):
+        # ids sorted ascending: qualifying witnesses for column j are
+        # rows i < j with sim >= 0.4; keeper = the FIRST such row.
+        # The similarity block is computed in COLUMN CHUNKS and only
+        # for rows i < chunk_end (the lower triangle): this halves the
+        # flops of a full n×n matmul and keeps each task's working set
+        # at n×CH doubles instead of n² — with K concurrent cell tasks
+        # the full-matrix form thrashed memory bandwidth (measured
+        # ~230 s wall for ~20×11 s of matmul at sf10; a naive
+        # per-column Python loop was another 280 s). All extraction is
+        # vectorized (boolean argmax per column).
+        CH = 1024
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         order = np.argsort(ids)
         ids = ids[order]
         mat = np.array(pdf["embedding"].to_numpy()[order].tolist(), dtype=np.float64)
         norms = np.sqrt((mat * mat).sum(axis=1))
-        sims = (mat @ mat.T) / np.outer(norms, norms)
-        # ids sorted ascending: qualifying witnesses for column j are
-        # rows i < j with sim >= 0.4; keeper = first such row
-        mask = (sims >= 0.4) & (ids[:, None] < ids[None, :])
-        out_vec, out_dup, out_sim = [], [], []
-        has = mask.any(axis=0)
-        for j in np.nonzero(has)[0]:
-            i = int(np.nonzero(mask[:, j])[0][0])
-            out_vec.append(ids[j])
-            out_dup.append(ids[i])
-            out_sim.append(np.round(sims[i, j], 4))
+        n = len(ids)
+        out_j, out_i, out_s = [], [], []
+        for j0 in range(0, n, CH):
+            j1 = min(j0 + CH, n)
+            block = (mat[:j1] @ mat[j0:j1].T) / np.outer(
+                norms[:j1], norms[j0:j1]
+            )
+            mask = (block >= 0.4) & (ids[:j1, None] < ids[None, j0:j1])
+            has = mask.any(axis=0)
+            js = np.nonzero(has)[0]
+            firsts = mask.argmax(axis=0)[js]
+            out_j.append(j0 + js)
+            out_i.append(firsts)
+            out_s.append(block[firsts, js])
+        js = np.concatenate(out_j) if out_j else np.array([], dtype=np.int64)
+        is_ = np.concatenate(out_i) if out_i else np.array([], dtype=np.int64)
+        ss = np.concatenate(out_s) if out_s else np.array([], dtype=np.float64)
         return pd.DataFrame(
             {
-                "vec_id": pd.Series(out_vec, dtype="int64"),
+                "vec_id": pd.Series(ids[js.astype(np.int64)], dtype="int64"),
                 "cent_id": pd.Series(
-                    [int(key[0])] * len(out_vec), dtype="int64"
+                    np.full(len(js), int(key[0])), dtype="int64"
                 ),
-                "dup_of": pd.Series(out_dup, dtype="int64"),
-                "sim": pd.Series(out_sim, dtype="float64"),
+                "dup_of": pd.Series(ids[is_.astype(np.int64)], dtype="int64"),
+                "sim": pd.Series(np.round(ss, 4), dtype="float64"),
             }
         )
+
+    from wikid_spark.queries.similarity import N_CENTROIDS
 
     emb = table(spark, sf_dir, "embeddings")
     cells = _assignments(emb)
     return (
-        cells.groupBy("cent_id")
+        # Explicit K-way repartition: the per-cell matmuls are
+        # CPU-bound (~10 s per 10k-vector cell), but the cells total
+        # only ~100 MB at sf10, so AQE's byte-size coalescing would
+        # fold all K groups into 1-2 partitions and SERIALIZE them
+        # (measured 234 s vs ~30 s). A user-specified partition count
+        # is exempt from AQE coalescing — one task per cell.
+        cells.repartition(N_CENTROIDS, "cent_id")
+        .groupBy("cent_id")
         .applyInPandas(
             cell_dups, "vec_id bigint, cent_id bigint, dup_of bigint, sim double"
         )
