@@ -88,10 +88,14 @@ def main() -> None:
     # 3 repeats report per-query p50 (the "queries" dict — value stays
     # sum-of-p50s, comparable round-over-round) plus a "p95" dict.
     # --full keeps 1 repeat (105 queries; noise averages out in total).
-    repeat = int(
-        os.environ.get(
-            "SPARK_GRAFT_BENCH_REPEAT", "1" if "--full" in sys.argv[1:] else "3"
-        )
+    repeat = max(
+        1,
+        int(
+            os.environ.get(
+                "SPARK_GRAFT_BENCH_REPEAT",
+                "1" if "--full" in sys.argv[1:] else "3",
+            )
+        ),
     )
 
     # Warmup: JVM + codegen + parquet footer reads, not billed below.

@@ -580,6 +580,18 @@ def test_evolving_index_catches_cross_batch_neardups(spark, tmp_path):
     }
     assert v2[300] == "drop"  # still sees doc 100 post-compaction
 
+    # self-match guard: after compaction the base holds batch 1's OWN
+    # kept doc (201) under batch_id=-1, so a replay of batch 1 probes
+    # an index containing itself — without the old_id != new_id guard
+    # it would self-match at jaccard 1.0 and flip to 'drop'
+    writer(b1, 1)
+    replayed = {
+        r["doc_id"]: (r["verdict"], r["dup_of"])
+        for r in spark.read.parquet(f"{out_dir}/batch_id=1").collect()
+    }
+    assert replayed[201] == ("keep", None)
+    assert replayed[200] == ("drop", 100)
+
 
 def test_evolving_index_through_stream(spark, tmp_path):
     """End-to-end through a real file-source stream: the near-dup pair

@@ -246,3 +246,20 @@ def test_bpe_greedy_leftmost_application(spark, tmp_path):
     # delimiter encoding blocks that false match. doc1 collapses to one
     # symbol [aaa]; doc2 stays [aa, aa], so round 3 learns (aa, aa).
     assert rows[2] == (3, "a~a", "a~a", 1)
+
+
+def test_oracle_tokenizer_regex_in_sync():
+    """Every DuckDB oracle that tokenizes with string_split_regex must
+    use the SQL form of TOKEN_SPLIT — the Spark side tokenizes with
+    TOKEN_SPLIT, and a tweak that updates one but not the 7 inlined
+    oracle copies would surface only as a confusing hash mismatch."""
+    from wikid_spark.operators.fts import TOKEN_SPLIT, TOKEN_SPLIT_SQL
+    from wikid_spark.registry import all_queries
+
+    assert TOKEN_SPLIT_SQL == TOKEN_SPLIT
+    checked = 0
+    for name, spec in all_queries().items():
+        if spec.oracle and "string_split_regex" in spec.oracle:
+            assert f"'{TOKEN_SPLIT_SQL}'" in spec.oracle, name
+            checked += 1
+    assert checked >= 7

@@ -29,6 +29,12 @@ from pyspark.sql import Column, DataFrame
 # oracle twins use the same class); on pure-ASCII text this is
 # exactly \W+.
 TOKEN_SPLIT = r"[^\p{L}\p{N}_]+"
+# The DuckDB twin of TOKEN_SPLIT (RE2 accepts the same class). The
+# oracle SQL strings inline it rather than interpolate (their regex
+# braces would collide with f-string syntax); tests/test_text_kernels
+# asserts every string_split_regex oracle carries exactly this pattern,
+# so a tokenizer tweak that misses an oracle copy fails loudly instead
+# of hash-mismatching later.
 TOKEN_SPLIT_SQL = r"[^\p{L}\p{N}_]+"
 
 

@@ -87,9 +87,17 @@ def _materialize(df: DataFrame) -> DataFrame:
     on a cluster also survive executor loss mid-loop."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
+        import atexit
+        import shutil
         import tempfile
 
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="wikid_ckpt_"))
+        ckpt_dir = tempfile.mkdtemp(prefix="wikid_ckpt_")
+        sc.setCheckpointDir(ckpt_dir)
+        # Reliable checkpoints are NOT reclaimed by the ContextCleaner
+        # (cleanCheckpoints defaults to false) and the scratch dir
+        # outlives the JVM — without this, repeated sf10 runs leak tens
+        # of GB of checkpoint files into the temp filesystem.
+        atexit.register(shutil.rmtree, ckpt_dir, ignore_errors=True)
     return df.checkpoint(eager=True)
 
 

@@ -251,26 +251,37 @@ def _cent_array(cents: DataFrame) -> DataFrame:
     return cents.agg(F.collect_list(F.struct("cent_id", "cemb")).alias("cs"))
 
 
-def _cell_ranks(qemb_col, cs_col):
-    """array<struct<dist, cent_id>> sorted ascending — cell preference
-    order for one vector, computed entirely inside a projection
-    (array_sort on struct ordering = (dist, then cent_id), the same
-    tie-break as the oracle's ROW_NUMBER)."""
-    return F.array_sort(
-        F.transform(
-            cs_col,
-            lambda c: F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        qemb_col, c["cemb"], lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("dist"),
-                c["cent_id"].alias("cent_id"),
-            ),
-        )
+def _cell_scores(qemb_col, cs_col):
+    """array<struct<dist, cent_id>> (index order) — integer squared-L2
+    to every centroid, computed entirely inside a projection. Struct
+    ordering = (dist, then cent_id), the same tie-break as the
+    oracle's ROW_NUMBER."""
+    return F.transform(
+        cs_col,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    qemb_col, c["cemb"], lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            c["cent_id"].alias("cent_id"),
+        ),
     )
+
+
+def _cell_best(qemb_col, cs_col):
+    """cent_id of the nearest centroid: array_min over the scored
+    structs — no O(K log K) sort on the per-row hot path (only the
+    nprobe>1 path needs full preference ORDER, via _cell_ranks)."""
+    return F.array_min(_cell_scores(qemb_col, cs_col))["cent_id"]
+
+
+def _cell_ranks(qemb_col, cs_col):
+    """Cell preference order (ascending) for one vector — array_sort
+    of the scored structs; used where more than the argmin is probed."""
+    return F.array_sort(_cell_scores(qemb_col, cs_col))
 
 
 def _assignments(emb: DataFrame) -> DataFrame:
@@ -288,9 +299,7 @@ def _assignments(emb: DataFrame) -> DataFrame:
     return qemb.crossJoin(F.broadcast(_cent_array(_centroids(emb)))).select(
         "vec_id",
         "embedding",
-        F.array_min(_cell_ranks(F.col("qemb"), F.col("cs")))["cent_id"].alias(
-            "cent_id"
-        ),
+        _cell_best(F.col("qemb"), F.col("cs")).alias("cent_id"),
     )
 
 
@@ -872,9 +881,7 @@ def _lloyd_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     return vecs.crossJoin(F.broadcast(_cent_array(cents))).select(
         "vec_id",
         "qemb",
-        F.array_min(_cell_ranks(F.col("qemb"), F.col("cs")))["cent_id"].alias(
-            "cent_id"
-        ),
+        _cell_best(F.col("qemb"), F.col("cs")).alias("cent_id"),
     )
 
 

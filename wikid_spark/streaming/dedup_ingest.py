@@ -61,6 +61,9 @@ from wikid_spark.queries.dedup import band_table_from, shingles_from
 
 JACCARD_THRESHOLD = 0.2
 BASE_BATCH_ID = -1  # partition id of the initial corpus index
+# Max candidate doc ids to inline as IN-literals for bucket-pruned
+# verify scans; above this the fetch falls back to a semi-join.
+CAND_PUSHDOWN_MAX_IDS = 100_000
 
 
 def _write_part(df: DataFrame, index_dir: str, part: str, batch_id: int) -> None:
@@ -195,6 +198,11 @@ def batch_verdicts(
         _read_part(spark, index_dir, "bands", as_of_batch)
         .join(F.broadcast(nb), ["band", "sig"])
         .select("new_id", F.col("doc_id").alias("old_id"))
+        # self-guard: with as_of_batch=None (whole index) or after
+        # compaction folded a batch's own appends into the base, an
+        # already-ingested doc would otherwise match ITSELF at
+        # jaccard 1.0 and flip its verdict to drop
+        .filter(F.col("old_id") != F.col("new_id"))
         .dropDuplicates()
     )
     return _verify_verdicts(
@@ -314,27 +322,55 @@ def bucketed_batch_verdicts(
         .dropDuplicates()
         .localCheckpoint(eager=True)
     )
-    old_ids = [r[0] for r in cand.select("old_id").distinct().collect()]
-    corpus_sh = spark.table(f"{prefix}_shingles").filter(
-        F.col("doc_id").isin(old_ids)
-    )
-    corpus_sizes = spark.table(f"{prefix}_sizes").filter(
-        F.col("doc_id").isin(old_ids)
-    )
+    # The candidate doc-id set scales with the batch's MATCH count, not
+    # the batch size — on a high-dup-rate corpus it can be huge (the
+    # same dup-rate dial as PAIR_BROADCAST_MAX_ROWS). Below the cap the
+    # ids push down as IN-literals and the scans bucket-prune; above
+    # it, fall back to a semi-join (still bucket-local on doc_id).
+    old_ids_df = cand.select(F.col("old_id").alias("doc_id")).distinct()
+    n_old = old_ids_df.count()
+    if n_old <= CAND_PUSHDOWN_MAX_IDS:
+        old_ids = [r[0] for r in old_ids_df.collect()]
+        corpus_sh = spark.table(f"{prefix}_shingles").filter(
+            F.col("doc_id").isin(old_ids)
+        )
+        corpus_sizes = spark.table(f"{prefix}_sizes").filter(
+            F.col("doc_id").isin(old_ids)
+        )
+    else:
+        corpus_sh = spark.table(f"{prefix}_shingles").join(
+            old_ids_df, "doc_id", "left_semi"
+        )
+        corpus_sizes = spark.table(f"{prefix}_sizes").join(
+            old_ids_df, "doc_id", "left_semi"
+        )
     return _verify_verdicts(batch, cand, corpus_sh, corpus_sizes)
 
 
 def compact_dedup_index(spark: SparkSession, index_dir: str) -> None:
     """Fold base + accumulated per-batch deltas back into a single
-    ``batch_id=-1`` base (localCheckpoint cuts lineage so the source
-    partitions can be overwritten — the `streaming.ingest` compaction
-    discipline). Run between streaming jobs, not concurrently with
-    one."""
+    ``batch_id=-1`` base. Run between streaming jobs, not concurrently
+    with one.
+
+    Crash-safety: the folded component is written to a SIBLING
+    directory first (a disk materialization — no heap-resident
+    localCheckpoint of corpus-scale data), then swapped in with two
+    renames. At no point is the only copy in memory; a crash leaves
+    either the old tree, or old+new side by side (``.old`` /
+    ``.compacting`` — re-running compaction heals both). On object
+    storage the renames map to the store's atomic-commit primitive."""
+    import os
     import shutil
 
     for part in ("bands", "shingles", "sizes"):
-        folded = _read_part(spark, index_dir, part, None).localCheckpoint(
-            eager=True
-        )
-        shutil.rmtree(f"{index_dir}/{part}", ignore_errors=True)
-        _write_part(folded, index_dir, part, BASE_BATCH_ID)
+        live = f"{index_dir}/{part}"
+        tmp = f"{index_dir}/{part}.compacting"
+        old = f"{index_dir}/{part}.old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        _read_part(spark, index_dir, part, None).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/batch_id={BASE_BATCH_ID}")
+        os.rename(live, old)
+        os.rename(tmp, live)
+        shutil.rmtree(old, ignore_errors=True)
