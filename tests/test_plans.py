@@ -234,7 +234,7 @@ def test_ivf_assignment_is_projected_argmin(spark):
     through a groupBy agg buffer forces SortAggregate (the ~50x
     fallback), and an n×K join expansion shuffles corpus-scale rows."""
     for name in ("sim_ivf_cells", "sim_kmeans_lloyd", "nd_semantic_dedup",
-                 "sim_ivf_ann_topk_nprobe2"):
+                 "sim_ivf_ann_topk_nprobe2", "sim_ivf_refined_topk"):
         plan = _plan(spark, name)
         assert "SortAggregate" not in plan, name
         assert "CartesianProduct" not in plan, name

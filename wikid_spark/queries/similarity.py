@@ -17,6 +17,7 @@ from wikid_spark.functions.vectors import cosine_similarity
 from wikid_spark.registry import query
 
 N_PLANES = 8  # 2^8 = 256 buckets
+EMBED_DIMS = 64
 N_TABLES = 3  # OR'd LSH hash tables (recall ∝ 1-(1-p^planes)^tables)
 # Query-side sample: vec_id % 50 = 0 AND vec_id < 2000 — a FIXED query
 # budget (max 40 queries) rather than a corpus fraction. At the driver
@@ -580,6 +581,46 @@ def sim_ivf_ann_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM probes p JOIN assigned a ON a.cent_id = p.pcell
               WHERE a.vec_id <> p.query_id))
       WHERE rn <= 3
+    ), ra1 AS (
+      SELECT d.vec_id, qv.qemb, d.cent_id
+      FROM dists d JOIN qv ON qv.vec_id = d.vec_id
+      WHERE d.rn = 1
+    ), rdims AS (
+      SELECT cent_id, dd, qemb[dd + 1] AS x FROM ra1, range({EMBED_DIMS}) t(dd)
+    ), rsums AS (
+      SELECT cent_id, dd, CAST(SUM(x) AS BIGINT) AS s
+      FROM rdims GROUP BY cent_id, dd
+    ), rcounts AS (
+      SELECT cent_id, COUNT(*) AS n FROM ra1 GROUP BY cent_id
+    ), rnewc AS (
+      SELECT s.cent_id,
+             list(CAST(FLOOR(s::DOUBLE / c.n) AS BIGINT) ORDER BY dd) AS cemb
+      FROM rsums s JOIN rcounts c ON s.cent_id = c.cent_id
+      GROUP BY s.cent_id
+    ), rd2 AS (
+      SELECT qv.vec_id, qv.embedding, nc.cent_id,
+             CAST(list_sum(list_transform(qv.qemb,
+                    (x, i) -> (x - nc.cemb[i]) * (x - nc.cemb[i])))
+                  AS BIGINT) AS dist
+      FROM qv, rnewc nc
+    ), ra2 AS (
+      SELECT vec_id, embedding, cent_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cent_id) AS rn
+            FROM rd2)
+      WHERE rn = 1
+    ), rq AS (
+      SELECT vec_id AS query_id, embedding AS qe, cent_id AS qcell
+      FROM ra2 WHERE vec_id % 50 = 0 AND vec_id < 2000
+    ), refined3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT rq.query_id, a.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY rq.query_id
+                 ORDER BY ROUND(list_cosine_similarity(a.embedding::DOUBLE[], rq.qe::DOUBLE[]), 4) DESC,
+                          a.vec_id) AS rn
+        FROM rq JOIN ra2 a ON a.cent_id = rq.qcell
+        WHERE a.vec_id <> rq.query_id)
+      WHERE rn <= 3
     ), mplanes AS (
       SELECT vec_id, t, p,
              SUM(x * (((17 * p + (31 + t) * d) % 7) - 3)) AS dot_p
@@ -610,6 +651,7 @@ def sim_ivf_ann_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT 'lsh_multitable', query_id, neighbor_id FROM mt3
       UNION ALL SELECT 'ivf_nprobe1', query_id, neighbor_id FROM ivf1
       UNION ALL SELECT 'ivf_nprobe2', query_id, neighbor_id FROM ivf2
+      UNION ALL SELECT 'ivf_refined', query_id, neighbor_id FROM refined3
     ), hits AS (
       SELECT m.method, COUNT(b.neighbor_id) AS n_hits
       FROM methods m
@@ -640,6 +682,7 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lsh_multitable", sim_lsh_multitable_topk),
         ("ivf_nprobe1", sim_ivf_ann_topk),
         ("ivf_nprobe2", sim_ivf_ann_topk_nprobe2),
+        ("ivf_refined", sim_ivf_refined_topk),
     ):
         part = fn(spark, sf_dir).select(
             F.lit(name).alias("method"), "query_id", "neighbor_id"
@@ -870,8 +913,6 @@ def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identically in the oracle.
 # ---------------------------------------------------------------------------
 
-EMBED_DIMS = 64
-
 
 def _lloyd_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, qemb, cent_id): nearest centroid by integer squared-L2,
@@ -885,11 +926,38 @@ def _lloyd_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "sim_kmeans_lloyd",
-    oracle=f"""
-    WITH qv AS (
-      SELECT vec_id,
+def _lloyd_round(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd re-centering over (vec_id, qemb) vectors: assign via
+    the map-side argmin, then re-center each non-empty cell at the
+    member mean as {EMBED_DIMS} map-side-combinable SUM columns (no
+    posexplode row blow-up), re-quantized floor(S/n). Returns the
+    refined centroid table (cent_id, n, cemb)."""
+    a1 = _lloyd_assign(vecs, cents)
+    sums = a1.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col("qemb")[d]).alias(f"s{d}") for d in range(EMBED_DIMS)],
+    )
+    return sums.select(
+        "cent_id",
+        "n",
+        F.array(
+            *[
+                F.floor(F.col(f"s{d}") / F.col("n")).cast("long")
+                for d in range(EMBED_DIMS)
+            ]
+        ).alias("cemb"),
+    )
+
+
+# Shared oracle CTE — one Lloyd round over the IVF seed centroids:
+# quantized vectors (qv, embedding carried through), seed centroids
+# (cents0), first assignment (a1), integer re-centering (newc), and the
+# induced re-assignment (a2, with the raw embedding for downstream
+# re-ranking). sim_kmeans_lloyd reports the round's counts/shift;
+# sim_ivf_refined_topk serves ANN from the refined cells.
+_LLOYD_CTE = f"""
+    qv AS (
+      SELECT vec_id, embedding,
              list_transform(embedding,
                             x -> CAST(FLOOR(x::DOUBLE * 1000.0) AS BIGINT)) AS qemb
       FROM embeddings
@@ -922,18 +990,25 @@ def _lloyd_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
       FROM sums s JOIN counts c ON s.cent_id = c.cent_id
       GROUP BY s.cent_id, c.n
     ), d2 AS (
-      SELECT qv.vec_id, nc.cent_id,
+      SELECT qv.vec_id, qv.embedding, nc.cent_id,
              CAST(list_sum(list_transform(qv.qemb,
                     (x, i) -> (x - nc.cemb[i]) * (x - nc.cemb[i])))
                   AS BIGINT) AS dist
       FROM qv, newc nc
     ), a2 AS (
-      SELECT vec_id, cent_id
+      SELECT vec_id, embedding, cent_id
       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                          ORDER BY dist, cent_id) AS rn
             FROM d2)
       WHERE rn = 1
-    ), c2 AS (
+    )
+"""
+
+
+@query(
+    "sim_kmeans_lloyd",
+    oracle=f"""
+    WITH {_LLOYD_CTE}, c2 AS (
       SELECT cent_id, COUNT(*) AS n2 FROM a2 GROUP BY cent_id
     )
     SELECT nc.cent_id, nc.n AS n_iter1, COALESCE(c2.n2, 0) AS n_iter2,
@@ -974,21 +1049,7 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
     )
     cents0 = _centroids(emb)
-    a1 = _lloyd_assign(vecs, cents0)
-    sums = a1.groupBy("cent_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.col("qemb")[d]).alias(f"s{d}") for d in range(EMBED_DIMS)],
-    )
-    newc = sums.select(
-        "cent_id",
-        "n",
-        F.array(
-            *[
-                F.floor(F.col(f"s{d}") / F.col("n")).cast("long")
-                for d in range(EMBED_DIMS)
-            ]
-        ).alias("cemb"),
-    )
+    newc = _lloyd_round(vecs, cents0)
     a2 = _lloyd_assign(vecs, newc.select("cent_id", "cemb"))
     c2 = a2.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n2"))
     shift = F.aggregate(
@@ -1010,4 +1071,76 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cemb")[1].alias("c1"),
         )
         .orderBy("cent_id")
+    )
+
+
+@query(
+    "sim_ivf_refined_topk",
+    oracle=f"""
+    WITH {_LLOYD_CTE}, q AS (
+      SELECT vec_id AS query_id, embedding AS qe, cent_id
+      FROM a2 WHERE vec_id % 50 = 0 AND vec_id < 2000
+    ), cands AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS sim
+      FROM q JOIN a2 a ON a.cent_id = q.cent_id AND a.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+      FROM cands
+    )
+    SELECT query_id, neighbor_id, sim, rn
+    FROM ranked WHERE rn <= 3
+    ORDER BY query_id, rn
+    """,
+    tags=("similarity", "ann", "kmeans"),
+)
+def sim_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN served from LLOYD-REFINED cells: one training round
+    (`_lloyd_round`) re-centers the hash-sampled seed centroids at
+    their members' means, the corpus re-assigns, and the ANN probe
+    (same fixed query budget and top-3 shape as sim_ivf_ann_topk)
+    searches the refined cell — the "train the index" step production
+    IVF always runs, quantified against the untrained variant by the
+    recall audit pattern. Refined cells sit at actual data centroids,
+    so same-cell neighbors are nearer and recall at equal probe cost
+    dominates the seed-centroid index on clustered data.
+
+    Scale: training adds ONE corpus pass (map-side argmin + the
+    {EMBED_DIMS}-column re-centering agg); serving cost is identical
+    to sim_ivf_ann_topk. The centroid table stays K rows end to end."""
+    emb = table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        "embedding",
+        quantize_embedding(F.col("embedding")).alias("qemb"),
+    )
+    refined = _lloyd_round(
+        vecs.select("vec_id", "qemb"), _centroids(emb)
+    ).select("cent_id", "cemb")
+    assigned = vecs.crossJoin(F.broadcast(_cent_array(refined))).select(
+        "vec_id",
+        "embedding",
+        _cell_best(F.col("qemb"), F.col("cs")).alias("cent_id"),
+    )
+    q = assigned.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cent_id").alias("qcell"),
+    )
+    cands = (
+        assigned.join(F.broadcast(q), F.col("cent_id") == F.col("qcell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("embedding"), F.col("qe")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("query_id", "rn")
     )
