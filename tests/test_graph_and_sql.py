@@ -158,3 +158,161 @@ def test_converged_probe_covers_final_rounds(spark):
         connected_components_converged(edges, checkpoint_every=0)
     with pytest.raises(ValueError):
         connected_components_converged(edges, max_iters=0)
+
+
+def _write_docs_sf(tmp_path, texts):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"]:
+        os.symlink(f"/root/testdata/sf0.01/{t}.parquet", d / f"{t}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["t"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+def _bpe_reference(docs, rounds):
+    """Pure-Python BPE trainer: overlapping adjacent pair counts, winner
+    = (max count, lexicographically smallest (x, y)), greedy leftmost
+    non-overlapping application per doc."""
+    seqs = [t.split(" ") for t in docs]
+    merges = []
+    for _ in range(rounds):
+        counts = {}
+        for s in seqs:
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            break
+        (x, y), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((x, y, cnt))
+        out_seqs = []
+        for s in seqs:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == x and s[i + 1] == y:
+                    out.append(x + "~" + y)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            out_seqs.append(out)
+        seqs = out_seqs
+    return merges
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bpe_matches_python_reference_on_random_corpora(
+    spark, tmp_path, seed
+):
+    """The sentinel-replace BPE trainer must agree with a direct
+    Python implementation of the algorithm (Sennrich et al. 2016:
+    overlapping pair counts, greedy leftmost merge) on randomized
+    corpora from a tiny alphabet — the regime where merged symbols
+    immediately re-enter the statistics and prefix-collision bugs
+    would surface."""
+    import random
+
+    from wikid_spark.registry import get
+
+    rng = random.Random(seed)
+    docs = [
+        " ".join(rng.choice("ab c aa b".split()) for _ in range(rng.randint(1, 12)))
+        for _ in range(8)
+    ]
+    want = [
+        (i + 1, x, y, cnt)
+        for i, (x, y, cnt) in enumerate(_bpe_reference(docs, 3))
+    ]
+    sf = _write_docs_sf(tmp_path, docs)
+    got = [tuple(r) for r in get("tx_bpe_merges").fn(spark, sf).collect()]
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_lloyd_matches_numpy_reference(spark, tmp_path, seed):
+    """sim_kmeans_lloyd against a direct numpy Lloyd step on random
+    embeddings: same deterministic seed-centroid choice, integer-L2
+    argmin with (dist, cent_id) ties, floor(S/n) re-centering."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wikid_spark.registry import get
+
+    rng = np.random.default_rng(seed)
+    n, dim, k = 60, 64, 20
+    emb = rng.standard_normal((n, dim)).astype(np.float32)
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents"]:
+        os.symlink(f"/root/testdata/sf0.01/{t}.parquet", d / f"{t}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, row)) for row in emb],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0] * n, pa.int32()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+
+    q = np.floor(emb.astype(np.float64) * 1000.0).astype(np.int64)
+    h = ((np.arange(n) % 100_000_007) * 1_103_515_245 + 12_345) % 2_147_483_648
+    seeds = np.lexsort((np.arange(n), h))[:k]
+    cents = {int(c): q[c] for c in sorted(map(int, seeds))}
+
+    def assign(table):
+        out = {}
+        for v in range(n):
+            best = min(
+                (int(((q[v] - c) ** 2).sum()), cid) for cid, c in table.items()
+            )
+            out[v] = best[1]
+        return out
+
+    a1 = assign(cents)
+    newc = {}
+    for cid in cents:
+        members = [v for v, c in a1.items() if c == cid]
+        if members:
+            s = q[members].sum(axis=0)
+            newc[cid] = np.floor(s.astype(np.float64) / len(members)).astype(
+                np.int64
+            )
+    a2 = assign(newc)
+    want = sorted(
+        (
+            cid,
+            sum(1 for c in a1.values() if c == cid),
+            sum(1 for c in a2.values() if c == cid),
+            int(((cents[cid] - newc[cid]) ** 2).sum()),
+            int(newc[cid][0]),
+            int(newc[cid][1]),
+        )
+        for cid in newc
+    )
+    got = [tuple(r) for r in get("sim_kmeans_lloyd").fn(spark, str(d)).collect()]
+    assert got == want
