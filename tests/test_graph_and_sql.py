@@ -316,3 +316,27 @@ def test_lloyd_matches_numpy_reference(spark, tmp_path, seed):
     )
     got = [tuple(r) for r in get("sim_kmeans_lloyd").fn(spark, str(d)).collect()]
     assert got == want
+
+
+def test_cdc_chunks_survive_mid_document_insertion(spark, tmp_path):
+    """The content-defined property: boundaries depend only on a local
+    token window, so inserting a paragraph mid-document re-aligns
+    every chunk outside the edit — most of the original chunk hashes
+    survive verbatim. (Fixed-size chunking would shift every boundary
+    after the edit and share only the prefix.)"""
+    import random
+
+    from wikid_spark.registry import get
+
+    rng = random.Random(7)
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    base = [rng.choice(words) for _ in range(400)]
+    edited = base[:200] + ["INSERTED", "PARAGRAPH", "HERE"] + base[200:]
+    sf = _write_docs_sf(tmp_path, [" ".join(base), " ".join(edited)])
+    rows = get("pp_cdc_chunking").fn(spark, sf).collect()
+    from collections import Counter
+
+    a = Counter(r["chunk_hash"] for r in rows if r["doc_id"] == 1)
+    b = Counter(r["chunk_hash"] for r in rows if r["doc_id"] == 2)
+    shared = sum((a & b).values())
+    assert shared / sum(a.values()) >= 0.8

@@ -801,3 +801,119 @@ def pp_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+CDC_WINDOW = 3  # rolling-hash window (tokens)
+CDC_DIVISOR = 8  # boundary when window-hash % DIVISOR == 0 → mean chunk ≈ 8
+
+
+@query(
+    "pp_cdc_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), bounds AS (
+      SELECT doc_id, ws,
+             CASE WHEN len(ws) >= {CDC_WINDOW + 1} THEN
+               list_filter(range(2, len(ws) - 1), i ->
+                 ('0x' || substr(md5(ws[i - 1] || ' ' || ws[i] || ' ' || ws[i + 1]), 1, 4))::BIGINT
+                   % {CDC_DIVISOR} = 0)
+             ELSE CAST([] AS BIGINT[]) END AS bpos
+      FROM toks
+    ), spans AS (
+      SELECT doc_id, ws,
+             list_concat(CAST([0] AS BIGINT[]),
+                         list_transform(bpos, b -> b + 1)) AS starts,
+             list_concat(bpos, [len(ws) - 1]) AS ends
+      FROM bounds
+    ), chunks AS (
+      SELECT doc_id, k AS chunk_idx,
+             md5(array_to_string(ws[st + 1 : en + 1], ' ')) AS chunk_hash,
+             en - st + 1 AS n_tok
+      FROM spans,
+           LATERAL (SELECT unnest(range(0, len(starts))) AS k),
+           LATERAL (SELECT starts[k + 1] AS st, ends[k + 1] AS en)
+    )
+    SELECT doc_id, chunk_idx, chunk_hash, n_tok,
+           CASE WHEN ROW_NUMBER() OVER (PARTITION BY chunk_hash
+                                        ORDER BY doc_id, chunk_idx) = 1
+                THEN 1 ELSE 0 END AS is_first
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+    tags=("pipeline", "chunking", "dedup"),
+)
+def pp_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the LBFS/rolling-hash discipline
+    storage dedup is built on): a chunk boundary falls wherever the
+    hash of the trailing {CDC_WINDOW}-token window ≡ 0 mod
+    {CDC_DIVISOR}, so boundaries depend only on LOCAL content — insert
+    a paragraph into a long document and every chunk outside the edit
+    re-aligns and re-deduplicates, where fixed-size chunking
+    (pp_chunking) shifts every subsequent boundary. Output: one row
+    per chunk with its hash, token count, and an is_first flag (0 ⇒
+    this chunk's bytes already exist elsewhere in the corpus — the
+    dedupable tail). The hash is md5-derived (the engine's hash-parity
+    primitive), 16 bits reduced mod {CDC_DIVISOR}.
+
+    Scale: chunking is map-only per-row HOF arithmetic (no explode
+    until the final per-chunk rows); the only shuffle is the
+    first-occurrence window on chunk_hash — exactly the exact-dedup
+    keeper shape, key space bounded by distinct content chunks."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    size = F.size("ws")
+
+    def is_boundary(i):
+        wnd = F.array_join(F.slice("ws", i - 1, CDC_WINDOW), " ")
+        h = F.conv(F.substring(F.md5(wnd.cast("binary")), 1, 4), 16, 10)
+        return h.cast("long") % CDC_DIVISOR == 0
+
+    bpos = F.when(
+        size >= CDC_WINDOW + 1,
+        F.filter(F.sequence(F.lit(2), size - 2), is_boundary),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = t.select("doc_id", "ws", bpos.alias("bpos")).select(
+        "doc_id",
+        "ws",
+        F.concat(
+            F.array(F.lit(0)), F.transform("bpos", lambda b: b + 1)
+        ).alias("starts"),
+        F.concat(F.col("bpos"), F.array(size - 1)).alias("ends"),
+    )
+    chunk = F.transform(
+        F.sequence(F.lit(0), F.size("starts") - 1),
+        lambda k: F.struct(
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        "ws",
+                        F.element_at("starts", k + 1) + 1,
+                        F.element_at("ends", k + 1)
+                        - F.element_at("starts", k + 1)
+                        + 1,
+                    ),
+                    " ",
+                ).cast("binary")
+            ).alias("chunk_hash"),
+            (
+                F.element_at("ends", k + 1) - F.element_at("starts", k + 1) + 1
+            ).cast("long").alias("n_tok"),
+        ),
+    )
+    ch = spans.select(
+        "doc_id", F.posexplode(chunk).alias("chunk_idx", "c")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "c.chunk_hash",
+        "c.n_tok",
+    )
+    w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    return (
+        ch.withColumn(
+            "is_first",
+            F.when(F.row_number().over(w) == 1, 1).otherwise(0).cast("int"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
