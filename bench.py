@@ -59,6 +59,8 @@ HEADLINE = [
     "sim_kmeans_lloyd",
     "nd_semantic_dedup",
     "tx_lm_perplexity",
+    "sim_ivf_refined_topk",
+    "pp_cdc_chunking",
 ]
 
 
