@@ -228,11 +228,14 @@ def test_training_corpus_droplist_unhinted_above_threshold(spark, monkeypatch):
 
 
 def test_ivf_assignment_is_projected_argmin(spark):
-    """Centroid assignment must stay a map-side projection: the K
-    centroids broadcast as ONE array row and argmin runs inside the
-    projection. The regression this pins: carrying the embedding array
-    through a groupBy agg buffer forces SortAggregate (the ~50x
-    fallback), and an n×K join expansion shuffles corpus-scale rows."""
+    """Centroid assignment must never expand or aggregate the corpus:
+    either the K centroids broadcast as ONE array row with argmin in
+    the projection (the nprobe-2 rank path), or they replicate to the
+    corpus slices of the cogrouped BLAS kernel (broadcast range join).
+    The regressions this pins: carrying the embedding array through a
+    groupBy agg buffer forces SortAggregate (the ~50x fallback), and
+    an n×K relational join expansion shuffles corpus-scale rows
+    (CartesianProduct)."""
     for name in ("sim_ivf_cells", "sim_kmeans_lloyd", "nd_semantic_dedup",
                  "sim_ivf_ann_topk_nprobe2", "sim_ivf_refined_topk"):
         plan = _plan(spark, name)

@@ -272,13 +272,6 @@ def _cell_scores(qemb_col, cs_col):
     )
 
 
-def _cell_best(qemb_col, cs_col):
-    """cent_id of the nearest centroid: array_min over the scored
-    structs — no O(K log K) sort on the per-row hot path (only the
-    nprobe>1 path needs full preference ORDER, via _cell_ranks)."""
-    return F.array_min(_cell_scores(qemb_col, cs_col))["cent_id"]
-
-
 def _cell_ranks(qemb_col, cs_col):
     """Cell preference order (ascending) for one vector — array_sort
     of the scored structs; used where more than the argmin is probed."""
@@ -296,11 +289,11 @@ def _assignments(emb: DataFrame) -> DataFrame:
     aggregation buffer. (The previous join+groupBy+first(embedding)
     form put an ARRAY column in the agg buffer, forcing SortAggregate —
     the 50x fallback the verify notes warn about.)"""
-    qemb = emb.withColumn("qemb", quantize_embedding(F.col("embedding")))
-    return qemb.crossJoin(F.broadcast(_cent_array(_centroids(emb)))).select(
-        "vec_id",
-        "embedding",
-        _cell_best(F.col("qemb"), F.col("cs")).alias("cent_id"),
+    qemb = emb.select(
+        "vec_id", "embedding", quantize_embedding(F.col("embedding")).alias("qemb")
+    )
+    return _assign_blas(qemb, _centroids(emb)).select(
+        "vec_id", "embedding", "cent_id"
     )
 
 
@@ -914,25 +907,13 @@ def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _lloyd_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, qemb, cent_id): nearest centroid by integer squared-L2,
-    ties to the lowest cent_id. Same map-side projected-argmin shape as
-    `_assignments` (no shuffle, no array in an agg buffer), over
-    already-quantized vectors."""
-    return vecs.crossJoin(F.broadcast(_cent_array(cents))).select(
-        "vec_id",
-        "qemb",
-        _cell_best(F.col("qemb"), F.col("cs")).alias("cent_id"),
-    )
-
-
 def _lloyd_round(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """One Lloyd re-centering over (vec_id, qemb) vectors: assign via
     the map-side argmin, then re-center each non-empty cell at the
     member mean as {EMBED_DIMS} map-side-combinable SUM columns (no
     posexplode row blow-up), re-quantized floor(S/n). Returns the
     refined centroid table (cent_id, n, cemb)."""
-    a1 = _lloyd_assign(vecs, cents)
+    a1 = _assign_blas(vecs, cents)
     sums = a1.groupBy("cent_id").agg(
         F.count(F.lit(1)).alias("n"),
         *[F.sum(F.col("qemb")[d]).alias(f"s{d}") for d in range(EMBED_DIMS)],
@@ -1050,7 +1031,7 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents0 = _centroids(emb)
     newc = _lloyd_round(vecs, cents0)
-    a2 = _lloyd_assign(vecs, newc.select("cent_id", "cemb"))
+    a2 = _assign_blas(vecs, newc.select("cent_id", "cemb"))
     c2 = a2.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n2"))
     shift = F.aggregate(
         F.zip_with("cemb0", "cemb", lambda a, b: (a - b) * (a - b)),
@@ -1117,10 +1098,8 @@ def sim_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     refined = _lloyd_round(
         vecs.select("vec_id", "qemb"), _centroids(emb)
     ).select("cent_id", "cemb")
-    assigned = vecs.crossJoin(F.broadcast(_cent_array(refined))).select(
-        "vec_id",
-        "embedding",
-        _cell_best(F.col("qemb"), F.col("cs")).alias("cent_id"),
+    assigned = _assign_blas(vecs, refined).select(
+        "vec_id", "embedding", "cent_id"
     )
     q = assigned.filter(
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)
@@ -1143,4 +1122,60 @@ def sim_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .orderBy("query_id", "rn")
+    )
+
+
+def _assign_blas(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Lloyd/IVF assignment on the BLAS path: appends ``cent_id`` (the
+    nearest centroid by integer squared-L2, ties to lowest cent_id) to
+    every input row, computing distances as one vectorized
+    ||x||^2 - 2xC' + ||c||^2 per corpus slice inside a cogrouped-pandas
+    kernel instead of K x EMBED_DIMS interpreted HOF lambda
+    evaluations per row (HOFs are not codegen'd; measured ~20x at sf10
+    on the Lloyd loop). Exactness is preserved: every quantized product
+    and partial sum stays far below 2^53, so the float64 distances are
+    EXACT integers, and argmin over centroids pre-sorted by cent_id
+    reproduces the (dist, cent_id) tie-break bit-for-bit.
+
+    ``vecs`` must carry ``vec_id`` and ``qemb``; every input column
+    passes through. Scale: corpus slices hash-partition by vec_id; the
+    K-row centroid table replicates to every slice key (K x slices tiny
+    rows), so each task gets (slice, all centroids) — no corpus-scale
+    skew, one Arrow round-trip of the vectors."""
+    import numpy as np
+    import pandas as pd
+
+    n_parts = 64
+    out_cols = [f.name for f in vecs.schema.fields]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in vecs.schema.fields
+    ) + ", cent_id bigint"
+
+    def assign(key, vpdf, cpdf):
+        vpdf = vpdf[out_cols]
+        if len(vpdf) == 0 or len(cpdf) == 0:
+            return vpdf.assign(cent_id=pd.Series([], dtype="int64"))
+        corder = np.argsort(cpdf["cent_id"].to_numpy())
+        cids = cpdf["cent_id"].to_numpy(dtype=np.int64)[corder]
+        C = np.array(
+            cpdf["cemb"].to_numpy()[corder].tolist(), dtype=np.float64
+        )
+        X = np.array(vpdf["qemb"].tolist(), dtype=np.float64)
+        d = (
+            (X * X).sum(axis=1)[:, None]
+            - 2.0 * (X @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+        best = cids[np.argmin(d, axis=1)]  # first min = lowest cent_id
+        return vpdf.assign(cent_id=best)
+
+    spark = vecs.sparkSession
+    v = vecs.withColumn("pk", F.pmod(F.xxhash64("vec_id"), F.lit(n_parts)))
+    c = cents.select("cent_id", "cemb").crossJoin(
+        F.broadcast(spark.range(n_parts).select(F.col("id").alias("pk")))
+    )
+    return (
+        v.groupBy("pk")
+        .cogroup(c.groupBy("pk"))
+        .applyInPandas(assign, out_schema)
     )
