@@ -1015,8 +1015,8 @@ def nd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: this is the sub-quadratic production path for embedding
     dedup — candidate pairs are Σ|cell|² instead of n²; with K tuned
     ~√n, cells stay ~√n so total work is ~n^1.5 and each cell's
-    pairwise block fits one task. Assignment is the broadcast map-side
-    argmin of `_assignments` (corpus never shuffles for it); the only
+    pairwise block fits one task. Assignment is `_assignments`' exact-
+    integer BLAS kernel (no corpus-scale join); the only corpus
     shuffle is the groupBy(cent_id), and each cell computes its
     similarity block with ONE BLAS matmul inside applyInPandas — the
     same vectorized kernel as nd_embedding_neardup, which measured

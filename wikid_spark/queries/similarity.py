@@ -896,9 +896,9 @@ def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Distributed k-means (Lloyd refinement) — the training loop IVF skips.
-# One Lloyd iteration = broadcast-K assignment (map-side argmin, zero
-# shuffle of the corpus) + a K×64-cell re-centering agg (map-side
-# combinable). Everything runs on quantized integers except the mean,
+# One Lloyd iteration = slice-replicated BLAS assignment (`_assign_blas`
+# — exact integer distances, no corpus-scale shuffle) + a K×64-cell
+# re-centering agg (map-side combinable). Everything runs on quantized integers except the mean,
 # which is re-quantized by floor(S/n) — S is an exact long, S/n a double
 # division of exactly-representable operands, so both engines floor the
 # identical value. Empty cells (a centroid that attracts no vectors)
@@ -909,7 +909,7 @@ def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lloyd_round(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """One Lloyd re-centering over (vec_id, qemb) vectors: assign via
-    the map-side argmin, then re-center each non-empty cell at the
+    the BLAS kernel, then re-center each non-empty cell at the
     member mean as {EMBED_DIMS} map-side-combinable SUM columns (no
     posexplode row blow-up), re-quantized floor(S/n). Returns the
     refined centroid table (cent_id, n, cemb)."""
@@ -1019,9 +1019,9 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     and S/n divides exactly-representable doubles — bit-identical in
     both engines.
 
-    Scale: per iteration, the corpus never shuffles — centroids
-    broadcast (K rows), assignment is a map-side argmin, and
-    re-centering aggregates K·{EMBED_DIMS} partial sums via 64 column
+    Scale: per iteration, the corpus never joins or shuffles at scale —
+    centroids replicate to the corpus slices (K rows each), assignment
+    is the exact-integer BLAS kernel, and re-centering aggregates K·{EMBED_DIMS} partial sums via 64 column
     expressions (no posexplode row blow-up). Iterations are a driver
     loop over K-row DataFrames; corpus passes = 2 per iteration, the
     textbook distributed-Lloyd layout."""
@@ -1086,7 +1086,7 @@ def sim_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so same-cell neighbors are nearer and recall at equal probe cost
     dominates the seed-centroid index on clustered data.
 
-    Scale: training adds ONE corpus pass (map-side argmin + the
+    Scale: training adds ONE corpus pass (the BLAS assignment + the
     {EMBED_DIMS}-column re-centering agg); serving cost is identical
     to sim_ivf_ann_topk. The centroid table stays K rows end to end."""
     emb = table(spark, sf_dir, "embeddings")
