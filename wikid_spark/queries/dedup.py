@@ -1079,13 +1079,17 @@ def nd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     cells = _assignments(emb)
     return (
-        # Explicit K-way repartition: the per-cell matmuls are
+        # Explicit fixed-count repartition: the per-cell matmuls are
         # CPU-bound (~10 s per 10k-vector cell), but the cells total
         # only ~100 MB at sf10, so AQE's byte-size coalescing would
         # fold all K groups into 1-2 partitions and SERIALIZE them
         # (measured 234 s vs ~30 s). A user-specified partition count
-        # is exempt from AQE coalescing — one task per cell.
-        cells.repartition(N_CENTROIDS, "cent_id")
+        # is exempt from AQE coalescing. 4×K partitions, not K: hashing
+        # K distinct cent_ids into exactly K partitions collides
+        # (birthday effect — several cells share a task and serialize
+        # while other slots idle); at 4×K the expected max load per
+        # partition is ~1 cell, so parallelism approaches the true K.
+        cells.repartition(4 * N_CENTROIDS, "cent_id")
         .groupBy("cent_id")
         .applyInPandas(
             cell_dups, "vec_id bigint, cent_id bigint, dup_of bigint, sim double"

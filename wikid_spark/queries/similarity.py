@@ -1153,8 +1153,16 @@ def _assign_blas(vecs: DataFrame, cents: DataFrame) -> DataFrame:
 
     def assign(key, vpdf, cpdf):
         vpdf = vpdf[out_cols]
-        if len(vpdf) == 0 or len(cpdf) == 0:
+        if len(vpdf) == 0:
             return vpdf.assign(cent_id=pd.Series([], dtype="int64"))
+        if len(cpdf) == 0:
+            # Vectors with no centroid table have no nearest cell; a
+            # silent empty-Series assign would index-align to NaN and
+            # break the bigint schema — fail loudly instead.
+            raise ValueError(
+                "_assign_blas: non-empty vector slice cogrouped with an "
+                "empty centroid table (K=0) — nothing to assign to"
+            )
         corder = np.argsort(cpdf["cent_id"].to_numpy())
         cids = cpdf["cent_id"].to_numpy(dtype=np.int64)[corder]
         C = np.array(

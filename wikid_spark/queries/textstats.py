@@ -11,6 +11,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from wikid_spark.catalog import table
+from wikid_spark.functions.detmath import (
+    det_ln_ratio_select_sql,
+    with_det_ln_ratio,
+)
 from wikid_spark.operators.fts import tokenize
 from wikid_spark.registry import query
 
@@ -313,9 +317,17 @@ def tx_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-bigram log-prob quantization, shared verbatim by both engines:
+# floor(1e6 * ln((c12+1)/(c1+V))) via the libm-free deterministic
+# stages (functions.detmath) — a 1-ulp ln() disagreement between
+# java.lang.Math.log and DuckDB's libm near an integer boundary would
+# otherwise flip lpq by 1 and break the oracle hash on unlucky inputs.
+_LM_DET_LPQ = det_ln_ratio_select_sql("(c12.c12 + 1)", "(c1.c1 + v.v)")
+
+
 @query(
     "tx_lm_perplexity",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
     ), bg AS (
@@ -332,8 +344,7 @@ def tx_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT unnest(ws) AS w FROM toks)
     ), scored AS (
       SELECT b.doc_id, b.k,
-             CAST(FLOOR(1e6 * LN((c12.c12 + 1)::DOUBLE / (c1.c1 + v.v)))
-                  AS BIGINT) AS lpq
+             {_LM_DET_LPQ}
       FROM doc_bg b
       JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
       JOIN c1 ON b.w1 = c1.w1
@@ -366,9 +377,12 @@ def tx_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness across engines: each bigram's log-probability is
     FIXED-POINT QUANTIZED per row (floor(1e6·ln p) — the same idiom as
     quantize_embedding) before the per-document SUM, so the aggregate
-    is exact integer arithmetic regardless of accumulation order; the
-    only cross-engine float exposure is one ln() per DISTINCT
-    (w1, w2), not a float sum over rows.
+    is exact integer arithmetic regardless of accumulation order — and
+    the ln itself is the LIBM-FREE deterministic evaluation of
+    `functions.detmath` (correctly-rounded IEEE ops only, the same
+    stage expressions embedded in both engines), so even the floor
+    boundary of the quantization is bit-identical: no input can make
+    a 1-ulp java-vs-libm log() difference flip lpq.
 
     Scale: the "model" is two count tables — bigram types (bounded by
     corpus vocabulary², in practice Zipf-truncated millions, NOT corpus
@@ -406,18 +420,16 @@ def tx_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = toks.select(F.explode("ws").alias("w")).agg(
         F.countDistinct("w").alias("v")
     )
-    lpq = F.floor(
-        F.lit(1e6)
-        * F.log(
-            (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v"))
-        )
-    ).cast("long")
-    scored = (
+    # lpq via the SAME dialect-neutral stage expressions the oracle
+    # embeds (functions.detmath) — zero libm exposure, so the floor
+    # boundary cannot disagree between engines.
+    scored = with_det_ln_ratio(
         doc_bg.join(c12, ["w1", "w2"])
         .join(c1, "w1")
-        .crossJoin(F.broadcast(v))
-        .select("doc_id", "k", lpq.alias("lpq"))
-    )
+        .crossJoin(F.broadcast(v)),
+        "(c12 + 1)",
+        "(c1 + v)",
+    ).select("doc_id", "k", "lpq")
     import math
 
     bits = F.round(

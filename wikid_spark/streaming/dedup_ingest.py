@@ -357,8 +357,14 @@ def compact_dedup_index(spark: SparkSession, index_dir: str) -> None:
     localCheckpoint of corpus-scale data), then swapped in with two
     renames. At no point is the only copy in memory; a crash leaves
     either the old tree, or old+new side by side (``.old`` /
-    ``.compacting`` — re-running compaction heals both). On object
-    storage the renames map to the store's atomic-commit primitive."""
+    ``.compacting``), or — in the instant between the two renames —
+    only ``.old`` (+ a fully-written ``.compacting``). Re-running
+    compaction heals every state: the preamble below restores a
+    missing ``live`` from ``.old`` (preferred — it was the live tree)
+    or from a COMPLETE ``.compacting`` (its ``_SUCCESS`` marker
+    present) BEFORE any deletion, so no crash point leaves zero
+    surviving copies. On object storage the renames map to the
+    store's atomic-commit primitive."""
     import os
     import shutil
 
@@ -366,6 +372,20 @@ def compact_dedup_index(spark: SparkSession, index_dir: str) -> None:
         live = f"{index_dir}/{part}"
         tmp = f"{index_dir}/{part}.compacting"
         old = f"{index_dir}/{part}.old"
+        if not os.path.exists(live):
+            # Crash landed between rename(live, old) and rename(tmp,
+            # live): restore first, delete only after live exists again.
+            if os.path.exists(old):
+                os.rename(old, live)
+            elif os.path.exists(
+                f"{tmp}/batch_id={BASE_BATCH_ID}/_SUCCESS"
+            ):
+                os.rename(tmp, live)
+            else:
+                raise FileNotFoundError(
+                    f"dedup index component {live} missing and neither "
+                    f"{old} nor a complete {tmp} exists to restore it"
+                )
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
         _read_part(spark, index_dir, part, None).write.mode(
