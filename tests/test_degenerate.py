@@ -53,3 +53,29 @@ def test_degenerate_corpora(spark, empty_sf_dir, single_sf_dir, name):
     for sf_dir in (empty_sf_dir, single_sf_dir):
         rows = spec.fn(spark, sf_dir).collect()
         assert rows is not None  # ran to completion; emptiness is fine
+
+
+def test_assign_blas_empty_centroids_fails_loudly(spark):
+    """Round-7 regression: cogrouping a non-empty vector slice with an
+    EMPTY centroid table (K=0) used to assign via an empty Series,
+    which index-aligns to NaN and dies later with an opaque
+    Arrow/bigint cast error. The guard raises a ValueError naming the
+    condition instead."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from wikid_spark.queries.similarity import _assign_blas
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "vec_id long, qemb array<double>"
+    )
+    cents = spark.createDataFrame(
+        [], "cent_id long, cemb array<double>"
+    )
+    with _pytest.raises(PythonException, match="_assign_blas"):
+        _assign_blas(vecs, cents).collect()
+
+    # And the sane K=1 case still assigns every row to that centroid.
+    one = spark.createDataFrame([(0, [0.0, 0.0])], "cent_id long, cemb array<double>")
+    got = {r["vec_id"]: r["cent_id"] for r in _assign_blas(vecs, one).collect()}
+    assert got == {1: 0, 2: 0}

@@ -641,3 +641,92 @@ def test_evolving_index_through_stream(spark, tmp_path):
     dropped = next(d for d, (v, _) in got.items() if v == "drop")
     kept = next(d for d, (v, _) in got.items() if v == "keep")
     assert got[dropped][1] == kept  # and names the survivor
+
+
+def test_compaction_heals_crash_between_renames(spark, tmp_path):
+    """Round-7 regression: `compact_dedup_index` swaps the folded base
+    in with two renames — rename(live, old) then rename(tmp, live). A
+    crash in the instant between them leaves NO live tree; the pre-r7
+    code then unconditionally rmtree'd both `.old` and `.compacting`,
+    destroying every surviving copy. Simulate each crash state and
+    assert a re-run restores a correct, probe-able index.
+
+    State A: live missing, `.old` present (+ a stale incomplete tmp) →
+    heal from `.old` (it WAS the live tree)."""
+    import os
+    import shutil
+
+    from wikid_spark.streaming import dedup_ingest
+
+    corpus = _mkdocs(spark, _CORPUS_ROWS + [(3, _DOC_A)])
+    index_dir = str(tmp_path / "idx")
+    dedup_ingest.persist_dedup_index(corpus, index_dir)
+
+    def probe_verdict():
+        b = _mkdocs(spark, [(900, _DOC_A_NEARDUP)])
+        rows = dedup_ingest.batch_verdicts(spark, b, index_dir).collect()
+        return {r["doc_id"]: (r["verdict"], r["dup_of"]) for r in rows}
+
+    baseline = probe_verdict()
+    assert baseline[900] == ("drop", 3)
+
+    # Crash state A for the 'bands' component: mid-swap, old holds the
+    # only complete copy; tmp exists but is torn (no _SUCCESS).
+    live = f"{index_dir}/bands"
+    os.rename(live, f"{live}.old")
+    os.makedirs(f"{live}.compacting/batch_id=-1")  # torn: no _SUCCESS
+    dedup_ingest.compact_dedup_index(spark, index_dir)
+    assert not os.path.exists(f"{live}.old")
+    assert not os.path.exists(f"{live}.compacting")
+    assert probe_verdict() == baseline
+
+    # Crash state B: old already cleaned up, tmp is COMPLETE (_SUCCESS
+    # present) — the crash hit after rename(live, old) and after the
+    # fold finished writing but before rename(tmp, live)... i.e. the
+    # re-run must adopt the complete tmp as live.
+    shutil.move(live, f"{live}.compacting")
+    assert os.path.exists(f"{live}.compacting/batch_id=-1/_SUCCESS")
+    dedup_ingest.compact_dedup_index(spark, index_dir)
+    assert probe_verdict() == baseline
+
+    # Crash state C: nothing restorable → loud failure, no deletion of
+    # the other components.
+    shutil.rmtree(live)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="bands"):
+        dedup_ingest.compact_dedup_index(spark, index_dir)
+    assert os.path.exists(f"{index_dir}/shingles")  # untouched
+
+
+def test_compaction_heals_with_appended_deltas(spark, tmp_path):
+    """Healing composes with the evolving-index contract: corpus base
+    plus a batch-0 delta, crash mid-swap on `shingles`, re-run, and
+    the compacted index still catches a near-dup of the DELTA doc."""
+    import os
+
+    from wikid_spark.streaming import dedup_ingest
+
+    corpus = _mkdocs(spark, _CORPUS_ROWS)
+    index_dir = str(tmp_path / "idx")
+    dedup_ingest.persist_dedup_index(corpus, index_dir)
+    kept = _mkdocs(spark, [(100, _DOC_A)])
+    kept_ids = kept.select("doc_id")
+    dedup_ingest.append_kept_to_index(kept, kept_ids, index_dir, 0)
+
+    live = f"{index_dir}/shingles"
+    os.rename(live, f"{live}.old")  # crash between the two renames
+    dedup_ingest.compact_dedup_index(spark, index_dir)
+
+    b = _mkdocs(spark, [(901, _DOC_A_NEARDUP)])
+    got = {
+        r["doc_id"]: (r["verdict"], r["dup_of"])
+        for r in dedup_ingest.batch_verdicts(spark, b, index_dir).collect()
+    }
+    assert got[901] == ("drop", 100)
+    # Deltas folded: only the base partition remains.
+    for part in ("bands", "shingles", "sizes"):
+        kids = os.listdir(f"{index_dir}/{part}")
+        assert [k for k in kids if k.startswith("batch_id=")] == [
+            "batch_id=-1"
+        ]

@@ -40,21 +40,35 @@ infrastructure for the rebuild's oracle-parity contract.
 
 from __future__ import annotations
 
-# repr(math.log(2.0)) — the correctly-rounded double for ln 2; decimal
-# literals of <= 17 significant digits parse to identical doubles in
-# both engines.
-_LN2 = "0.6931471805599453"
+def _dbl(x: float) -> str:
+    """A numeric literal forced to DOUBLE in BOTH engines. Spark SQL
+    parses a bare decimal literal as DECIMAL and evaluates
+    DECIMAL/DECIMAL (and DECIMAL*DECIMAL) in decimal arithmetic with
+    engine-specific scale truncation — e.g. ``1.0 / 27.0`` is
+    decimal(8,6) = 0.037037 in Spark but a full double in DuckDB, a
+    ~3e-7 coefficient divergence that broke bit-parity. ``repr(x)``
+    gives the shortest decimal that round-trips to exactly ``x`` and
+    the explicit CAST pins the type, so every arithmetic op below is
+    IEEE-754 double (correctly rounded, bit-identical) in both
+    engines."""
+    return f"CAST({x!r} AS DOUBLE)"
 
-# atanh-series coefficients 1/(2k+1), written as double divisions so
-# both engines derive the identical correctly-rounded constants.
+
+# The correctly-rounded double for ln 2 (repr(math.log(2.0))).
+_LN2 = _dbl(0.6931471805599453)
+
+# atanh-series coefficients 1/(2k+1), precomputed in Python (one
+# correctly-rounded double division) and emitted as CAST'd double
+# literals — never as in-SQL division, whose operand typing differs
+# between engines (see _dbl).
 _SERIES_ODD = (27, 25, 23, 21, 19, 17, 15, 13, 11, 9, 7, 5, 3)
 
 
 def _horner(u: str) -> str:
-    expr = f"(1.0 / {_SERIES_ODD[0]}.0)"
+    expr = _dbl(1.0 / _SERIES_ODD[0])
     for c in _SERIES_ODD[1:]:
-        expr = f"({expr} * {u} + 1.0 / {c}.0)"
-    return f"({expr} * {u} + 1.0)"
+        expr = f"({expr} * {u} + {_dbl(1.0 / c)})"
+    return f"({expr} * {u} + {_dbl(1.0)})"
 
 
 def det_ln_ratio_stages(
@@ -72,14 +86,14 @@ def det_ln_ratio_stages(
     ]
     prev_f, prev_e = None, None
     for i, s in enumerate((32, 16, 8, 4, 2, 1), start=1):
-        two_s = repr(float(2**s))
+        two_s = _dbl(float(2**s))
         probe = (
-            f"(_det_d * {two_s}) < 1.0"
+            f"(_det_d * {two_s}) < {_dbl(1.0)}"
             if prev_f is None
-            else f"((_det_d * {prev_f}) * {two_s}) < 1.0"
+            else f"((_det_d * {prev_f}) * {two_s}) < {_dbl(1.0)}"
         )
-        f_expr = f"CASE WHEN {probe} THEN {two_s} ELSE 1.0 END"
-        e_expr = f"CASE WHEN {probe} THEN {float(s)!r} ELSE 0.0 END"
+        f_expr = f"CASE WHEN {probe} THEN {two_s} ELSE {_dbl(1.0)} END"
+        e_expr = f"CASE WHEN {probe} THEN {_dbl(float(s))} ELSE {_dbl(0.0)} END"
         if prev_f is not None:
             f_expr = f"{prev_f} * ({f_expr})"
             e_expr = f"{prev_e} + ({e_expr})"
@@ -87,14 +101,17 @@ def det_ln_ratio_stages(
         stages.append((f"_det_e{i}", e_expr))
         prev_f, prev_e = f"_det_f{i}", f"_det_e{i}"
     stages += [
-        ("_det_mm", f"(_det_d * {prev_f}) * 2.0"),
-        ("_det_t", "(_det_mm - 1.0) / (_det_mm + 1.0)"),
+        ("_det_mm", f"(_det_d * {prev_f}) * {_dbl(2.0)}"),
+        (
+            "_det_t",
+            f"(_det_mm - {_dbl(1.0)}) / (_det_mm + {_dbl(1.0)})",
+        ),
         ("_det_u", "_det_t * _det_t"),
         ("_det_p", _horner("_det_u")),
         (
             "_det_y",
-            f"{float(scale)!r} * ((2.0 * _det_t) * _det_p"
-            f" - ({prev_e} + 1.0) * {_LN2})",
+            f"{_dbl(float(scale))} * (({_dbl(2.0)} * _det_t) * _det_p"
+            f" - ({prev_e} + {_dbl(1.0)}) * {_LN2})",
         ),
         (out, "CAST(FLOOR(_det_y) AS BIGINT)"),
     ]
