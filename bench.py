@@ -64,6 +64,98 @@ HEADLINE = [
 ]
 
 
+def run_etl(spark) -> dict:
+    """--etl: wiki-ETL stage throughput in LINES/S against the
+    reference's only published performance figures (BASELINE.md:
+    ~1,530-2,180 entity lines/s for the Wikidata parse,
+    ~102k-153k XML lines/s for the Wikipedia prior pass —
+    /root/reference/scripts/wiki/wikidata.py:69-70,
+    wikipedia.py:92-93). Inputs are the deterministic synthetic dumps
+    of tools/gen_dumps.py (regenerated on demand — /tmp is wiped
+    between rounds); each stage runs end-to-end INCLUDING its parquet
+    sink, so the timing covers scan -> parse -> filter -> write, the
+    same span the reference's wall-clock covers (scan -> parse ->
+    sqlite commit)."""
+    import shutil
+    import tempfile
+
+    from tools.gen_dumps import generate
+    from wikid_spark.plans.wiki import (
+        merge_alias_counts,
+        parse_wikidata,
+        wikipedia_articles,
+        wikipedia_link_counts,
+    )
+    from wikid_spark.sources.wikidata import read_wikidata_dump
+    from wikid_spark.sources.wikipedia import read_wikipedia_pages
+
+    dump_dir = os.environ.get("SPARK_GRAFT_ETL_DIR", "/tmp/etl_dumps")
+    n_ent = int(os.environ.get("SPARK_GRAFT_ETL_ENTITIES", "400000"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_ETL_PAGES", "150000"))
+    manifest = generate(dump_dir, n_ent, n_pages)
+    out_root = tempfile.mkdtemp(prefix="etl_out_")
+    stages: dict[str, float] = {}
+    try:
+        # Stage 1 — Wikidata entity parse: NDJSON lines -> the four
+        # typed output tables (entities, entity_texts, edges, aliases).
+        t0 = time.perf_counter()
+        raw = read_wikidata_dump(spark, manifest["wikidata_path"])
+        tables = parse_wikidata(raw)
+        for name, df in tables.items():
+            df.write.mode("overwrite").parquet(f"{out_root}/{name}")
+        stages["wikidata_parse_s"] = time.perf_counter() - t0
+
+        entity_texts = spark.read.parquet(f"{out_root}/entity_texts")
+        # Stage 2 — Wikipedia prior pass: XML lines -> link counts
+        # merged additively with the stage-1 alias seeds (the
+        # reference's read_prior_probs + ON CONFLICT upsert).
+        t0 = time.perf_counter()
+        pages = read_wikipedia_pages(spark, manifest["wikipedia_path"])
+        counts = wikipedia_link_counts(pages, entity_texts)
+        merged = merge_alias_counts(
+            spark.read.parquet(f"{out_root}/aliases"), counts
+        )
+        merged.write.mode("overwrite").parquet(f"{out_root}/alias_counts")
+        stages["wikipedia_priors_s"] = time.perf_counter() - t0
+
+        # Stage 3 — article-text pass (clean + annotate + truncate);
+        # no published lines/s to bind to, recorded for trend.
+        t0 = time.perf_counter()
+        arts = wikipedia_articles(
+            pages, entity_texts, skip_terms=["disambiguation"]
+        )
+        arts.write.mode("overwrite").parquet(f"{out_root}/articles")
+        stages["wikipedia_articles_s"] = time.perf_counter() - t0
+
+        n_rows = {
+            name: spark.read.parquet(f"{out_root}/{name}").count()
+            for name in ("entities", "alias_counts", "articles")
+        }
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+
+    wd_lines = manifest["wikidata_lines"]
+    wp_lines = manifest["wikipedia_lines"]
+    wd_lps = wd_lines / stages["wikidata_parse_s"]
+    wp_lps = wp_lines / stages["wikipedia_priors_s"]
+    return {
+        "metric": "etl_lines_per_sec",
+        "value": round(wd_lps),
+        "unit": "lines/s",
+        "wikidata_lines": wd_lines,
+        "wikipedia_lines": wp_lines,
+        "wikidata_lines_per_s": round(wd_lps),
+        "wikipedia_lines_per_s": round(wp_lps),
+        "baseline_wikidata_lines_per_s": [1530, 2180],
+        "baseline_wikipedia_lines_per_s": [102000, 153000],
+        "speedup_wikidata_vs_baseline_mid": round(wd_lps / 1855.0, 1),
+        "speedup_wikipedia_vs_baseline_mid": round(wp_lps / 127500.0, 1),
+        "stages_s": {k: round(v, 2) for k, v in stages.items()},
+        "rows": n_rows,
+        "cpus": spark.sparkContext.defaultParallelism,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -71,6 +163,13 @@ def main() -> None:
 
     spark = get_spark(app_name="wikid_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if "--etl" in sys.argv[1:]:
+        result = run_etl(spark)
+        _emit(result, detail=result)
+        spark.stop()
+        return
+
     specs = all_queries()
 
     # --full: regression-track the ENTIRE registry (not just headline).
@@ -143,28 +242,47 @@ def main() -> None:
     builds = {n: round(b, 3) for n, b in all_builds.items() if b > 0.25}
     exec_total = round(sum(timings.values()), 3)
     build_total = round(sum(all_builds.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "full_registry_wall_seconds"
-                    if "--full" in sys.argv[1:]
-                    else "headline_queries_wall_seconds"
-                ),
-                "value": exec_total,
-                "unit": "sec",
-                "exec_total": exec_total,
-                "build_total": build_total,
-                "queries": timings,
-                "p95": p95s,
-                "repeat": repeat,
-                "excluded": excluded,
-                "build": builds,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": (
+            "full_registry_wall_seconds"
+            if "--full" in sys.argv[1:]
+            else "headline_queries_wall_seconds"
+        ),
+        "value": exec_total,
+        "unit": "sec",
+        "exec_total": exec_total,
+        "build_total": build_total,
+        "queries": timings,
+        "repeat": repeat,
+        "excluded": excluded,
+        "sf": sf,
+    }
+    detail = dict(payload, p95=p95s, build=builds)
+    _emit(payload, detail)
     spark.stop()
+
+
+def _emit(payload: dict, detail: dict) -> None:
+    """Print the contract's ONE JSON line — last thing on stdout — and
+    persist the full detail (p95s, per-query builds) beside bench.py.
+
+    The driver stores only the final ~2,000 chars of stdout and parses
+    the JSON line out of that window; rounds 3-7 lost their artifacts
+    because the line (queries + p95 + build for 30 queries) outgrew it
+    and was beheaded. The stdout line now carries the required fields
+    plus the p50 "queries" dict (~1.3 KB for the headline set);
+    everything else lives in bench_detail.json, committed per round as
+    BENCH_DETAIL_r{N}.json / FULLBENCH_r{N}.json."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_detail.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1900:  # keep the driver's tail window parseable
+        slim = dict(payload)
+        slim["queries"] = {"_see": "bench_detail.json"}
+        line = json.dumps(slim, separators=(",", ":"))
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

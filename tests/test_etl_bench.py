@@ -1,0 +1,108 @@
+"""The ETL throughput harness (tools/gen_dumps.py + bench.py --etl)
+must stay runnable and truthful: exact manifest line counts, dump
+shapes the real parsers accept, and stages that produce non-empty
+outputs end-to-end at toy scale."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from tools.gen_dumps import generate
+
+
+def test_manifest_line_counts_exact(tmp_path):
+    m = generate(str(tmp_path), n_entities=300, n_pages=120, shards=4)
+
+    def count_lines(d):
+        total = 0
+        for f in sorted(os.listdir(d)):
+            with open(os.path.join(d, f)) as fh:
+                total += sum(1 for _ in fh)
+        return total
+
+    assert m["wikidata_lines"] == count_lines(m["wikidata_path"])
+    assert m["wikipedia_lines"] == count_lines(m["wikipedia_path"])
+    # deterministic: regenerate elsewhere, byte-identical shards
+    m2 = generate(str(tmp_path / "again"), n_entities=300, n_pages=120, shards=4)
+    for f in os.listdir(m["wikidata_path"]):
+        a = open(os.path.join(m["wikidata_path"], f), "rb").read()
+        b = open(os.path.join(m2["wikidata_path"], f), "rb").read()
+        assert a == b
+
+
+def test_wikidata_dump_parses_with_wrapper_rules(spark, tmp_path):
+    """Every line except the '['/']' wrapper must survive the comma
+    strip and parse under WIKIDATA_SCHEMA (PERMISSIVE nulls allowed
+    but ids must be present on every entity line)."""
+    from wikid_spark.plans.wiki import parse_wikidata
+    from wikid_spark.sources.wikidata import read_wikidata_dump
+
+    m = generate(str(tmp_path), n_entities=400, n_pages=50, shards=4)
+    raw = read_wikidata_dump(spark, m["wikidata_path"])
+    n = raw.count()
+    assert n == 400
+    assert raw.filter("id IS NULL").count() == 0
+
+    tables = parse_wikidata(raw)
+    ents = tables["entities"].collect()
+    # item-type, non-meta, sitelinked only: strictly between 0 and all
+    assert 0 < len(ents) < 400
+    # the P31/P279 projection drops the junk claim properties
+    for r in tables["entities"].limit(5).collect():
+        assert set(r["claims"].keys()) <= {"P31", "P279"}
+    assert tables["edges"].filter("dst IS NULL").count() == 0
+    assert tables["aliases"].groupBy().sum("count").collect()[0][0] > 0
+
+
+def test_wikipedia_dump_parses_and_links_join(spark, tmp_path):
+    from wikid_spark.plans.wiki import (
+        parse_wikidata,
+        wikipedia_articles,
+        wikipedia_link_counts,
+    )
+    from wikid_spark.sources.wikidata import read_wikidata_dump
+    from wikid_spark.sources.wikipedia import read_wikipedia_pages
+
+    m = generate(str(tmp_path), n_entities=400, n_pages=200, shards=4)
+    pages = read_wikipedia_pages(spark, m["wikipedia_path"])
+    rows = pages.collect()
+    assert len(rows) == 200
+    # revision-scope rule: article ids are the PAGE-level ids
+    assert all(r["article_id"].startswith("1") for r in rows)
+
+    ets = parse_wikidata(
+        read_wikidata_dump(spark, m["wikidata_path"])
+    )["entity_texts"]
+    counts = wikipedia_link_counts(pages, ets)
+    got = counts.collect()
+    assert len(got) > 0 and all(r["count"] >= 1 for r in got)
+
+    arts = wikipedia_articles(pages, ets, skip_terms=["disambiguation"])
+    a = arts.collect()
+    assert 0 < len(a) <= 200
+    # redirects / meta-namespace / skip-term pages never survive
+    assert all(not r["content"].startswith("#REDIRECT") for r in a)
+    assert all("disambiguation" not in r["content"].lower() for r in a)
+
+
+def test_bench_etl_wiring(spark, tmp_path, monkeypatch):
+    """bench.run_etl end-to-end at toy scale: one JSON-able dict with
+    the lines/s fields and positive stage times."""
+    import bench
+
+    monkeypatch.setenv("SPARK_GRAFT_ETL_DIR", str(tmp_path / "dumps"))
+    monkeypatch.setenv("SPARK_GRAFT_ETL_ENTITIES", "400")
+    monkeypatch.setenv("SPARK_GRAFT_ETL_PAGES", "150")
+    out = bench.run_etl(spark)
+    json.dumps(out)  # serializable
+    assert out["metric"] == "etl_lines_per_sec"
+    assert out["wikidata_lines_per_s"] > 0
+    assert out["wikipedia_lines_per_s"] > 0
+    assert set(out["stages_s"]) == {
+        "wikidata_parse_s",
+        "wikipedia_priors_s",
+        "wikipedia_articles_s",
+    }
+    assert out["rows"]["entities"] > 0
+    assert out["rows"]["alias_counts"] > 0
