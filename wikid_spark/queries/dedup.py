@@ -24,7 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from wikid_spark.catalog import table
-from wikid_spark.queries.similarity import _IVF_CTE as _SEM_IVF_CTE
+from wikid_spark.queries.similarity import ivf_derived_cte as _sem_derived_cte
 from wikid_spark.registry import query
 
 N_PERM = 16  # minhash permutations
@@ -986,10 +986,10 @@ def nd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "nd_semantic_dedup",
-    # Cell assignment is the SAME shared CTE the IVF queries use
-    # (one definition of centroids/assignment to keep in sync).
+    # Cell assignment is the shared derived-K/top-2 CTE
+    # (`similarity.ivf_derived_cte`) — one definition per engine pair.
     oracle=f"""
-    WITH {_SEM_IVF_CTE}, pairs AS (
+    WITH {_sem_derived_cte()}, pairs AS (
       SELECT b.vec_id AS vec_id, b.cent_id AS cent_id, a.vec_id AS a_id,
              ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
                                           b.embedding::DOUBLE[]), 4) AS sim
@@ -1000,34 +1000,37 @@ def nd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id, cent_id, MIN(a_id) AS dup_of, MIN_BY(sim, a_id) AS sim
     FROM pairs GROUP BY vec_id, cent_id
-    ORDER BY vec_id
+    ORDER BY vec_id, cent_id
     """,
     tags=("dedup", "vector", "semantic"),
 )
 def nd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): partition the
-    embedding space into K cells (the deterministic constant-K
-    centroids the IVF index uses), then detect near-duplicates ONLY
-    within a cell — each dropped vector is reported with its keeper
-    (`dup_of` = lowest-id qualifying neighbor, cosine >= 0.4) and the
-    similarity to that keeper.
+    embedding space into K = ceil(sqrt(n)) cells (`derived_k` — K is
+    DERIVED from the corpus size, not a constant), assign every vector
+    to its TOP-2 nearest cells (`_assignments_multi`), then detect
+    near-duplicates within each cell — each dropped vector is reported
+    per detecting cell with its keeper (`dup_of` = lowest-id
+    qualifying neighbor, cosine >= 0.4) and the similarity to that
+    keeper.
 
     Scale: this is the sub-quadratic production path for embedding
-    dedup — candidate pairs are Σ|cell|² instead of n²; with K tuned
-    ~√n, cells stay ~√n so total work is ~n^1.5 and each cell's
-    pairwise block fits one task. Assignment is `_assignments`' exact-
-    integer BLAS kernel (no corpus-scale join); the only corpus
-    shuffle is the groupBy(cent_id), and each cell computes its
-    similarity block with ONE BLAS matmul inside applyInPandas — the
-    same vectorized kernel as nd_embedding_neardup, which measured
-    >100x faster than an interpreted relational self-join on the same
-    arithmetic. The within-cell restriction is the accuracy/cost trade
-    SemDeDup documents: cross-cell near-dups are missed by design
-    (mitigable with multi-assignment, same plan shape)."""
+    dedup — candidate pairs are Σ|cell|² instead of n²; with K =
+    ceil(sqrt(n)) cells average ~sqrt(n) rows, so total work is ~n^1.5
+    and each cell's pairwise block fits one task (top-2 assignment
+    doubles index rows, i.e. a constant factor ~4 on pair flops, not a
+    complexity change). Assignment is the exact-integer BLAS kernel
+    (no corpus-scale join); the only corpus shuffle is the
+    groupBy(cent_id), and each cell computes its similarity block with
+    ONE BLAS matmul inside applyInPandas — the same vectorized kernel
+    as nd_embedding_neardup, which measured >100x faster than an
+    interpreted relational self-join on the same arithmetic. The
+    top-2 multi-assignment is SemDeDup's documented mitigation for
+    the within-cell restriction: a near-dup pair straddling a cell
+    boundary is caught whenever EITHER member's runner-up cell is the
+    other's cell (capture audited by `nd_semantic_capture_report`)."""
     import numpy as np
     import pandas as pd
-
-    from wikid_spark.queries.similarity import _assignments
 
     def cell_dups(key, pdf):
         # ids sorted ascending: qualifying witnesses for column j are
@@ -1074,10 +1077,13 @@ def nd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    from wikid_spark.queries.similarity import N_CENTROIDS
+    from wikid_spark.queries.similarity import _assignments_multi, derived_k
 
     emb = table(spark, sf_dir, "embeddings")
-    cells = _assignments(emb)
+    k = derived_k(emb.count())
+    cells = _assignments_multi(emb, k, top_m=2).select(
+        "vec_id", "embedding", "cent_id"
+    )
     return (
         # Explicit fixed-count repartition: the per-cell matmuls are
         # CPU-bound (~10 s per 10k-vector cell), but the cells total
@@ -1087,12 +1093,116 @@ def nd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # is exempt from AQE coalescing. 4×K partitions, not K: hashing
         # K distinct cent_ids into exactly K partitions collides
         # (birthday effect — several cells share a task and serialize
-        # while other slots idle); at 4×K the expected max load per
-        # partition is ~1 cell, so parallelism approaches the true K.
-        cells.repartition(4 * N_CENTROIDS, "cent_id")
+        # while other slots idle); at 4×K collisions drop ~4x and most
+        # cells get their own task (a few 2-cell tasks remain by the
+        # birthday bound — for exact one-task-per-cell, repartition by
+        # a dense rank of cent_id instead).
+        cells.repartition(4 * k, "cent_id")
         .groupBy("cent_id")
         .applyInPandas(
             cell_dups, "vec_id bigint, cent_id bigint, dup_of bigint, sim double"
         )
-        .orderBy("vec_id")
+        .orderBy("vec_id", "cent_id")
     )
+
+
+@query(
+    "nd_semantic_capture_report",
+    oracle=f"""
+    WITH {_sem_derived_cte()}, truth AS (
+      SELECT a.vec_id AS i, b.vec_id AS j
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]) >= 0.4
+    ), cand1 AS (
+      SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      FROM assigned a
+      JOIN assigned b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      WHERE a.cent_rank = 1 AND b.cent_rank = 1
+    ), cand2 AS (
+      SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      FROM assigned a
+      JOIN assigned b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+    ), counts AS (
+      SELECT (SELECT COUNT(*) FROM truth) AS true_pairs,
+             (SELECT COUNT(*) FROM truth t
+               WHERE EXISTS (SELECT 1 FROM cand1 c
+                             WHERE c.i = t.i AND c.j = t.j)) AS d1,
+             (SELECT COUNT(*) FROM truth t
+               WHERE EXISTS (SELECT 1 FROM cand2 c
+                             WHERE c.i = t.i AND c.j = t.j)) AS d2
+    )
+    SELECT 'top1' AS mode, true_pairs,
+           d1 AS detected_pairs,
+           ROUND(CAST(d1 AS DOUBLE) / NULLIF(true_pairs, 0), 4) AS capture
+    FROM counts
+    UNION ALL
+    SELECT 'top2' AS mode, true_pairs,
+           d2 AS detected_pairs,
+           ROUND(CAST(d2 AS DOUBLE) / NULLIF(true_pairs, 0), 4) AS capture
+    FROM counts
+    ORDER BY mode
+    """,
+    tags=("dedup", "vector", "semantic", "audit"),
+)
+def nd_semantic_capture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-cell-capture audit for `nd_semantic_dedup`: of the TRUE
+    near-dup pairs (brute-force cosine >= 0.4 — quadratic BY DESIGN,
+    this is the exactness yardstick, same role as nd_ngram_jaccard),
+    what fraction shares a cell under top-1 assignment vs under the
+    production top-2 multi-assignment? The top2 row's `capture` is the
+    recall the shipped `nd_semantic_dedup` funnel actually achieves;
+    the top1 row is what a single-assignment SemDeDup would get — the
+    gap is the cross-cell miss rate the runner-up cell recovers.
+
+    Scale: the audit itself is O(n²) and belongs on a sample at 100 TB
+    (the production funnel it audits stays ~n^1.5); everything below
+    is 1-row aggregates cross-joined at the end — no driver loops."""
+    from wikid_spark.functions.vectors import cosine_similarity
+    from wikid_spark.queries.similarity import _assignments_multi, derived_k
+
+    emb = table(spark, sf_dir, "embeddings")
+    k = derived_k(emb.count())
+    a2 = _assignments_multi(emb, k, top_m=2).select(
+        "vec_id", "cent_id", "cent_rank"
+    )
+    ea = emb.select(F.col("vec_id").alias("i"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("j"), F.col("embedding").alias("eb"))
+    truth = (
+        ea.join(eb, F.col("i") < F.col("j"))
+        .filter(cosine_similarity(F.col("ea"), F.col("eb")) >= 0.4)
+        .select("i", "j")
+    )
+
+    def detected(max_rank: int) -> DataFrame:
+        d = a2.filter(F.col("cent_rank") <= max_rank)
+        cand = (
+            d.select(F.col("vec_id").alias("i"), "cent_id")
+            .join(
+                d.select(F.col("vec_id").alias("j"), "cent_id"), "cent_id"
+            )
+            .filter(F.col("i") < F.col("j"))
+            .select("i", "j")
+            .distinct()
+        )
+        return truth.join(cand, ["i", "j"], "left_semi").agg(
+            F.count(F.lit(1)).alias(f"d{max_rank}")
+        )
+
+    counts = (
+        truth.agg(F.count(F.lit(1)).alias("true_pairs"))
+        .crossJoin(detected(1))
+        .crossJoin(detected(2))
+    )
+
+    def row(mode: str, dcol: str):
+        return counts.select(
+            F.lit(mode).alias("mode"),
+            "true_pairs",
+            F.col(dcol).alias("detected_pairs"),
+            F.round(
+                F.col(dcol) / F.nullif(F.col("true_pairs"), F.lit(0)), 4
+            ).alias("capture"),
+        )
+
+    return row("top1", "d1").unionByName(row("top2", "d2")).orderBy("mode")

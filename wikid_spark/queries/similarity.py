@@ -231,7 +231,23 @@ _H_M = 2_147_483_648
 _CENT_HASH_SQL = f"((vec_id % {_H_P}) * {_H_A} + {_H_C}) % {_H_M}"
 
 
-def _centroids(emb: DataFrame) -> DataFrame:
+def derived_k(n: int) -> int:
+    """Corpus-size-aware centroid count: K = ceil(sqrt(n)), clamped to
+    [1, 65536]. With K ~ sqrt(n) the within-cell pair space of
+    SemDeDup is sum(|cell|^2) ~ n^1.5 and each Lloyd/IVF cell stays
+    ~sqrt(n) rows — the contract the module docstrings promise. The
+    float sqrt is bit-stable across engines (exact for n < 2^52;
+    DuckDB's CEIL(SQRT(n)) sees the identical double), so the derived
+    K cannot disagree with the oracle's. The constant N_CENTROIDS
+    remains the fixed SERVING budget of the ANN probe queries — index
+    width for dedup/training derives from the corpus, probe cost at
+    serve time does not."""
+    import math
+
+    return max(1, min(65536, int(math.ceil(math.sqrt(max(n, 0))))))
+
+
+def _centroids(emb: DataFrame, k: int | None = None) -> DataFrame:
     h = ((F.col("cent_id") % _H_P) * _H_A + _H_C) % _H_M
     return (
         emb.select(
@@ -239,7 +255,7 @@ def _centroids(emb: DataFrame) -> DataFrame:
             quantize_embedding(F.col("embedding")).alias("cemb"),
         )
         .orderBy(h.alias("h"), F.col("cent_id"))
-        .limit(N_CENTROIDS)
+        .limit(N_CENTROIDS if k is None else k)
     )
 
 
@@ -297,6 +313,60 @@ def _assignments(emb: DataFrame) -> DataFrame:
     )
 
 
+def _assignments_multi(
+    emb: DataFrame, k: int, top_m: int = 2
+) -> DataFrame:
+    """(vec_id, embedding, cent_id, cent_rank): each vector mapped to
+    its ``top_m`` nearest of ``k`` corpus-derived centroids — the
+    multi-assignment index build (SemDeDup cross-cell capture). Same
+    exact-integer distance + (dist, cent_id) tie-break as
+    `_assignments`."""
+    qemb = emb.select(
+        "vec_id", "embedding", quantize_embedding(F.col("embedding")).alias("qemb")
+    )
+    return _assign_blas(qemb, _centroids(emb, k), top_m=top_m).select(
+        "vec_id", "embedding", "cent_id", "cent_rank"
+    )
+
+
+def ivf_derived_cte(table_name: str = "embeddings", top_m: int = 2) -> str:
+    """DuckDB CTE fragment: derived-K centroids (K = ceil(sqrt(n)),
+    the same double-sqrt `derived_k` computes) and top-``top_m``
+    multi-assignment via ROW_NUMBER over (dist, cent_id). Kept beside
+    `_IVF_CTE` (the fixed-K serving form) so both engines share one
+    definition of each."""
+    return f"""
+    qv AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+                            x -> CAST(FLOOR(x::DOUBLE * 1000.0) AS BIGINT)) AS qemb
+      FROM {table_name}
+    ), kd AS (
+      SELECT GREATEST(1, LEAST(65536,
+               CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) AS k
+      FROM {table_name}
+    ), cents AS (
+      SELECT cent_id, cemb FROM (
+        SELECT vec_id AS cent_id, qemb AS cemb,
+               ROW_NUMBER() OVER (ORDER BY {_CENT_HASH_SQL}, vec_id) AS krn
+        FROM qv) ranked, kd
+      WHERE ranked.krn <= kd.k
+    ), dists AS (
+      SELECT qv.vec_id, qv.embedding, cents.cent_id,
+             CAST(list_sum(list_transform(qv.qemb,
+                    (x, i) -> (x - cents.cemb[i]) * (x - cents.cemb[i])))
+                  AS BIGINT) AS dist
+      FROM qv, cents
+    ), assigned AS (
+      SELECT vec_id, embedding, cent_id, CAST(rn AS INT) AS cent_rank
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cent_id) AS rn
+            FROM dists)
+      WHERE rn <= {top_m}
+    )
+"""
+
+
 # DuckDB twin: quantized vectors + per-(vector, centroid) integer L2,
 # argmin by (dist, cent_id).
 _IVF_CTE = f"""
@@ -345,6 +415,39 @@ def sim_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cent_id")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("cent_id")
+    )
+
+
+@query(
+    "sim_ivf_derived_cells",
+    oracle=f"""
+    WITH {ivf_derived_cte()}
+    SELECT cent_id, cent_rank,
+           COUNT(*) AS n_vectors
+    FROM assigned GROUP BY cent_id, cent_rank
+    ORDER BY cent_id, cent_rank
+    """,
+    tags=("similarity", "ivf", "derived-k"),
+)
+def sim_ivf_derived_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-size-aware index build: K = ceil(sqrt(n)) centroids
+    (`derived_k` — one scalar count at build time, the K~sqrt(n)
+    contract the SemDeDup/Lloyd docstrings promise) and TOP-2
+    multi-assignment per vector (`_assignments_multi`), histogrammed
+    per (cell, rank). Rank-1 rows are the primary partition of the
+    corpus; rank-2 rows are each vector's runner-up cell — the overlap
+    that lets within-cell dedup catch pairs straddling a cell
+    boundary. Scale: same one-pass plan as `sim_ivf_cells` (broadcast
+    K-row centroid table, BLAS argsort per corpus slice, one groupBy);
+    the corpus is scanned once and never self-joined, and the index
+    doubles rows (top-2), not pair space."""
+    emb = table(spark, sf_dir, "embeddings")
+    k = derived_k(emb.count())
+    return (
+        _assignments_multi(emb, k, top_m=2)
+        .groupBy("cent_id", "cent_rank")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cent_id", "cent_rank")
     )
 
 
@@ -1125,7 +1228,9 @@ def sim_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _assign_blas(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign_blas(
+    vecs: DataFrame, cents: DataFrame, top_m: int = 1
+) -> DataFrame:
     """Lloyd/IVF assignment on the BLAS path: appends ``cent_id`` (the
     nearest centroid by integer squared-L2, ties to lowest cent_id) to
     every input row, computing distances as one vectorized
@@ -1141,7 +1246,15 @@ def _assign_blas(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     passes through. Scale: corpus slices hash-partition by vec_id; the
     K-row centroid table replicates to every slice key (K x slices tiny
     rows), so each task gets (slice, all centroids) — no corpus-scale
-    skew, one Arrow round-trip of the vectors."""
+    skew, one Arrow round-trip of the vectors.
+
+    ``top_m > 1`` returns the m nearest cells per vector (one row per
+    (vector, rank), plus a ``cent_rank`` column, rank 1 = nearest) —
+    the multi-assignment SemDeDup needs to catch near-dup pairs that
+    straddle a cell boundary. Ordering stays the exact (dist, cent_id)
+    tie-break: distances are exact integers and the stable argsort
+    over cent_id-ascending columns reproduces ROW_NUMBER ORDER BY
+    dist, cent_id bit-for-bit."""
     import numpy as np
     import pandas as pd
 
@@ -1150,11 +1263,16 @@ def _assign_blas(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in vecs.schema.fields
     ) + ", cent_id bigint"
+    if top_m > 1:
+        out_schema += ", cent_rank int"
 
     def assign(key, vpdf, cpdf):
         vpdf = vpdf[out_cols]
         if len(vpdf) == 0:
-            return vpdf.assign(cent_id=pd.Series([], dtype="int64"))
+            out = vpdf.assign(cent_id=pd.Series([], dtype="int64"))
+            if top_m > 1:
+                out = out.assign(cent_rank=pd.Series([], dtype="int32"))
+            return out
         if len(cpdf) == 0:
             # Vectors with no centroid table have no nearest cell; a
             # silent empty-Series assign would index-align to NaN and
@@ -1174,8 +1292,21 @@ def _assign_blas(vecs: DataFrame, cents: DataFrame) -> DataFrame:
             - 2.0 * (X @ C.T)
             + (C * C).sum(axis=1)[None, :]
         )
-        best = cids[np.argmin(d, axis=1)]  # first min = lowest cent_id
-        return vpdf.assign(cent_id=best)
+        if top_m == 1:
+            best = cids[np.argmin(d, axis=1)]  # first min = lowest cent_id
+            return vpdf.assign(cent_id=best)
+        m = min(top_m, len(cids))
+        # stable sort: equal distances keep cent_id-ascending order
+        order = np.argsort(d, axis=1, kind="stable")[:, :m]
+        reps = np.repeat(np.arange(len(vpdf)), m)
+        out = vpdf.iloc[reps].reset_index(drop=True)
+        out = out.assign(
+            cent_id=cids[order.ravel()],
+            cent_rank=pd.Series(
+                np.tile(np.arange(1, m + 1), len(vpdf)), dtype="int32"
+            ),
+        )
+        return out
 
     spark = vecs.sparkSession
     v = vecs.withColumn("pk", F.pmod(F.xxhash64("vec_id"), F.lit(n_parts)))
