@@ -340,3 +340,77 @@ def test_cdc_chunks_survive_mid_document_insertion(spark, tmp_path):
     b = Counter(r["chunk_hash"] for r in rows if r["doc_id"] == 2)
     shared = sum((a & b).values())
     assert shared / sum(a.values()) >= 0.8
+
+
+def _bpe_wf_reference(docs, rounds):
+    """Pure-Python (word, freq) BPE trainer: character-level start,
+    freq-weighted overlapping pair counts, winner = (max count,
+    lexicographically smallest (x, y)), greedy leftmost application —
+    the semantics tx_bpe_wordfreq distributes."""
+    from collections import Counter
+
+    freqs = Counter(w for t in docs for w in t.split(" ") if w)
+    seqs = {w: list(w) for w in freqs}
+    merges = []
+    for _ in range(rounds):
+        counts = {}
+        for w, f in freqs.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (x, y), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((x, y, cnt))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == x and s[i + 1] == y:
+                    out.append(x + "~" + y)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bpe_wordfreq_matches_weighted_reference(spark, tmp_path, seed):
+    """tx_bpe_wordfreq against the Python (word, freq) trainer on
+    random corpora with heavy word repetition — the weighting regime:
+    a frequent short word must outvote many distinct rare words, which
+    only happens if pair counts carry the freq column."""
+    import random
+
+    from wikid_spark.registry import get
+
+    rng = random.Random(100 + seed)
+    vocab = ["abab", "ba", "aab", "bbb", "ab", "a", "baba"]
+    docs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+        for _ in range(10)
+    ]
+    want = [
+        (i + 1, x, y, cnt)
+        for i, (x, y, cnt) in enumerate(_bpe_wf_reference(docs, 20))
+    ]
+    sf = _write_docs_sf(tmp_path, docs)
+    got = [tuple(r) for r in get("tx_bpe_wordfreq").fn(spark, sf).collect()]
+    assert got == want
+
+
+def test_bpe_wordfreq_equals_expanded_corpus_training(spark, tmp_path):
+    """The collapse is lossless: training on (word, freq) must learn
+    the same rules as the raw-corpus reference run over a corpus where
+    the same words appear with very different multiplicities."""
+    from wikid_spark.registry import get
+
+    docs = ["aa aa aa b", "aa b b ab", "ab ab ab ab aa"]
+    want = [
+        (i + 1, x, y, cnt)
+        for i, (x, y, cnt) in enumerate(_bpe_wf_reference(docs, 8))
+    ]
+    sf = _write_docs_sf(tmp_path, docs)
+    got = [tuple(r) for r in get("tx_bpe_wordfreq").fn(spark, sf).collect()]
+    assert got[: len(want)] == want

@@ -597,3 +597,140 @@ def tx_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Production BPE: train on the (word, freq) table. The corpus is
+# touched ONCE (the word count); every merge round then rewrites only
+# the vocabulary table with pair counts weighted by freq — per-round
+# cost is vocab-bounded, corpus-size-independent. This is the form
+# Sennrich et al. 2016 describe and what tx_bpe_merges' docstring
+# promised; tx_bpe_merges remains the raw-corpus per-step spec.
+# ---------------------------------------------------------------------------
+
+BPE_WF_ROUNDS = 20
+
+
+def _bpe_wf_oracle(rounds: int) -> str:
+    """The DuckDB twin, generated for ``rounds`` chained merge rounds
+    (same sentinel encoding and tie-break as the Spark loop)."""
+    sep = "chr(31)"
+    # Every s{r}/p{r} is MATERIALIZED: DuckDB inlines plain CTEs, and
+    # each round references its predecessor twice (pair count + merge
+    # rewrite), so inlining would double the scan tree per round —
+    # 2^rounds base-table scans by round 20. Materialization pins each
+    # round to one evaluation, the same shape as the Spark loop's
+    # per-round localCheckpoint.
+    ctes = [
+        "w0 AS MATERIALIZED (SELECT w, COUNT(*) AS freq FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS w FROM documents) "
+        "WHERE w <> '' GROUP BY w)",
+        f"s0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', {sep} || '\\1' || {sep}, 'g')"
+        " AS s, freq FROM w0)",
+    ]
+    selects = []
+    for r in range(1, rounds + 1):
+        prev = f"s{r - 1}"
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT ts[i] AS x, ts[i + 1] AS y, "
+            f"CAST(SUM(freq) AS BIGINT) AS cnt "
+            f"FROM (SELECT string_split(trim(s, {sep}), {sep} || {sep}) AS ts,"
+            f" freq FROM {prev}), "
+            f"LATERAL (SELECT unnest(range(1, len(ts))) AS i) "
+            f"GROUP BY x, y)"
+        )
+        ctes.append(
+            f"m{r} AS MATERIALIZED (SELECT x, y, cnt FROM p{r} "
+            f"ORDER BY cnt DESC, x, y LIMIT 1)"
+        )
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT replace(p.s, "
+            f"{sep} || m.x || {sep} || {sep} || m.y || {sep}, "
+            f"{sep} || m.x || '~' || m.y || {sep}) AS s, p.freq "
+            f"FROM {prev} p, m{r} m)"
+        )
+        selects.append(f"SELECT {r} AS round, x, y, cnt FROM m{r}")
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY round"
+    )
+
+
+@query(
+    "tx_bpe_wordfreq",
+    oracle=_bpe_wf_oracle(BPE_WF_ROUNDS),
+    tags=("textstats", "tokenizer", "iterative"),
+)
+def tx_bpe_wordfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training on the collapsed (word, freq) table — the
+    production tokenizer-trainer layout (Sennrich et al. 2016): one
+    corpus pass builds word frequencies; each of the BPE_WF_ROUNDS
+    rounds counts adjacent CHARACTER-level symbol pairs weighted by
+    freq, takes the global top pair (ties → smallest (x, y)), and
+    applies the merge greedily (leftmost non-overlapping, via the same
+    sentinel-replace encoding as tx_bpe_merges) to the vocabulary
+    table only. Output: (round, x, y, cnt) per learned rule, cnt =
+    freq-weighted pair count.
+
+    Scale: after the single corpus-wide word count (map-side-
+    combinable; the ONLY corpus-sized shuffle), every round costs
+    O(|vocab| × word_len) — corpus-size-INDEPENDENT, which is what
+    makes 30k-merge training feasible where tx_bpe_merges' raw-corpus
+    rewrite would re-scan 100 TB per round. The loop is eager with a
+    1-row collect per round (K=1 over the wire — the same driver-
+    fixpoint discipline as graph/Lloyd iteration) and localCheckpoints
+    the vocab table each round so lineage stays flat; a merge round
+    that finds no pair (vocab fully merged) stops the loop, matching
+    the oracle's empty-CTE cascade."""
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    s = words.select(
+        F.regexp_replace("w", "(.)", BPE_SEP + "$1" + BPE_SEP).alias("s"),
+        "freq",
+    ).localCheckpoint(eager=True)
+
+    rows = []
+    for rnd in range(1, BPE_WF_ROUNDS + 1):
+        ts = F.split(F.btrim(F.col("s"), F.lit(BPE_SEP)), BPE_SEP + BPE_SEP)
+        pairs = s.select(ts.alias("ts"), "freq").select(
+            F.explode(
+                F.when(
+                    F.size("ts") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("ts") - 2),
+                        lambda i: F.struct(
+                            F.element_at("ts", i + 1).alias("x"),
+                            F.element_at("ts", i + 2).alias("y"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<x:string,y:string>>")
+                )
+            ).alias("p"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy("p.x", "p.y")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "x", "y")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        x, y, cnt = top[0]["x"], top[0]["y"], top[0]["cnt"]
+        rows.append((rnd, x, y, int(cnt)))
+        pat = BPE_SEP + x + BPE_SEP + BPE_SEP + y + BPE_SEP
+        rep = BPE_SEP + x + "~" + y + BPE_SEP
+        s = s.select(
+            F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"), "freq"
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        rows, "round int, x string, y string, cnt bigint"
+    ).orderBy("round")
