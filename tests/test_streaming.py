@@ -730,3 +730,90 @@ def test_compaction_heals_with_appended_deltas(spark, tmp_path):
         assert [k for k in kids if k.startswith("batch_id=")] == [
             "batch_id=-1"
         ]
+
+
+def test_lsm_cycle_append_compact_bucketed_probe(spark, tmp_path):
+    """The full LSM cycle as one tested path: stream-append deltas to
+    the path-partitioned index -> compact -> publish the folded base
+    as the bucketed catalog tables -> probe. The bucketed probe must
+    (a) return verdicts identical to the path-partitioned probe on
+    the same index state — including a near-dup of a DELTA doc, so
+    the fold provably carried the appends into the serving layout —
+    and (b) bucket-prune every index scan (SelectedBucketsCount <
+    total) post-compaction."""
+    import contextlib
+    import io
+    import os
+    import re
+
+    from wikid_spark.streaming import dedup_ingest
+
+    corpus = _mkdocs(spark, _CORPUS_ROWS)
+    index_dir = str(tmp_path / "idx")
+    dedup_ingest.persist_dedup_index(corpus, index_dir)
+
+    # two streamed batches; batch 0's kept doc is the cross-batch bait
+    out_dir = str(tmp_path / "verdicts")
+    writer = dedup_ingest.dedup_verdict_batch_writer(
+        spark, index_dir, out_dir
+    )
+    writer(_mkdocs(spark, [(100, _DOC_A)]), 0)
+    writer(_mkdocs(spark, [(200, _DOC_UNRELATED)]), 1)
+    # deltas exist pre-compaction
+    kids = os.listdir(f"{index_dir}/bands")
+    assert sorted(k for k in kids if k.startswith("batch_id=")) == [
+        "batch_id=-1", "batch_id=0", "batch_id=1",
+    ]
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS lsmidx LOCATION '{tmp_path}/db'"
+    )
+    try:
+        dedup_ingest.compact_dedup_index_bucketed(
+            spark, index_dir, "lsmidx.lsh", buckets=16
+        )
+        # path tree folded to a single base partition
+        for part in ("bands", "shingles", "sizes"):
+            kids = os.listdir(f"{index_dir}/{part}")
+            assert [
+                k for k in kids if k.startswith("batch_id=")
+            ] == ["batch_id=-1"]
+
+        probe = _mkdocs(
+            spark,
+            [(300, _DOC_A_NEARDUP), (301, "totally novel content here")],
+        ).localCheckpoint()
+        got_df = dedup_ingest.bucketed_batch_verdicts(
+            spark, probe, "lsmidx.lsh"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            got_df.explain("formatted")
+        selected = [
+            (int(a), int(b))
+            for a, b in re.findall(
+                r"SelectedBucketsCount: (\d+) out of (\d+)", buf.getvalue()
+            )
+        ]
+        assert len(selected) >= 3
+        assert all(sel < total for sel, total in selected)
+
+        got = {
+            r["doc_id"]: (r["verdict"], r["dup_of"])
+            for r in got_df.collect()
+        }
+        want = {
+            r["doc_id"]: (r["verdict"], r["dup_of"])
+            for r in dedup_ingest.batch_verdicts(
+                spark, probe, index_dir
+            ).collect()
+        }
+        assert got == want
+        # the delta doc (batch 0's kept 100) is the keeper — proof the
+        # appends survived the fold into the bucketed layout
+        assert got[300] == ("drop", 100)
+        assert got[301] == ("keep", None)
+    finally:
+        for t in ("lsh_bands", "lsh_shingles", "lsh_sizes"):
+            spark.sql(f"DROP TABLE IF EXISTS lsmidx.{t}")
+        spark.sql("DROP DATABASE IF EXISTS lsmidx")

@@ -272,28 +272,65 @@ def persist_dedup_index_bucketed(
     requires it), shingles and sizes by ``doc_id`` for the verify
     fetch. ``prefix`` names the tables ``{prefix}_bands`` /
     ``_shingles`` / ``_sizes``."""
-    bands = band_table_from(corpus).withColumn(
-        "bsig", F.xxhash64("band", "sig")
+    sh = _hashed_shingles(corpus)
+    _write_bucketed_index(
+        spark, band_table_from(corpus), sh, prefix, buckets
     )
+
+
+def _write_bucketed_index(
+    spark: SparkSession,
+    bands: DataFrame,
+    shingles: DataFrame,
+    prefix: str,
+    buckets: int,
+) -> None:
+    """Write (bands, shingles) index components as the bucket-pruned
+    catalog tables; sizes are re-derived from shingles (one count per
+    doc — cheaper than carrying a third component through)."""
     (
-        bands.write.mode("overwrite")
+        bands.withColumn("bsig", F.xxhash64("band", "sig"))
+        .write.mode("overwrite")
         .bucketBy(buckets, "bsig")
         .sortBy("bsig")
         .saveAsTable(f"{prefix}_bands")
     )
-    sh = _hashed_shingles(corpus)
     (
-        sh.write.mode("overwrite")
+        shingles.write.mode("overwrite")
         .bucketBy(buckets, "doc_id")
         .sortBy("doc_id")
         .saveAsTable(f"{prefix}_shingles")
     )
     (
-        sh.groupBy("doc_id")
+        shingles.groupBy("doc_id")
         .agg(F.count("*").alias("n_sh"))
         .write.mode("overwrite")
         .bucketBy(buckets, "doc_id")
         .saveAsTable(f"{prefix}_sizes")
+    )
+
+
+def compact_dedup_index_bucketed(
+    spark: SparkSession, index_dir: str, prefix: str, buckets: int = 16
+) -> None:
+    """The LSM cycle's fold step, ending in the SERVING layout:
+    base + accumulated per-batch deltas of the path-partitioned index
+    are read back (no corpus re-signing — the signatures were computed
+    when the docs arrived) and rewritten as the bucketed catalog
+    tables `bucketed_batch_verdicts` probes with bucket pruning. Run
+    between streaming jobs: stream-append (L0 deltas) →
+    `compact_dedup_index` (heal/fold the path tree) → this (publish
+    the folded base in bucketed form) → probes prune again. On a real
+    deployment the two compaction steps fuse into one write; they stay
+    separate here because the path tree remains the stream's append
+    target while the bucketed tables serve probes."""
+    compact_dedup_index(spark, index_dir)
+    _write_bucketed_index(
+        spark,
+        _read_part(spark, index_dir, "bands", None),
+        _read_part(spark, index_dir, "shingles", None),
+        prefix,
+        buckets,
     )
 
 
