@@ -414,3 +414,47 @@ def test_bpe_wordfreq_equals_expanded_corpus_training(spark, tmp_path):
     sf = _write_docs_sf(tmp_path, docs)
     got = [tuple(r) for r in get("tx_bpe_wordfreq").fn(spark, sf).collect()]
     assert got[: len(want)] == want
+
+
+def test_lloyd_train_converges_and_early_stops(spark):
+    """lloyd_train on well-separated clusters must reach the exact
+    integer fixpoint before the round cap, stop doing corpus passes
+    (trace shorter than max_rounds without padding), end with
+    max_shift 0, and place one centroid per true cluster."""
+    import random
+
+    from wikid_spark.queries.similarity import (
+        _centroids,
+        lloyd_train,
+        quantize_embedding,
+    )
+    import pyspark.sql.functions as F
+
+    rng = random.Random(7)
+    centers = [[10.0] * 32 + [0.0] * 32, [0.0] * 32 + [10.0] * 32]
+    rows = []
+    for i in range(60):
+        c = centers[i % 2]
+        rows.append(
+            (i, [v + rng.uniform(-0.5, 0.5) for v in c])
+        )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vecs = emb.select(
+        "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
+    )
+    cents, trace = lloyd_train(vecs, _centroids(emb, k=4), max_rounds=20, tol=0)
+    assert len(trace) < 20, trace  # early-stopped: no padded rows
+    last = trace[-1]
+    assert last[2] == 0 and last[3] == 0  # exact fixpoint
+    # strictly decreasing total shift up to the fixpoint
+    totals = [t[3] for t in trace]
+    assert all(a >= b for a, b in zip(totals, totals[1:]))
+    # every final centroid sits on one of the two true clusters
+    got = cents.collect()
+    assert 2 <= len(got) <= 4
+    for r in got:
+        first_half = sum(r["cemb"][:32]) / 32
+        second_half = sum(r["cemb"][32:]) / 32
+        assert (first_half > 9000 and second_half < 1000) or (
+            first_half < 1000 and second_half > 9000
+        ), r["cemb"][:4]

@@ -1318,3 +1318,184 @@ def _assign_blas(
         .cogroup(c.groupBy("pk"))
         .applyInPandas(assign, out_schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd to convergence: the n-round driver loop over `_lloyd_round`
+# (the oracle-certified per-step spec). Centroid tables are K rows —
+# per round the corpus is touched by exactly one BLAS assignment +
+# one 64-column re-centering agg; the loop state localCheckpoints so
+# lineage stays flat (the graph-fixpoint discipline). Integer-
+# quantized centroids make the fixpoint EXACT: once no centroid moves
+# and no cell drops, every later round reproduces the same table, so
+# the early-stopped loop can replay the remaining trace rows without
+# another corpus pass — keeping the registered query's output
+# bit-identical to the oracle's fixed-round unrolling.
+# ---------------------------------------------------------------------------
+
+LLOYD_TRACE_ROUNDS = 8
+
+
+def lloyd_train(
+    vecs: DataFrame,
+    cents0: DataFrame,
+    max_rounds: int,
+    tol: int = 0,
+    pad_trace: bool = False,
+):
+    """Run Lloyd rounds until the max integer centroid shift is <= tol
+    with no cell dropped, or ``max_rounds``. Returns (final centroid
+    DataFrame (cent_id, cemb), trace rows [(round, n_cells, max_shift,
+    total_shift), ...]). ``pad_trace`` replays the fixpoint row for
+    the remaining rounds (only valid — and only done — when tol == 0,
+    where fixpoint means bit-identical later rounds)."""
+    cents = cents0.select("cent_id", "cemb").localCheckpoint(eager=True)
+    prev_k = cents.count()
+    trace: list[tuple] = []
+    fixed: tuple | None = None
+    for rnd in range(1, max_rounds + 1):
+        if fixed is not None:
+            trace.append((rnd, *fixed))
+            continue
+        newc = _lloyd_round(vecs, cents).localCheckpoint(eager=True)
+        shift = F.aggregate(
+            F.zip_with(
+                F.col("cemb"),
+                F.col("prev"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        stats = (
+            newc.join(
+                cents.select("cent_id", F.col("cemb").alias("prev")),
+                "cent_id",
+            )
+            .select(shift.alias("shift"))
+            .agg(
+                F.count(F.lit(1)).alias("n_cells"),
+                F.max("shift").alias("max_shift"),
+                F.sum("shift").alias("total_shift"),
+            )
+            .collect()[0]
+        )
+        n_cells = int(stats["n_cells"])
+        max_shift = stats["max_shift"]
+        trace.append(
+            (rnd, n_cells, max_shift, stats["total_shift"])
+        )
+        converged = n_cells == prev_k and (
+            max_shift is None or max_shift <= tol
+        )
+        cents = newc.select("cent_id", "cemb").localCheckpoint(eager=True)
+        prev_k = n_cells
+        if converged:
+            if not pad_trace:
+                break
+            if tol == 0:
+                fixed = (n_cells, max_shift, stats["total_shift"])
+    return cents, trace
+
+
+def _lloyd_trace_oracle(rounds: int) -> str:
+    """DuckDB twin of the padded trace: ``rounds`` unrolled Lloyd
+    steps (MATERIALIZED — each round is referenced by the next AND by
+    its trace row; inlining would double the tree per round)."""
+    ctes = [
+        f"""qv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(FLOOR(x::DOUBLE * 1000.0) AS BIGINT)) AS qemb
+      FROM embeddings
+    )""",
+        f"""c0 AS MATERIALIZED (
+      SELECT vec_id AS cent_id, qemb AS cemb FROM qv
+      ORDER BY {_CENT_HASH_SQL}, vec_id
+      LIMIT {N_CENTROIDS}
+    )""",
+    ]
+    selects = []
+    for r in range(1, rounds + 1):
+        p = f"c{r - 1}"
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+      SELECT qv.vec_id, qv.qemb, c.cent_id,
+             CAST(list_sum(list_transform(qv.qemb,
+                    (x, i) -> (x - c.cemb[i]) * (x - c.cemb[i])))
+                  AS BIGINT) AS dist
+      FROM qv, {p} c
+    )""")
+        ctes.append(
+            f"""a{r} AS MATERIALIZED (
+      SELECT vec_id, qemb, cent_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cent_id) AS rn
+            FROM d{r})
+      WHERE rn = 1
+    )""")
+        ctes.append(
+            f"""c{r} AS MATERIALIZED (
+      SELECT s.cent_id,
+             list(CAST(FLOOR(s::DOUBLE / c.n) AS BIGINT) ORDER BY d) AS cemb
+      FROM (SELECT cent_id, d, CAST(SUM(qemb[d + 1]) AS BIGINT) AS s
+            FROM a{r}, range({EMBED_DIMS}) t(d) GROUP BY cent_id, d) s
+      JOIN (SELECT cent_id, COUNT(*) AS n FROM a{r} GROUP BY cent_id) c
+        ON s.cent_id = c.cent_id
+      GROUP BY s.cent_id, c.n
+    )""")
+        ctes.append(
+            f"""t{r} AS MATERIALIZED (
+      SELECT {r} AS round, COUNT(*) AS n_cells,
+             MAX(shift) AS max_shift,
+             CAST(SUM(shift) AS BIGINT) AS total_shift
+      FROM (SELECT CAST(list_sum(list_transform(n.cemb,
+                     (x, i) -> (x - p.cemb[i]) * (x - p.cemb[i])))
+                   AS BIGINT) AS shift
+            FROM c{r} n JOIN {p} p USING (cent_id))
+    )""")
+        selects.append(f"SELECT * FROM t{r}")
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY round"
+    )
+
+
+@query(
+    "sim_kmeans_converged",
+    oracle=_lloyd_trace_oracle(LLOYD_TRACE_ROUNDS),
+    tags=("similarity", "kmeans", "iterative"),
+)
+def sim_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means run to CONVERGENCE: {LLOYD_TRACE_ROUNDS} rounds
+    of the oracle-certified per-step spec (`_lloyd_round`), reported
+    as a convergence trace — per round, surviving cell count and the
+    max/total integer squared-L2 the centroids moved. The driver loop
+    stops doing corpus passes at the exact fixpoint (max_shift = 0, no
+    cell dropped — exact because centroids are integer-quantized) and
+    replays the fixpoint row for the remaining rounds, which is
+    bit-identical to the oracle's full unrolling by the fixpoint
+    property.
+
+    Scale: per round = one broadcast-K BLAS assignment (the corpus
+    never shuffles) + one {EMBED_DIMS}-column map-side-combinable agg;
+    loop state is the K-row centroid table, localCheckpointed so
+    lineage stays flat. One scalar row crosses the wire per round —
+    the same driver-fixpoint discipline as graph components. Training
+    to convergence is what production IVF/SemDeDup index builds run;
+    `sim_kmeans_lloyd` remains the single-step spec."""
+    emb = table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
+    )
+    _, trace = lloyd_train(
+        vecs,
+        _centroids(emb),
+        LLOYD_TRACE_ROUNDS,
+        tol=0,
+        pad_trace=True,
+    )
+    return spark.createDataFrame(
+        trace, "round int, n_cells bigint, max_shift bigint, total_shift bigint"
+    ).orderBy("round")
