@@ -812,14 +812,19 @@ CDC_DIVISOR = 8  # boundary when window-hash % DIVISOR == 0 → mean chunk ≈ 8
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), th AS (
+      SELECT doc_id, ws,
+             list_transform(ws,
+               w -> ('0x' || substr(md5(w), 1, 4))::BIGINT) AS th
+      FROM toks
     ), bounds AS (
       SELECT doc_id, ws,
              CASE WHEN len(ws) >= {CDC_WINDOW + 1} THEN
                list_filter(range(2, len(ws) - 1), i ->
-                 ('0x' || substr(md5(ws[i - 1] || ' ' || ws[i] || ' ' || ws[i + 1]), 1, 4))::BIGINT
+                 ((th[i - 1] * 65536 + th[i]) * 65536 + th[i + 1])
                    % {CDC_DIVISOR} = 0)
              ELSE CAST([] AS BIGINT[]) END AS bpos
-      FROM toks
+      FROM th
     ), spans AS (
       SELECT doc_id, ws,
              list_concat(CAST([0] AS BIGINT[]),
@@ -853,21 +858,44 @@ def pp_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pp_chunking) shifts every subsequent boundary. Output: one row
     per chunk with its hash, token count, and an is_first flag (0 ⇒
     this chunk's bytes already exist elsewhere in the corpus — the
-    dedupable tail). The hash is md5-derived (the engine's hash-parity
-    primitive), 16 bits reduced mod {CDC_DIVISOR}.
+    dedupable tail).
+
+    The window hash is a ROLLING-STYLE polynomial over per-token
+    hashes: each token is md5-reduced to 16 bits ONCE (one md5 per
+    token), and a position's window hash is the Horner combination
+    base 2^16 of the {CDC_WINDOW} trailing token hashes — pure integer
+    arithmetic per position, replacing the previous
+    md5-of-the-joined-window-string per position (window-length string
+    builds + digests in an interpreted HOF lambda; measured ~2x the
+    stage cost at sf10). The combination is injective over the token
+    hashes and tops out at 2^{16 * CDC_WINDOW} < 2^63, exact in both
+    engines (DuckDB errors on BIGINT overflow). Chunk identity is
+    still md5 of the chunk text — per CHUNK, not per position.
 
     Scale: chunking is map-only per-row HOF arithmetic (no explode
     until the final per-chunk rows); the only shuffle is the
     first-occurrence window on chunk_hash — exactly the exact-dedup
     keeper shape, key space bounded by distinct content chunks."""
+    assert 16 * CDC_WINDOW < 63  # Horner product must stay exact
     d = table(spark, sf_dir, "documents")
-    t = d.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    th = F.transform(
+        "ws",
+        lambda w: F.conv(
+            F.substring(F.md5(w.cast("binary")), 1, 4), 16, 10
+        ).cast("long"),
+    )
+    t = d.select("doc_id", F.split(F.col("text"), " ").alias("ws")).select(
+        "doc_id", "ws", th.alias("th")
+    )
     size = F.size("ws")
 
     def is_boundary(i):
-        wnd = F.array_join(F.slice("ws", i - 1, CDC_WINDOW), " ")
-        h = F.conv(F.substring(F.md5(wnd.cast("binary")), 1, 4), 16, 10)
-        return h.cast("long") % CDC_DIVISOR == 0
+        # Horner over the window's token hashes: positions i-1 .. i+1
+        # (1-based), the same window the string form hashed.
+        h = F.lit(0).cast("long")
+        for j in range(CDC_WINDOW):
+            h = h * F.lit(65536) + F.element_at("th", i - 1 + j)
+        return h % CDC_DIVISOR == 0
 
     bpos = F.when(
         size >= CDC_WINDOW + 1,
