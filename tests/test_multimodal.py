@@ -123,3 +123,93 @@ def test_resize_media_real_path_raises(spark):
     out = resize_media(attach_fake_media(docs, "doc_id"), 8, 8, fake=False)
     with _pytest.raises(PythonException, match="NotImplementedError"):
         out.collect()
+
+
+# The fake PIL classes below ride into the executor kernels; workers
+# can't import the test module, so it must pickle by value.
+import sys as _sys
+
+from pyspark import cloudpickle as _cloudpickle
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+
+class _FakeImage:
+    """PIL-Image-shaped stand-in: 'pixels' derive from the payload so
+    assertions can predict the decode output."""
+
+    format = "PNG"
+
+    def __init__(self, payload: bytes, size=(8, 8)):
+        self.payload = payload
+        self.size = size
+
+    def convert(self, mode):
+        return self
+
+    def resize(self, size):
+        return _FakeImage(self.payload, size)
+
+    def getdata(self):
+        w, h = self.size
+        base = (self.payload or b"\x00")[0]
+        return [(base + i) % 256 for i in range(w * h)]
+
+    def save(self, buf, format=None):
+        w, h = self.size
+        buf.write(b"RESIZED:%dx%d:" % (w, h) + (self.payload or b""))
+
+
+class _FakePIL:
+    """PIL.Image-module-shaped seam object (cloudpickled by value into
+    the kernel)."""
+
+    @staticmethod
+    def open(bio):
+        return _FakeImage(bio.read())
+
+
+def test_decode_media_real_path_via_injected_module(spark):
+    """fake=False with an injected image module must run the REAL
+    decode path: grayscale-resize to sqrt(dim)^2 and emit normalized
+    pixels — verifying the PIL plumbing (open -> convert -> resize ->
+    getdata -> /255) without PIL in the container."""
+    docs = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id long, text string")
+    media = mm.attach_fake_media(docs, "doc_id")
+    out = mm.decode_media(media, fake=False, image_module=_FakePIL)
+    rows = {r["doc_id"]: r["features"] for r in out.collect()}
+    assert set(rows) == {"1", "2"}
+    payloads = {
+        r["doc_id"]: bytes(r["payload"]) for r in media.collect()
+    }
+    import math
+
+    k = math.isqrt(mm.FEATURE_DIM)
+    for doc_id, feats in rows.items():
+        assert len(feats) == mm.FEATURE_DIM
+        base = payloads[doc_id][0]
+        want = [((base + i) % 256) / 255.0 for i in range(k * k)]
+        want = (want + [0.0] * mm.FEATURE_DIM)[: mm.FEATURE_DIM]
+        assert [round(f, 5) for f in feats] == [round(w, 5) for w in want]
+
+
+def test_resize_media_real_path_via_injected_module(spark):
+    """fake=False resize with the injected module rewrites the payload
+    through open -> resize -> save and still updates meta JVM-side."""
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    media = mm.attach_fake_media(docs, "doc_id")
+    orig = bytes(media.collect()[0]["payload"])
+    out = mm.resize_media(media, 32, 16, fake=False, image_module=_FakePIL)
+    r = out.collect()[0]
+    assert bytes(r["payload"]) == b"RESIZED:32x16:" + orig
+    assert (r["meta"]["width"], r["meta"]["height"]) == (32, 16)
+    # schema unchanged (names/types; lit() meta fields lose nullability)
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema] == [
+        (f.name, f.dataType.simpleString()) for f in media.schema
+    ]
+
+
+def test_import_pil_returns_none_here():
+    """The container ships no PIL — the seam must say so (and the
+    fake=False default path therefore raises, covered above)."""
+    assert mm._import_pil() is None

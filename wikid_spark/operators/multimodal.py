@@ -106,6 +106,20 @@ def attach_fake_media(
     )
 
 
+def _import_pil():
+    """Optional-import seam for the real decode path: PIL's Image
+    module when the environment ships it, else None (this container
+    does not — the deterministic fake remains the tested oracle
+    seam). Executor-side call: the import happens inside the kernel,
+    per worker process."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
 def _fake_decode(payload: bytes, dim: int) -> list[float]:
     """DETERMINISTIC FAKE decode: dim floats in [0, 1) derived from a
     hash of the payload. Stands in for pixel/spectrogram features."""
@@ -117,31 +131,58 @@ def _fake_decode(payload: bytes, dim: int) -> list[float]:
     return [float(x) for x in out[:dim]]
 
 
+def _pil_decode(image_mod, payload: bytes, dim: int) -> list[float]:
+    """REAL decode: grayscale-resize the image to ~sqrt(dim)² and
+    return the normalized pixels as the feature vector (padded with
+    zeros to exactly ``dim``)."""
+    import io as _io
+    import math
+
+    k = max(1, math.isqrt(dim))
+    img = image_mod.open(_io.BytesIO(payload)).convert("L").resize((k, k))
+    vals = [v / 255.0 for v in img.getdata()]
+    vals = (vals + [0.0] * dim)[:dim]
+    return [float(x) for x in vals]
+
+
 def decode_media(
-    media: DataFrame, fake: bool = False, dim: int = FEATURE_DIM
+    media: DataFrame,
+    fake: bool = False,
+    dim: int = FEATURE_DIM,
+    image_module=None,
 ) -> DataFrame:
     """payload → feature vector via Arrow-batched ``mapInPandas``.
 
-    ``fake=False`` raises NotImplementedError from the kernel — the
-    container ships no media codecs; plug a real decoder into
-    ``decode_fn`` below. The Spark-side contract (schema in/out, batch
-    iteration, payload dropped from the output) is identical either way.
+    ``fake=True`` runs the deterministic hash stub (the oracle seam —
+    always available, environment-independent). ``fake=False`` routes
+    through the REAL decoder: ``image_module`` if given (test seam),
+    else PIL resolved by an executor-side optional import
+    (`_import_pil`) — and raises NotImplementedError only when neither
+    exists (this container ships no codecs). The Spark-side contract
+    (schema in/out, batch iteration, payload dropped from the output)
+    is identical on every path.
     """
 
     def decode_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not fake:
+        mod = None
+        if not fake:
+            mod = image_module if image_module is not None else _import_pil()
+            if mod is None:
                 raise NotImplementedError(
-                    "real media decode requires PIL/torchaudio/ffmpeg; "
-                    "run with fake=True for the deterministic stub"
+                    "real media decode requires PIL/torchaudio/ffmpeg "
+                    "(none importable here); run with fake=True for the "
+                    "deterministic stub"
                 )
+        for pdf in batches:
+            if fake:
+                feats = [_fake_decode(p, dim) for p in pdf["payload"]]
+            else:
+                feats = [_pil_decode(mod, p, dim) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "meta": pdf["meta"],
-                    "features": [
-                        _fake_decode(p, dim) for p in pdf["payload"]
-                    ],
+                    "features": feats,
                 }
             )
 
@@ -164,23 +205,42 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 def resize_media(
-    media: DataFrame, width: int, height: int, fake: bool = False
+    media: DataFrame,
+    width: int,
+    height: int,
+    fake: bool = False,
+    image_module=None,
 ) -> DataFrame:
     """Resize plumbing: payload → resized payload with updated meta,
     via the same Arrow-batched mapInPandas contract as decode_media.
     ``fake=True`` passes the payload through unchanged (deterministic
-    stand-in — the container ships no image codecs); ``fake=False``
-    raises from the kernel where a PIL/ffmpeg resize would plug in.
-    Meta dimensions update JVM-side either way, so downstream schema
+    stand-in); ``fake=False`` routes through the real resizer —
+    ``image_module`` if given, else the executor-side PIL import —
+    and raises NotImplementedError only when neither exists. Meta
+    dimensions update JVM-side on every path, so downstream schema
     logic is real regardless of the decoder."""
 
     def resize_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mod = None
+        if not fake:
+            mod = image_module if image_module is not None else _import_pil()
+            if mod is None:
+                raise NotImplementedError(
+                    "real resize requires PIL/ffmpeg (none importable "
+                    "here); use fake=True for the pass-through stub"
+                )
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "real resize requires PIL/ffmpeg; use fake=True for "
-                    "the pass-through stub"
-                )
+                import io as _io
+
+                def _rz(p: bytes) -> bytes:
+                    img = mod.open(_io.BytesIO(p))
+                    out = img.resize((width, height))
+                    buf = _io.BytesIO()
+                    out.save(buf, format=getattr(img, "format", None) or "PNG")
+                    return buf.getvalue()
+
+                pdf = pdf.assign(payload=[_rz(p) for p in pdf["payload"]])
             yield pdf
 
     resized = media.mapInPandas(resize_fn, MEDIA_SCHEMA)
