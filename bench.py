@@ -61,6 +61,11 @@ HEADLINE = [
     "tx_lm_perplexity",
     "sim_ivf_refined_topk",
     "pp_cdc_chunking",
+    # round-8 additions: the production (word,freq) BPE, Lloyd to
+    # convergence, and the derived-K/top-2 index build:
+    "tx_bpe_wordfreq",
+    "sim_kmeans_converged",
+    "sim_ivf_derived_cells",
 ]
 
 

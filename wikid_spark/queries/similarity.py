@@ -1378,7 +1378,7 @@ def lloyd_train(
                 F.max("shift").alias("max_shift"),
                 F.sum("shift").alias("total_shift"),
             )
-            .collect()[0]
+            .collect()[0]  # k-bounded collect: one scalar stats row/round
         )
         n_cells = int(stats["n_cells"])
         max_shift = stats["max_shift"]

@@ -720,7 +720,7 @@ def tx_bpe_wordfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.col("cnt").desc(), "x", "y")
             .limit(1)
-            .collect()
+            .collect()  # k-bounded collect: exactly one winner row/round
         )
         if not top:
             break
