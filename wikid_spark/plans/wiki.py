@@ -93,13 +93,29 @@ NS_PATTERN = (
 def parse_wikidata(
     raw: DataFrame, lang: str = "en"
 ) -> dict[str, DataFrame]:
-    """Typed wikidata entities → the four stage-1 output tables.
+    """Typed wikidata entities → the four stage-1 output tables, as
+    one composed plan: ``stage1_outputs(parse_wikidata_core(raw))``.
 
-    Implements F1 (type filter), F2 (negative P31/P279 filter with the
+    NOTE the single-parse discipline: the four outputs share the
+    parsed/filtered core, and each output's write re-executes its
+    lineage — writing all four straight off this function re-parses
+    the dump four times (measured: ~4 × 9 s at the 1.7 GB bench
+    scale). Production stage jobs materialize the core ONCE — write
+    `parse_wikidata_core` to parquet (the stage boundary this module's
+    docstring assigns to the caller), read it back, and derive the
+    outputs from the columnar core (`bench.py --etl` does exactly
+    this). A 100 TB dump parses once either way; the core is the
+    filtered, pruned fraction of it."""
+    return stage1_outputs(parse_wikidata_core(raw, lang), lang)
+
+
+def parse_wikidata_core(raw: DataFrame, lang: str = "en") -> DataFrame:
+    """The expensive half of stage 1, run exactly once per dump: F1
+    (type filter), F2 (negative P31/P279 filter with the
     deprecated-rank exemption, wikidata.py:120-139), F3/F4 (language
-    projection + sitelink gate), X8 (claims→edges explode), and the
-    alias seed rows (count=1 each, wikidata.py:242-243).
-    """
+    projection + sitelink gate). Returns the kept-entity core
+    ``(id, title, label, description, aliases, claims)`` — the table
+    to materialize at the stage boundary."""
     site = f"{lang}wiki"
     meta = F.array(*[F.lit(q) for q in WD_META_ITEMS])
 
@@ -136,7 +152,17 @@ def parse_wikidata(
             F.col("claims"),
         )
     )
+    return kept
 
+
+def stage1_outputs(
+    kept: DataFrame, lang: str = "en"
+) -> dict[str, DataFrame]:
+    """The four stage-1 tables derived from the parsed core: X8
+    (claims→edges explode) and the alias seed rows (count=1 each,
+    wikidata.py:242-243) plus the entities/entity_texts projections —
+    all cheap columnar derivations when ``kept`` is a materialized
+    parquet stage."""
     entities = kept.select(
         "id",
         F.map_filter(
