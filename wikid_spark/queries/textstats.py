@@ -606,97 +606,37 @@ def tx_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cost is vocab-bounded, corpus-size-independent. This is the form
 # Sennrich et al. 2016 describe and what tx_bpe_merges' docstring
 # promised; tx_bpe_merges remains the raw-corpus per-step spec.
+# Encoding then never rewrites the corpus either: the trained vocab
+# table IS a word → token-sequence dictionary, and tokenization is a
+# broadcast join (tx_bpe_encode).
 # ---------------------------------------------------------------------------
 
 BPE_WF_ROUNDS = 20
 
 
-def _bpe_wf_oracle(rounds: int) -> str:
-    """The DuckDB twin, generated for ``rounds`` chained merge rounds
-    (same sentinel encoding and tie-break as the Spark loop)."""
-    sep = "chr(31)"
-    # Every s{r}/p{r} is MATERIALIZED: DuckDB inlines plain CTEs, and
-    # each round references its predecessor twice (pair count + merge
-    # rewrite), so inlining would double the scan tree per round —
-    # 2^rounds base-table scans by round 20. Materialization pins each
-    # round to one evaluation, the same shape as the Spark loop's
-    # per-round localCheckpoint.
-    ctes = [
-        "w0 AS MATERIALIZED (SELECT w, COUNT(*) AS freq FROM ("
-        "SELECT unnest(string_split(text, ' ')) AS w FROM documents) "
-        "WHERE w <> '' GROUP BY w)",
-        f"s0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', {sep} || '\\1' || {sep}, 'g')"
-        " AS s, freq FROM w0)",
-    ]
-    selects = []
-    for r in range(1, rounds + 1):
-        prev = f"s{r - 1}"
-        ctes.append(
-            f"p{r} AS MATERIALIZED (SELECT ts[i] AS x, ts[i + 1] AS y, "
-            f"CAST(SUM(freq) AS BIGINT) AS cnt "
-            f"FROM (SELECT string_split(trim(s, {sep}), {sep} || {sep}) AS ts,"
-            f" freq FROM {prev}), "
-            f"LATERAL (SELECT unnest(range(1, len(ts))) AS i) "
-            f"GROUP BY x, y)"
-        )
-        ctes.append(
-            f"m{r} AS MATERIALIZED (SELECT x, y, cnt FROM p{r} "
-            f"ORDER BY cnt DESC, x, y LIMIT 1)"
-        )
-        ctes.append(
-            f"s{r} AS MATERIALIZED (SELECT replace(p.s, "
-            f"{sep} || m.x || {sep} || {sep} || m.y || {sep}, "
-            f"{sep} || m.x || '~' || m.y || {sep}) AS s, p.freq "
-            f"FROM {prev} p, m{r} m)"
-        )
-        selects.append(f"SELECT {r} AS round, x, y, cnt FROM m{r}")
-    return (
-        "WITH " + ",\n".join(ctes) + "\n"
-        + "\nUNION ALL ".join(selects)
-        + "\nORDER BY round"
-    )
-
-
-@query(
-    "tx_bpe_wordfreq",
-    oracle=_bpe_wf_oracle(BPE_WF_ROUNDS),
-    tags=("textstats", "tokenizer", "iterative"),
-)
-def tx_bpe_wordfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE merge training on the collapsed (word, freq) table — the
-    production tokenizer-trainer layout (Sennrich et al. 2016): one
-    corpus pass builds word frequencies; each of the BPE_WF_ROUNDS
-    rounds counts adjacent CHARACTER-level symbol pairs weighted by
-    freq, takes the global top pair (ties → smallest (x, y)), and
-    applies the merge greedily (leftmost non-overlapping, via the same
-    sentinel-replace encoding as tx_bpe_merges) to the vocabulary
-    table only. Output: (round, x, y, cnt) per learned rule, cnt =
-    freq-weighted pair count.
-
-    Scale: after the single corpus-wide word count (map-side-
-    combinable; the ONLY corpus-sized shuffle), every round costs
-    O(|vocab| × word_len) — corpus-size-INDEPENDENT, which is what
-    makes 30k-merge training feasible where tx_bpe_merges' raw-corpus
-    rewrite would re-scan 100 TB per round. The loop is eager with a
-    1-row collect per round (K=1 over the wire — the same driver-
-    fixpoint discipline as graph/Lloyd iteration) and localCheckpoints
-    the vocab table each round so lineage stays flat; a merge round
-    that finds no pair (vocab fully merged) stops the loop, matching
-    the oracle's empty-CTE cascade."""
-    d = table(spark, sf_dir, "documents")
+def _bpe_wf_train(docs: DataFrame, rounds: int):
+    """Train ``rounds`` BPE merges on the (word, freq) table. Returns
+    (merge rows [(round, x, y, cnt), ...], final vocab DataFrame
+    (w, s, freq) with ``s`` the sentinel-encoded merged symbols).
+    Eager driver loop: one corpus-wide word count, then per round one
+    vocab-bounded pair aggregation, a 1-row winner collect, and a
+    map-only vocab rewrite, localCheckpointed so lineage stays flat.
+    A round with no pairs left stops the loop (matches the oracle's
+    empty-CTE cascade)."""
     words = (
-        d.select(F.explode(F.split("text", " ")).alias("w"))
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     s = words.select(
+        "w",
         F.regexp_replace("w", "(.)", BPE_SEP + "$1" + BPE_SEP).alias("s"),
         "freq",
     ).localCheckpoint(eager=True)
 
-    rows = []
-    for rnd in range(1, BPE_WF_ROUNDS + 1):
+    rows: list[tuple] = []
+    for rnd in range(1, rounds + 1):
         ts = F.split(F.btrim(F.col("s"), F.lit(BPE_SEP)), BPE_SEP + BPE_SEP)
         pairs = s.select(ts.alias("ts"), "freq").select(
             F.explode(
@@ -729,8 +669,168 @@ def tx_bpe_wordfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
         pat = BPE_SEP + x + BPE_SEP + BPE_SEP + y + BPE_SEP
         rep = BPE_SEP + x + "~" + y + BPE_SEP
         s = s.select(
-            F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"), "freq"
+            "w",
+            F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"),
+            "freq",
         ).localCheckpoint(eager=True)
+    return rows, s
+
+
+def _bpe_wf_ctes(rounds: int) -> tuple[list[str], str]:
+    """Shared DuckDB CTE chain for the (word, freq) trainer: returns
+    (ctes, final_s_name). Every s{r}/p{r} is MATERIALIZED: DuckDB
+    inlines plain CTEs, and each round references its predecessor
+    twice (pair count + merge rewrite), so inlining would double the
+    scan tree per round — 2^rounds base-table scans by round 20.
+    Materialization pins each round to one evaluation, the same shape
+    as the Spark loop's per-round localCheckpoint."""
+    sep = "chr(31)"
+    ctes = [
+        "w0 AS MATERIALIZED (SELECT w, COUNT(*) AS freq FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS w FROM documents) "
+        "WHERE w <> '' GROUP BY w)",
+        f"s0 AS MATERIALIZED (SELECT w, regexp_replace(w, '(.)', {sep} || '\\1' || {sep}, 'g')"
+        " AS s, freq FROM w0)",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"s{r - 1}"
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT ts[i] AS x, ts[i + 1] AS y, "
+            f"CAST(SUM(freq) AS BIGINT) AS cnt "
+            f"FROM (SELECT string_split(trim(s, {sep}), {sep} || {sep}) AS ts,"
+            f" freq FROM {prev}), "
+            f"LATERAL (SELECT unnest(range(1, len(ts))) AS i) "
+            f"GROUP BY x, y)"
+        )
+        ctes.append(
+            f"m{r} AS MATERIALIZED (SELECT x, y, cnt FROM p{r} "
+            f"ORDER BY cnt DESC, x, y LIMIT 1)"
+        )
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT p.w, replace(p.s, "
+            f"{sep} || m.x || {sep} || {sep} || m.y || {sep}, "
+            f"{sep} || m.x || '~' || m.y || {sep}) AS s, p.freq "
+            f"FROM {prev} p, m{r} m)"
+        )
+    return ctes, f"s{rounds}"
+
+
+def _bpe_wf_oracle(rounds: int) -> str:
+    ctes, _ = _bpe_wf_ctes(rounds)
+    selects = [
+        f"SELECT {r} AS round, x, y, cnt FROM m{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY round"
+    )
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    ctes, last = _bpe_wf_ctes(rounds)
+    sep = "chr(31)"
+    ctes.append(
+        f"enc AS MATERIALIZED (SELECT w, "
+        f"len(string_split(trim(s, {sep}), {sep} || {sep})) AS n_tok "
+        f"FROM {last})"
+    )
+    ctes.append(
+        "tw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+        "FROM documents)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + """SELECT tw.doc_id, COUNT(*) AS n_words,
+           CAST(SUM(enc.n_tok) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(enc.n_tok) AS DOUBLE) / COUNT(*), 4)
+             AS tokens_per_word
+    FROM tw JOIN enc ON tw.w = enc.w
+    WHERE tw.w <> ''
+    GROUP BY tw.doc_id
+    ORDER BY tw.doc_id"""
+    )
+
+
+@query(
+    "tx_bpe_wordfreq",
+    oracle=_bpe_wf_oracle(BPE_WF_ROUNDS),
+    tags=("textstats", "tokenizer", "iterative"),
+)
+def tx_bpe_wordfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training on the collapsed (word, freq) table — the
+    production tokenizer-trainer layout (Sennrich et al. 2016): one
+    corpus pass builds word frequencies; each of the BPE_WF_ROUNDS
+    rounds counts adjacent CHARACTER-level symbol pairs weighted by
+    freq, takes the global top pair (ties → smallest (x, y)), and
+    applies the merge greedily (leftmost non-overlapping, via the same
+    sentinel-replace encoding as tx_bpe_merges) to the vocabulary
+    table only. Output: (round, x, y, cnt) per learned rule, cnt =
+    freq-weighted pair count.
+
+    Scale: after the single corpus-wide word count (map-side-
+    combinable; the ONLY corpus-sized shuffle), every round costs
+    O(|vocab| × word_len) — corpus-size-INDEPENDENT, which is what
+    makes 30k-merge training feasible where tx_bpe_merges' raw-corpus
+    rewrite would re-scan 100 TB per round (measured: ~0.35 s/round at
+    sf10 vs ~8.9 s/round for the raw-corpus form — SCALE.md round 8).
+    The loop is eager with a 1-row collect per round (K=1 over the
+    wire — the same driver-fixpoint discipline as graph/Lloyd
+    iteration) and localCheckpoints the vocab table each round so
+    lineage stays flat; a merge round that finds no pair (vocab fully
+    merged) stops the loop, matching the oracle's empty-CTE cascade."""
+    rows, _ = _bpe_wf_train(
+        table(spark, sf_dir, "documents"), BPE_WF_ROUNDS
+    )
     return spark.createDataFrame(
         rows, "round int, x string, y string, cnt bigint"
     ).orderBy("round")
+
+
+@query(
+    "tx_bpe_encode",
+    oracle=_bpe_encode_oracle(BPE_WF_ROUNDS),
+    tags=("textstats", "tokenizer", "iterative"),
+)
+def tx_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer INFERENCE with the trained BPE vocab — the other half
+    of the production loop: after `_bpe_wf_train`, the final vocab
+    table IS a word → token-sequence dictionary, so encoding the
+    corpus is a BROADCAST JOIN of tokens against the (vocab-bounded)
+    dictionary — the corpus text is never rewritten through the merge
+    rules at all. Output per document: word count, BPE token count,
+    and tokens/word (the compression ratio tokenizer quality is
+    judged by).
+
+    Scale: this is why the (word, freq) layout matters twice — train
+    cost is vocab-bounded per round, and ENCODE cost is one map-side
+    broadcast-join pass over the corpus (plus the per-doc groupBy),
+    independent of the number of merge rounds. A 30k-merge tokenizer
+    encodes 100 TB at exactly the same cost as a 20-merge one."""
+    d = table(spark, sf_dir, "documents")
+    _, vocab = _bpe_wf_train(d, BPE_WF_ROUNDS)
+    n_tok = F.size(
+        F.split(F.btrim(F.col("s"), F.lit(BPE_SEP)), BPE_SEP + BPE_SEP)
+    )
+    wt = vocab.select("w", n_tok.alias("n_tok"))
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        toks.join(F.broadcast(wt), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_words"), 4
+            ).alias("tokens_per_word"),
+        )
+        .orderBy("doc_id")
+    )
