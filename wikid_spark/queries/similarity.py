@@ -329,39 +329,44 @@ def _assignments_multi(
     )
 
 
-def ivf_derived_cte(table_name: str = "embeddings", top_m: int = 2) -> str:
+def ivf_derived_cte(
+    table_name: str = "embeddings", top_m: int = 2, prefix: str = ""
+) -> str:
     """DuckDB CTE fragment: derived-K centroids (K = ceil(sqrt(n)),
     the same double-sqrt `derived_k` computes) and top-``top_m``
     multi-assignment via ROW_NUMBER over (dist, cent_id). Kept beside
     `_IVF_CTE` (the fixed-K serving form) so both engines share one
-    definition of each."""
+    definition of each. ``prefix`` renames the internal CTEs so the
+    fragment can be embedded in oracles that already use the bare
+    names (sim_recall_report)."""
+    p = prefix
     return f"""
-    qv AS (
+    {p}qv AS (
       SELECT vec_id, embedding,
              list_transform(embedding,
                             x -> CAST(FLOOR(x::DOUBLE * 1000.0) AS BIGINT)) AS qemb
       FROM {table_name}
-    ), kd AS (
+    ), {p}kd AS (
       SELECT GREATEST(1, LEAST(65536,
                CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) AS k
       FROM {table_name}
-    ), cents AS (
+    ), {p}cents AS (
       SELECT cent_id, cemb FROM (
         SELECT vec_id AS cent_id, qemb AS cemb,
                ROW_NUMBER() OVER (ORDER BY {_CENT_HASH_SQL}, vec_id) AS krn
-        FROM qv) ranked, kd
-      WHERE ranked.krn <= kd.k
-    ), dists AS (
-      SELECT qv.vec_id, qv.embedding, cents.cent_id,
-             CAST(list_sum(list_transform(qv.qemb,
-                    (x, i) -> (x - cents.cemb[i]) * (x - cents.cemb[i])))
+        FROM {p}qv) ranked, {p}kd
+      WHERE ranked.krn <= {p}kd.k
+    ), {p}dists AS (
+      SELECT {p}qv.vec_id, {p}qv.embedding, {p}cents.cent_id,
+             CAST(list_sum(list_transform({p}qv.qemb,
+                    (x, i) -> (x - {p}cents.cemb[i]) * (x - {p}cents.cemb[i])))
                   AS BIGINT) AS dist
-      FROM qv, cents
-    ), assigned AS (
+      FROM {p}qv, {p}cents
+    ), {p}assigned AS (
       SELECT vec_id, embedding, cent_id, CAST(rn AS INT) AS cent_rank
       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                          ORDER BY dist, cent_id) AS rn
-            FROM dists)
+            FROM {p}dists)
       WHERE rn <= {top_m}
     )
 """
@@ -448,6 +453,79 @@ def sim_ivf_derived_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cent_id", "cent_rank")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("cent_id", "cent_rank")
+    )
+
+
+@query(
+    "sim_ivf_derived_topk",
+    oracle=f"""
+    WITH {ivf_derived_cte()}, q AS (
+      SELECT vec_id AS query_id, embedding AS qe, cent_id AS qcell
+      FROM assigned
+      WHERE cent_rank = 1 AND vec_id % 50 = 0 AND vec_id < 2000
+    ), cands AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          q.qe::DOUBLE[]), 4) AS sim
+      FROM q JOIN assigned a ON a.cent_id = q.qcell
+      WHERE a.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM cands
+    )
+    SELECT query_id, neighbor_id, sim, rn
+    FROM ranked WHERE rn <= 3
+    ORDER BY query_id, rn
+    """,
+    tags=("similarity", "ivf", "ann", "derived-k"),
+)
+def sim_ivf_derived_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN served from the derived-K/top-2 index: the query probes its
+    SINGLE nearest cell (one-cell probe budget), but because every
+    corpus vector is indexed under its top-2 cells, the probe also
+    surfaces neighbors whose primary cell is elsewhere — the
+    multi-assignment trade (2x index rows for wider recall at
+    UNCHANGED probe cost; contrast nprobe=2, which doubles probe cost
+    instead). Recall audited as a sixth method in sim_recall_report.
+
+    Scale: identical plan shape to sim_ivf_ann_topk — broadcast query
+    sample, cell-id equi-join against the (2x) index, per-query
+    top-3 window. Cells are ~sqrt(n) rows by the derived-K contract,
+    so per-query probe work stays ~2·sqrt(n)."""
+    emb = table(spark, sf_dir, "embeddings")
+    k = derived_k(emb.count())
+    a2 = _assignments_multi(emb, k, top_m=2)
+    q = (
+        a2.filter(
+            (F.col("cent_rank") == 1)
+            & (F.col("vec_id") % 50 == 0)
+            & (F.col("vec_id") < 2000)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("cent_id").alias("qcell"),
+        )
+    )
+    cands = (
+        a2.join(F.broadcast(q), F.col("cent_id") == F.col("qcell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qe")), 4
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("query_id", "rn")
     )
 
 
@@ -742,12 +820,26 @@ def sim_ivf_ann_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
               JOIN embeddings e ON e.vec_id = b.vec_id
               WHERE e.vec_id <> mq.query_id))
       WHERE rn <= 3
+    ), {ivf_derived_cte(prefix="dk_")}, dkq AS (
+      SELECT vec_id AS query_id, embedding AS qe, cent_id AS qcell
+      FROM dk_assigned
+      WHERE cent_rank = 1 AND vec_id % 50 = 0 AND vec_id < 2000
+    ), dk3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT dkq.query_id, a.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY dkq.query_id
+                 ORDER BY ROUND(list_cosine_similarity(a.embedding::DOUBLE[], dkq.qe::DOUBLE[]), 4) DESC,
+                          a.vec_id) AS rn
+        FROM dkq JOIN dk_assigned a ON a.cent_id = dkq.qcell
+        WHERE a.vec_id <> dkq.query_id)
+      WHERE rn <= 3
     ), methods AS (
       SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh3
       UNION ALL SELECT 'lsh_multitable', query_id, neighbor_id FROM mt3
       UNION ALL SELECT 'ivf_nprobe1', query_id, neighbor_id FROM ivf1
       UNION ALL SELECT 'ivf_nprobe2', query_id, neighbor_id FROM ivf2
       UNION ALL SELECT 'ivf_refined', query_id, neighbor_id FROM refined3
+      UNION ALL SELECT 'ivf_derived_k', query_id, neighbor_id FROM dk3
     ), hits AS (
       SELECT m.method, COUNT(b.neighbor_id) AS n_hits
       FROM methods m
@@ -779,6 +871,7 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf_nprobe1", sim_ivf_ann_topk),
         ("ivf_nprobe2", sim_ivf_ann_topk_nprobe2),
         ("ivf_refined", sim_ivf_refined_topk),
+        ("ivf_derived_k", sim_ivf_derived_topk),
     ):
         part = fn(spark, sf_dir).select(
             F.lit(name).alias("method"), "query_id", "neighbor_id"
