@@ -106,3 +106,30 @@ def test_bench_etl_wiring(spark, tmp_path, monkeypatch):
     }
     assert out["rows"]["entities"] > 0
     assert out["rows"]["alias_counts"] > 0
+
+
+def test_wikidata_dump_reads_bz2_transparently(spark, tmp_path):
+    """The real dump ships as .json.bz2; spark.read.text decompresses
+    by codec extension, so the same reader handles both layouts. A
+    single .bz2 file is one partition (non-splittable codec) — the
+    re-chunked landing zone of gen_dumps is the scale path; this pins
+    the compatibility path."""
+    import bz2
+    import shutil
+
+    m = generate(str(tmp_path / "plain"), n_entities=120, n_pages=10, shards=2)
+    bz_dir = tmp_path / "bz"
+    bz_dir.mkdir()
+    for f in sorted(os.listdir(m["wikidata_path"])):
+        with open(os.path.join(m["wikidata_path"], f), "rb") as src, bz2.open(
+            bz_dir / (f + ".bz2"), "wb"
+        ) as dst:
+            shutil.copyfileobj(src, dst)
+
+    from wikid_spark.sources.wikidata import read_wikidata_dump
+
+    plain = read_wikidata_dump(spark, m["wikidata_path"])
+    bz = read_wikidata_dump(spark, str(bz_dir))
+    a = sorted(r["id"] for r in plain.select("id").collect())
+    b = sorted(r["id"] for r in bz.select("id").collect())
+    assert a == b and len(a) == 120
