@@ -66,6 +66,8 @@ HEADLINE = [
     "tx_bpe_wordfreq",
     "sim_kmeans_converged",
     "sim_ivf_derived_cells",
+    "tx_bpe_encode",
+    "sim_ivf_derived_topk",
 ]
 
 
