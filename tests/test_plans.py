@@ -281,3 +281,47 @@ def test_lm_perplexity_single_bigram_extraction(spark):
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final
     assert "reused" in final.lower(), final[:2000]
+
+
+def test_multi_assignment_matches_declarative_ranks(spark):
+    """_assignments_multi's stable-argsort top-2 must equal the
+    declarative (dist, cent_id) preference order (_cell_ranks) on
+    random vectors — cross-validating the BLAS kernel's tie-break
+    against the pure-Catalyst spec."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from wikid_spark.queries.similarity import (
+        _assignments_multi,
+        _cell_ranks,
+        _cent_array,
+        _centroids,
+        quantize_embedding,
+    )
+
+    rng = random.Random(42)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(300)
+    ]
+    # force distance ties: clone some vectors
+    rows += [(1000 + i, rows[i][1]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {
+        (r["vec_id"], r["cent_rank"]): r["cent_id"]
+        for r in _assignments_multi(emb, k=9, top_m=2).collect()
+    }
+
+    cents = _centroids(emb, k=9)
+    qemb = emb.select(
+        "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
+    )
+    ranked = qemb.crossJoin(F.broadcast(_cent_array(cents))).select(
+        "vec_id", _cell_ranks(F.col("qemb"), F.col("cs")).alias("ranks")
+    )
+    want = {}
+    for r in ranked.collect():
+        for j, s in enumerate(r["ranks"][:2], start=1):
+            want[(r["vec_id"], j)] = s["cent_id"]
+    assert got == want and len(got) == 2 * 320
