@@ -1592,3 +1592,170 @@ def sim_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         trace, "round int, n_cells bigint, max_shift bigint, total_shift bigint"
     ).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# The production index build, end to end: corpus-derived K, Lloyd-
+# TRAINED centroids, top-2 multi-assignment, one-cell probe. This is
+# the composition the SCALE.md round-8 recall analysis prescribes:
+# recall is tuned by nprobe × top-m at a FIXED ~sqrt(n) cell size,
+# with training aligning cells to the data instead of growing them.
+# ---------------------------------------------------------------------------
+
+TRAINED_DERIVED_ROUNDS = 3
+
+
+def _lloyd_derived_oracle(rounds: int) -> str:
+    """Generated DuckDB twin: derived-K seeds, ``rounds`` Lloyd steps,
+    top-2 assignment to the trained centroids, one-cell top-3 probe.
+    MATERIALIZED throughout (each round referenced twice)."""
+    ctes = [
+        """qv AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+                            x -> CAST(FLOOR(x::DOUBLE * 1000.0) AS BIGINT)) AS qemb
+      FROM embeddings
+    )""",
+        """kd AS (
+      SELECT GREATEST(1, LEAST(65536,
+               CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) AS k
+      FROM embeddings
+    )""",
+        f"""c0 AS MATERIALIZED (
+      SELECT cent_id, cemb FROM (
+        SELECT vec_id AS cent_id, qemb AS cemb,
+               ROW_NUMBER() OVER (ORDER BY {_CENT_HASH_SQL}, vec_id) AS krn
+        FROM qv) ranked, kd
+      WHERE ranked.krn <= kd.k
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"c{r - 1}"
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+      SELECT qv.vec_id, qv.qemb, c.cent_id,
+             CAST(list_sum(list_transform(qv.qemb,
+                    (x, i) -> (x - c.cemb[i]) * (x - c.cemb[i])))
+                  AS BIGINT) AS dist
+      FROM qv, {p} c
+    )""")
+        ctes.append(
+            f"""a{r} AS MATERIALIZED (
+      SELECT vec_id, qemb, cent_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cent_id) AS rn
+            FROM d{r})
+      WHERE rn = 1
+    )""")
+        ctes.append(
+            f"""c{r} AS MATERIALIZED (
+      SELECT s.cent_id,
+             list(CAST(FLOOR(s::DOUBLE / c.n) AS BIGINT) ORDER BY d) AS cemb
+      FROM (SELECT cent_id, d, CAST(SUM(qemb[d + 1]) AS BIGINT) AS s
+            FROM a{r}, range({EMBED_DIMS}) t(d) GROUP BY cent_id, d) s
+      JOIN (SELECT cent_id, COUNT(*) AS n FROM a{r} GROUP BY cent_id) c
+        ON s.cent_id = c.cent_id
+      GROUP BY s.cent_id, c.n
+    )""")
+    ctes.append(
+        f"""fd AS MATERIALIZED (
+      SELECT qv.vec_id, qv.embedding, c.cent_id,
+             CAST(list_sum(list_transform(qv.qemb,
+                    (x, i) -> (x - c.cemb[i]) * (x - c.cemb[i])))
+                  AS BIGINT) AS dist
+      FROM qv, c{rounds} c
+    )""")
+    ctes.append(
+        """fassigned AS MATERIALIZED (
+      SELECT vec_id, embedding, cent_id, CAST(rn AS INT) AS cent_rank
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cent_id) AS rn
+            FROM fd)
+      WHERE rn <= 2
+    )""")
+    return (
+        "WITH " + ",\n".join(ctes) + """, q AS (
+      SELECT vec_id AS query_id, embedding AS qe, cent_id AS qcell
+      FROM fassigned
+      WHERE cent_rank = 1 AND vec_id % 50 = 0 AND vec_id < 2000
+    ), cands AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          q.qe::DOUBLE[]), 4) AS sim
+      FROM q JOIN fassigned a ON a.cent_id = q.qcell
+      WHERE a.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM cands
+    )
+    SELECT query_id, neighbor_id, sim, rn
+    FROM ranked WHERE rn <= 3
+    ORDER BY query_id, rn"""
+    )
+
+
+@query(
+    "sim_ivf_trained_derived_topk",
+    oracle=_lloyd_derived_oracle(TRAINED_DERIVED_ROUNDS),
+    tags=("similarity", "ivf", "ann", "derived-k", "kmeans"),
+)
+def sim_ivf_trained_derived_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ANN index build: K = ceil(sqrt(n)) seeds,
+    {TRAINED_DERIVED_ROUNDS} Lloyd training rounds (`lloyd_train` —
+    early-stops at the exact fixpoint, which is output-identical to
+    the oracle's fixed unrolling), TOP-2 assignment of the corpus to
+    the trained centroids, and the one-cell probe. Everything the
+    round-8 ANN work composes: training aligns ~sqrt(n)-row cells to
+    the data; multi-assignment widens recall at unchanged probe cost.
+
+    Scale: training adds {TRAINED_DERIVED_ROUNDS} corpus passes
+    (broadcast-K BLAS, no corpus shuffle); index build and serving
+    match sim_ivf_derived_topk exactly."""
+    emb = table(spark, sf_dir, "embeddings")
+    k = derived_k(emb.count())
+    qemb = emb.select(
+        "vec_id",
+        "embedding",
+        quantize_embedding(F.col("embedding")).alias("qemb"),
+    )
+    cents, _ = lloyd_train(
+        qemb.select("vec_id", "qemb"),
+        _centroids(emb, k),
+        max_rounds=TRAINED_DERIVED_ROUNDS,
+        tol=0,
+    )
+    a2 = _assign_blas(qemb, cents, top_m=2).select(
+        "vec_id", "embedding", "cent_id", "cent_rank"
+    )
+    q = (
+        a2.filter(
+            (F.col("cent_rank") == 1)
+            & (F.col("vec_id") % 50 == 0)
+            & (F.col("vec_id") < 2000)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("cent_id").alias("qcell"),
+        )
+    )
+    cands = (
+        a2.join(F.broadcast(q), F.col("cent_id") == F.col("qcell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qe")), 4
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("query_id", "rn")
+    )
