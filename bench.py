@@ -68,6 +68,7 @@ HEADLINE = [
     "sim_ivf_derived_cells",
     "tx_bpe_encode",
     "sim_ivf_derived_topk",
+    "sim_ivf_trained_derived_topk",
 ]
 
 
