@@ -402,10 +402,24 @@ def compact_dedup_index(spark: SparkSession, index_dir: str) -> None:
     present) BEFORE any deletion, so no crash point leaves zero
     surviving copies. On object storage the renames map to the
     store's atomic-commit primitive."""
+    compact_index_parts(spark, index_dir, ("bands", "shingles", "sizes"))
+
+
+def compact_index_parts(
+    spark: SparkSession,
+    index_dir: str,
+    parts: tuple[str, ...],
+    partition_cols: tuple[str, ...] = (),
+) -> None:
+    """The crash-safe fold, per component (shared by the LSH index and
+    `streaming.vector_ingest`'s cell index): heal-preamble, write the
+    fold to ``.compacting``, two-rename swap. ``partition_cols``
+    optionally re-partition-by columns inside the folded base (the
+    vector index keeps ``cent_id`` directory pruning)."""
     import os
     import shutil
 
-    for part in ("bands", "shingles", "sizes"):
+    for part in parts:
         live = f"{index_dir}/{part}"
         tmp = f"{index_dir}/{part}.compacting"
         old = f"{index_dir}/{part}.old"
@@ -425,9 +439,12 @@ def compact_dedup_index(spark: SparkSession, index_dir: str) -> None:
                 )
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
-        _read_part(spark, index_dir, part, None).write.mode(
+        writer = _read_part(spark, index_dir, part, None).write.mode(
             "overwrite"
-        ).parquet(f"{tmp}/batch_id={BASE_BATCH_ID}")
+        )
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(f"{tmp}/batch_id={BASE_BATCH_ID}")
         os.rename(live, old)
         os.rename(tmp, live)
         shutil.rmtree(old, ignore_errors=True)

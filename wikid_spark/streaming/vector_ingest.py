@@ -1,0 +1,232 @@
+"""Streaming SEMANTIC dedup against a persisted, EVOLVING vector index.
+
+The embedding-side twin of `streaming.dedup_ingest`: the corpus is
+assigned ONCE to K = ceil(sqrt(n)) derived centroids under TOP-2
+multi-assignment (the SemDeDup index `queries.dedup.nd_semantic_dedup`
+certifies), and persisted cell-partitioned. Each arriving micro-batch
+of new vectors only assigns ITSELF against the FROZEN centroid table
+(standard IVF ingest — centroids re-derive at compaction, not per
+batch), probes the corpus cells its members landed in, cosine-verifies
+within cells, and appends per-vector keep/drop verdicts. The corpus is
+never re-assigned per batch — nightly cost is O(batch · sqrt(n)), not
+O(corpus).
+
+Evolution and replay mirror `dedup_ingest` exactly (shared contract,
+shared tests discipline):
+
+* kept batch vectors' cell assignments append under deterministic
+  ``batch_id=<n>`` partitions (read-your-own-writes: later batches'
+  near-dups of them are caught);
+* a batch's own probe reads strictly ``batch_id < n`` — replay
+  deterministic;
+* verdicts and appends overwrite their own ``batch_id=<n>`` paths —
+  exactly-once under Structured Streaming's sequential-batch contract;
+* `compact_vector_index` folds deltas into the ``batch_id=-1`` base
+  with the same crash-safe heal/two-rename discipline
+  (`dedup_ingest.compact_index_parts`), keeping ``cent_id`` directory
+  partitioning so probes stay partition-pruned.
+
+Semantics are CELL-RESTRICTED by definition (the SemDeDup trade): a
+batch vector is dropped iff some prior vector shares one of its top-2
+cells with cosine >= the threshold; `dup_of` is the lowest qualifying
+vec_id. The batch-twin equivalence tests pin stream == batch under
+this definition; `queries.dedup.nd_semantic_capture_report` quantifies
+the cell restriction itself against brute-force truth.
+
+Scale: the probe reads only the (<= 2 x |batch|) cells the batch
+touched — directory-pruned on ``cent_id`` and ``batch_id`` — and the
+within-cell verify joins batch rows (broadcast) against those cells'
+rows. Centroids are a K-row table, broadcast into the batch
+assignment kernel; nothing corpus-scale ever shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from wikid_spark.functions.vectors import cosine_similarity
+from wikid_spark.queries.similarity import (
+    _assign_blas,
+    _centroids,
+    derived_k,
+    quantize_embedding,
+)
+from wikid_spark.streaming.dedup_ingest import (
+    BASE_BATCH_ID,
+    compact_index_parts,
+)
+
+COSINE_THRESHOLD = 0.4
+
+
+def _qemb(vectors: DataFrame) -> DataFrame:
+    return vectors.select(
+        "vec_id",
+        "embedding",
+        quantize_embedding(F.col("embedding")).alias("qemb"),
+    )
+
+
+def _assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cent_id): top-2 cells per vector against an
+    explicit centroid table — the batch-side assignment against the
+    index's FROZEN centroids."""
+    return _assign_blas(_qemb(vectors), centroids, top_m=2).select(
+        "vec_id", "embedding", "cent_id"
+    )
+
+
+def persist_vector_index(vectors: DataFrame, index_dir: str) -> None:
+    """Build and persist the corpus vector index: the derived-K
+    centroid table (K rows) and the top-2 cell assignments
+    (cell-partitioned, under ``batch_id=-1`` so streaming appends
+    evolve the same tree)."""
+    k = derived_k(vectors.count())
+    cents = _centroids(vectors, k)
+    cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    spark = vectors.sparkSession
+    cells = _assign_cells(vectors, spark.read.parquet(f"{index_dir}/centroids"))
+    (
+        cells.write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(f"{index_dir}/cells/batch_id={BASE_BATCH_ID}")
+    )
+
+
+def _read_cells(
+    spark: SparkSession, index_dir: str, as_of_batch: int | None
+) -> DataFrame:
+    df = spark.read.option("basePath", f"{index_dir}/cells").parquet(
+        f"{index_dir}/cells/batch_id=*"
+    )
+    if as_of_batch is not None:
+        df = df.filter(F.col("batch_id") < as_of_batch)
+    return df.drop("batch_id")
+
+
+def vector_batch_verdicts(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    as_of_batch: int | None = None,
+    threshold: float = COSINE_THRESHOLD,
+) -> DataFrame:
+    """Per batch vector: ``(vec_id, dup_of, sim, verdict)`` — 'drop'
+    iff a prior vector shares one of the batch vector's top-2 cells
+    with cosine >= ``threshold``; dup_of = lowest such vec_id, sim =
+    that vector's (rounded) cosine. The index scan is pruned to the
+    batch's touched cells (cent_id IN-pushdown on the directory
+    partitioning — batch-bounded, corpus-independent)."""
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    assigned = _assign_cells(batch, cents).localCheckpoint(eager=True)
+    touched = [
+        r[0] for r in assigned.select("cent_id").distinct().collect()
+    ]
+    corpus = _read_cells(spark, index_dir, as_of_batch).filter(
+        F.col("cent_id").isin(touched)
+    )
+    cand = (
+        corpus.select(
+            "cent_id",
+            F.col("vec_id").alias("old_id"),
+            F.col("embedding").alias("old_emb"),
+        )
+        .join(
+            F.broadcast(
+                assigned.select(
+                    "cent_id",
+                    F.col("vec_id").alias("new_id"),
+                    F.col("embedding").alias("new_emb"),
+                )
+            ),
+            "cent_id",
+        )
+        .filter(F.col("old_id") != F.col("new_id"))
+        .select(
+            "new_id",
+            "old_id",
+            F.round(
+                cosine_similarity(F.col("old_emb"), F.col("new_emb")), 4
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+    best = cand.groupBy("new_id").agg(
+        F.min("old_id").alias("dup_of"),
+        F.min_by("sim", "old_id").alias("sim"),
+    )
+    ids = batch.select("vec_id").dropDuplicates()
+    return (
+        ids.join(best, ids["vec_id"] == best["new_id"], "left")
+        .select(
+            "vec_id",
+            "dup_of",
+            "sim",
+            F.when(F.col("dup_of").isNull(), "keep")
+            .otherwise("drop")
+            .alias("verdict"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def append_kept_to_vector_index(
+    batch: DataFrame, kept_ids: DataFrame, index_dir: str, batch_id: int
+) -> None:
+    """Append the kept vectors' cell assignments under this batch's
+    partition — overwrite mode, so a replayed batch rewrites its own
+    appends byte-identically instead of duplicating them. Assignment
+    uses the index's frozen centroids (read back, not re-derived)."""
+    spark = batch.sparkSession
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    kept = batch.join(F.broadcast(kept_ids), "vec_id", "left_semi")
+    (
+        _assign_cells(kept, cents)
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(f"{index_dir}/cells/batch_id={batch_id}")
+    )
+
+
+def vector_verdict_batch_writer(
+    spark: SparkSession, index_dir: str, out_dir: str
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink: verdicts for the micro-batch against index
+    state ``batch_id < n`` (replay-deterministic), then the kept
+    vectors' assignments appended under ``batch_id = n``."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        b = batch.localCheckpoint(eager=True)
+        v = vector_batch_verdicts(
+            spark, b, index_dir, as_of_batch=batch_id
+        ).localCheckpoint(eager=True)
+        v.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        kept_ids = v.filter(F.col("verdict") == "keep").select("vec_id")
+        append_kept_to_vector_index(b, kept_ids, index_dir, batch_id)
+
+    return write_batch
+
+
+def read_vector_verdicts(spark: SparkSession, out_dir: str) -> DataFrame:
+    return (
+        spark.read.option("basePath", out_dir)
+        .parquet(f"{out_dir}/batch_id=*")
+        .select("vec_id", "dup_of", "sim", "verdict")
+    )
+
+
+def compact_vector_index(spark: SparkSession, index_dir: str) -> None:
+    """Fold base + per-batch deltas back into a single ``batch_id=-1``
+    base, keeping the ``cent_id`` directory partitioning — same
+    crash-safe heal/two-rename discipline as the LSH index
+    (`dedup_ingest.compact_index_parts`). Centroid RE-DERIVATION (for
+    drift after heavy ingest) belongs here too: rebuild with
+    `persist_vector_index` over the folded vectors when cell-size
+    skew exceeds tolerance — a full re-index, priced as one corpus
+    pass."""
+    compact_index_parts(
+        spark, index_dir, ("cells",), partition_cols=("cent_id",)
+    )
