@@ -945,3 +945,72 @@ def pp_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+def _semantic_gate_oracle() -> str:
+    from wikid_spark.queries.dedup import _sem_derived_cte
+
+    return f"""
+    WITH {_sem_derived_cte()}, pairs AS (
+      SELECT b.vec_id AS vec_id
+      FROM assigned a
+      JOIN assigned b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]) >= 0.4
+    ), dropped AS (
+      SELECT DISTINCT vec_id FROM pairs
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           COUNT(dropped.vec_id) AS n_dropped,
+           COUNT(*) - COUNT(dropped.vec_id) AS n_kept,
+           ROUND(CAST(COUNT(*) - COUNT(dropped.vec_id) AS DOUBLE)
+                 / COUNT(*), 4) AS pct_kept
+    FROM documents d
+    LEFT JOIN dropped ON d.doc_id = dropped.vec_id
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """
+
+
+@query(
+    "pp_semantic_dedup_gate",
+    oracle=_semantic_gate_oracle(),
+    tags=("pipeline", "dedup", "semantic", "composition"),
+)
+def pp_semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table composition: gate the DOCUMENT corpus on its
+    embeddings' semantic near-dup verdicts (doc_id ↔ vec_id) — the
+    SemDeDup stage of a training-data pipeline as it actually deploys:
+    `nd_semantic_dedup` (derived-K, top-2 cells, cosine >= 0.4) names
+    the dropped vectors; their documents leave the corpus. Reported
+    per language: total / dropped / kept document counts and the kept
+    fraction — the dedup-rate dashboard row a curation run ships.
+
+    Scale: composes the certified ~n^1.5 funnel unchanged (one
+    groupBy(cent_id) over the 2x-assigned vectors); the gate itself is
+    a broadcast-sized anti-join key set (dropped ids are a fraction of
+    the dup pairs, not the corpus) and one lang-keyed aggregation."""
+    from wikid_spark.queries.dedup import nd_semantic_dedup
+
+    dropped = (
+        nd_semantic_dedup(spark, sf_dir).select("vec_id").distinct()
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    flagged = docs.join(
+        dropped, docs["doc_id"] == dropped["vec_id"], "left"
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("vec_id").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("vec_id")).alias("n_kept"),
+            F.round(
+                (F.count(F.lit(1)) - F.count("vec_id"))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("pct_kept"),
+        )
+        .orderBy("lang")
+    )
