@@ -133,3 +133,36 @@ def test_wikidata_dump_reads_bz2_transparently(spark, tmp_path):
     a = sorted(r["id"] for r in plain.select("id").collect())
     b = sorted(r["id"] for r in bz.select("id").collect())
     assert a == b and len(a) == 120
+
+
+def test_alias_priors_end_to_end_over_synthetic_dumps(spark, tmp_path):
+    """The full prior pipeline over gen_dumps data: stage-1 alias
+    seeds + stage-2 link counts -> additive merge -> priors. Per
+    alias, priors sum to 1 (the reference's prior_prob contract); all
+    probabilities in (0, 1]."""
+    import pyspark.sql.functions as F
+
+    from wikid_spark.plans.wiki import (
+        alias_priors,
+        merge_alias_counts,
+        parse_wikidata,
+        wikipedia_link_counts,
+    )
+    from wikid_spark.sources.wikidata import read_wikidata_dump
+    from wikid_spark.sources.wikipedia import read_wikipedia_pages
+
+    m = generate(str(tmp_path), n_entities=500, n_pages=300, shards=4)
+    tables = parse_wikidata(read_wikidata_dump(spark, m["wikidata_path"]))
+    pages = read_wikipedia_pages(spark, m["wikipedia_path"])
+    counts = wikipedia_link_counts(pages, tables["entity_texts"])
+    merged = merge_alias_counts(tables["aliases"], counts)
+    priors = alias_priors(merged)
+    rows = priors.collect()
+    assert len(rows) > 0
+    sums = (
+        priors.groupBy("alias")
+        .agg(F.round(F.sum("prob"), 6).alias("s"))
+        .collect()
+    )
+    assert all(abs(r["s"] - 1.0) < 1e-6 for r in sums)
+    assert all(0.0 < r["prob"] <= 1.0 for r in rows)
