@@ -166,3 +166,54 @@ def test_alias_priors_end_to_end_over_synthetic_dumps(spark, tmp_path):
     )
     assert all(abs(r["s"] - 1.0) < 1e-6 for r in sums)
     assert all(0.0 < r["prob"] <= 1.0 for r in rows)
+
+
+def test_bench_headline_names_are_registered():
+    """A typo in bench.HEADLINE would crash the driver's per-round
+    BENCH run — pin every name to the registry."""
+    import bench
+    from wikid_spark.registry import all_queries
+
+    specs = all_queries()
+    missing = [n for n in bench.HEADLINE if n not in specs]
+    assert missing == []
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)  # no dupes
+
+
+def test_bench_emit_line_fits_driver_tail_window(tmp_path, capsys, monkeypatch):
+    """The driver keeps only the last ~2000 chars of stdout; the
+    emitted JSON line must stay parseable inside that window even for
+    a full-size headline payload (and degrade to a pointer line when
+    it can't)."""
+    import json as _json
+
+    import bench
+
+    monkeypatch.setattr(
+        bench, "os", bench.os
+    )  # no-op; keep module intact
+    # full-size payload: 40 long query names
+    payload = {
+        "metric": "headline_queries_wall_seconds",
+        "value": 1.0,
+        "unit": "sec",
+        "exec_total": 1.0,
+        "build_total": 2.0,
+        "queries": {f"qqqqqqqqqqqqqqqqqqqqq_{i:03d}": 1.234 for i in range(40)},
+        "repeat": 3,
+        "excluded": [],
+        "sf": 0.1,
+    }
+    # point the detail file into tmp by faking __file__
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    bench._emit(payload, dict(payload))
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(line) <= 1900
+    _json.loads(line)
+    # oversize payload degrades, still parseable and small
+    big = dict(payload, queries={f"n_{i}": 1.0 for i in range(400)})
+    bench._emit(big, dict(big))
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(line) <= 1900
+    assert _json.loads(line)["queries"] == {"_see": "bench_detail.json"}
+    assert (tmp_path / "bench_detail.json").exists()
