@@ -1014,3 +1014,83 @@ def pp_semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _dedup_funnel_oracle() -> str:
+    from wikid_spark.queries.dedup import _sem_derived_cte
+
+    return f"""
+    WITH {_sem_derived_cte()}, pairs AS (
+      SELECT b.vec_id AS vec_id
+      FROM assigned a
+      JOIN assigned b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]) >= 0.4
+    ), sdropped AS (
+      SELECT DISTINCT vec_id FROM pairs
+    ), keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ), c AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n0,
+             (SELECT COUNT(*) FROM keepers) AS n1,
+             (SELECT COUNT(*) FROM keepers k
+               WHERE EXISTS (SELECT 1 FROM sdropped s
+                             WHERE s.vec_id = k.doc_id)) AS nsem
+    )
+    SELECT 'stage1_exact' AS stage, n0 AS docs_in,
+           n0 - n1 AS docs_dropped, n1 AS docs_out FROM c
+    UNION ALL
+    SELECT 'stage2_semantic', n1, nsem, n1 - nsem FROM c
+    ORDER BY stage
+    """
+
+
+@query(
+    "pp_dedup_funnel_report",
+    oracle=_dedup_funnel_oracle(),
+    tags=("pipeline", "dedup", "composition", "report"),
+)
+def pp_dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation-run funnel dashboard: documents flow through exact
+    dedup (md5-of-text keeper, lowest doc_id survives) and then the
+    SemDeDup gate (`nd_semantic_dedup`'s derived-K/top-2 dropped set,
+    applied to the exact-stage survivors via doc_id ↔ vec_id). One
+    row per stage: docs in, dropped, out — the numbers a pipeline
+    operator watches per ingest.
+
+    Scale: stage 1 is one hash-keyed groupBy; stage 2 composes the
+    certified ~n^1.5 funnel; the stage arithmetic is three 1-row
+    aggregates cross-joined (no driver loops, nothing corpus-scale
+    leaves the executors)."""
+    from wikid_spark.queries.dedup import nd_semantic_dedup
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    keepers = docs.groupBy(
+        F.md5(F.col("text").cast("binary")).alias("h")
+    ).agg(F.min("doc_id").alias("doc_id"))
+    sem_dropped = (
+        nd_semantic_dedup(spark, sf_dir).select("vec_id").distinct()
+    )
+    n0 = docs.agg(F.count(F.lit(1)).alias("n0"))
+    n1 = keepers.agg(F.count(F.lit(1)).alias("n1"))
+    nsem = (
+        keepers.join(
+            sem_dropped,
+            keepers["doc_id"] == sem_dropped["vec_id"],
+            "left_semi",
+        ).agg(F.count(F.lit(1)).alias("nsem"))
+    )
+    c = n0.crossJoin(n1).crossJoin(nsem)
+    exact_row = c.select(
+        F.lit("stage1_exact").alias("stage"),
+        F.col("n0").alias("docs_in"),
+        (F.col("n0") - F.col("n1")).alias("docs_dropped"),
+        F.col("n1").alias("docs_out"),
+    )
+    sem_row = c.select(
+        F.lit("stage2_semantic").alias("stage"),
+        F.col("n1").alias("docs_in"),
+        F.col("nsem").alias("docs_dropped"),
+        (F.col("n1") - F.col("nsem")).alias("docs_out"),
+    )
+    return exact_row.unionByName(sem_row).orderBy("stage")
