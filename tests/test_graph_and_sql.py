@@ -342,6 +342,55 @@ def test_cdc_chunks_survive_mid_document_insertion(spark, tmp_path):
     assert shared / sum(a.values()) >= 0.8
 
 
+def test_cdc_boundary_hash_uses_whole_window(spark, tmp_path):
+    """Non-degeneracy of the boundary hash: with an even Horner base
+    (2^16) every non-final term vanished mod the power-of-two divisor,
+    so the boundary rule silently collapsed to th[last] % 8 == 0 —
+    one token, not the window. Pin both directions: the boundaries the
+    query emits match a pure-Python full-window reference, AND they
+    differ from the degenerate last-token-only rule."""
+    import hashlib
+    import random
+
+    from wikid_spark.queries.pipeline import (
+        CDC_BASE,
+        CDC_DIVISOR,
+        CDC_WINDOW,
+    )
+    from wikid_spark.registry import get
+
+    rng = random.Random(42)
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    toks = [rng.choice(words) for _ in range(400)]
+    sf = _write_docs_sf(tmp_path, [" ".join(toks)])
+
+    def th(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:4], 16)
+
+    h = [th(w) for w in toks]
+    # 1-based boundary positions i in [2, len-2]; window is i-1 .. i+1.
+    want, degenerate = set(), set()
+    for i in range(2, len(toks) - 1):
+        acc = 0
+        for j in range(CDC_WINDOW):
+            acc = acc * CDC_BASE + h[(i - 1 + j) - 1]
+        if acc % CDC_DIVISOR == 0:
+            want.add(i)
+        if h[(i + 1) - 1] % CDC_DIVISOR == 0:
+            degenerate.add(i)
+
+    rows = sorted(
+        get("pp_cdc_chunking").fn(spark, sf).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    got, cum = set(), 0
+    for r in rows[:-1]:  # last chunk's end is len-1, not a boundary
+        cum += r["n_tok"]
+        got.add(cum - 1)  # bpos (1-based): chunk ends AT the boundary
+    assert got == want
+    assert got != degenerate  # the whole window matters now
+
+
 def _bpe_wf_reference(docs, rounds):
     """Pure-Python (word, freq) BPE trainer: character-level start,
     freq-weighted overlapping pair counts, winner = (max count,

@@ -805,6 +805,13 @@ def pp_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CDC_WINDOW = 3  # rolling-hash window (tokens)
 CDC_DIVISOR = 8  # boundary when window-hash % DIVISOR == 0 → mean chunk ≈ 8
+# Horner base for combining the window's 16-bit token hashes. MUST be
+# odd (coprime to the power-of-two DIVISOR): with base 2^16 every
+# non-final term is ≡ 0 mod 8, so h % 8 collapsed to th[last] % 8 and
+# the "window" hash depended on one token only. 65537 keeps the
+# combination injective over 16-bit token hashes (base > max hash) and
+# exact: 65537^3 < 2^52 < 2^63 in both engines.
+CDC_BASE = 65537
 
 
 @query(
@@ -821,7 +828,7 @@ CDC_DIVISOR = 8  # boundary when window-hash % DIVISOR == 0 → mean chunk ≈ 8
       SELECT doc_id, ws,
              CASE WHEN len(ws) >= {CDC_WINDOW + 1} THEN
                list_filter(range(2, len(ws) - 1), i ->
-                 ((th[i - 1] * 65536 + th[i]) * 65536 + th[i + 1])
+                 ((th[i - 1] * {CDC_BASE} + th[i]) * {CDC_BASE} + th[i + 1])
                    % {CDC_DIVISOR} = 0)
              ELSE CAST([] AS BIGINT[]) END AS bpos
       FROM th
@@ -863,12 +870,17 @@ def pp_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     The window hash is a ROLLING-STYLE polynomial over per-token
     hashes: each token is md5-reduced to 16 bits ONCE (one md5 per
     token), and a position's window hash is the Horner combination
-    base 2^16 of the {CDC_WINDOW} trailing token hashes — pure integer
-    arithmetic per position, replacing the previous
+    base {CDC_BASE} of the {CDC_WINDOW} trailing token hashes — pure
+    integer arithmetic per position, replacing the previous
     md5-of-the-joined-window-string per position (window-length string
     builds + digests in an interpreted HOF lambda; measured ~2x the
-    stage cost at sf10). The combination is injective over the token
-    hashes and tops out at 2^{16 * CDC_WINDOW} < 2^63, exact in both
+    stage cost at sf10). The base is ODD on purpose: base 2^16 is ≡ 0
+    mod the power-of-two divisor, which silently collapsed h % 8 to
+    th[last] % 8 — the boundary depended on ONE token, not the window.
+    An odd base coprime to 2^k lets every window token reach the
+    tested low bits. The combination stays injective over the 16-bit
+    token hashes (base > max hash) and tops out below
+    2^{17 * CDC_WINDOW} < 2^63, exact in both
     engines (DuckDB errors on BIGINT overflow). Chunk identity is
     still md5 of the chunk text — per CHUNK, not per position.
 
@@ -876,7 +888,8 @@ def pp_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     until the final per-chunk rows); the only shuffle is the
     first-occurrence window on chunk_hash — exactly the exact-dedup
     keeper shape, key space bounded by distinct content chunks."""
-    assert 16 * CDC_WINDOW < 63  # Horner product must stay exact
+    assert CDC_BASE % 2 == 1, "even base degenerates mod power-of-two"
+    assert 17 * CDC_WINDOW < 63  # Horner product must stay exact
     d = table(spark, sf_dir, "documents")
     th = F.transform(
         "ws",
@@ -894,7 +907,7 @@ def pp_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (1-based), the same window the string form hashed.
         h = F.lit(0).cast("long")
         for j in range(CDC_WINDOW):
-            h = h * F.lit(65536) + F.element_at("th", i - 1 + j)
+            h = h * F.lit(CDC_BASE) + F.element_at("th", i - 1 + j)
         return h % CDC_DIVISOR == 0
 
     bpos = F.when(
