@@ -69,6 +69,9 @@ HEADLINE = [
     "tx_bpe_encode",
     "sim_ivf_derived_topk",
     "sim_ivf_trained_derived_topk",
+    # round-9 addition: the multi-probe recall dial over the trained
+    # derived-K index (nprobe=2; nprobe=4 tracked via --full):
+    "sim_ivf_trained_nprobe2_topk",
 ]
 
 

@@ -60,3 +60,44 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql() queries."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+_ROWCOUNT_CACHE: dict = {}
+
+
+def corpus_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of one table from parquet FOOTER metadata — no
+    Spark job, no data scan. derived_k-style index sizing needs only
+    the unfiltered table cardinality, which parquet already stores per
+    row group; reading footers costs O(#files), not O(bytes), so at
+    100 TB this is a driver-side metadata enumeration where a
+    DataFrame.count() is a full cluster pass (ADVICE round 8: each
+    derived-K query paid an extra corpus scan per invocation, the
+    composites two). Memoized per (file, size, mtime) so repeated
+    queries in one session don't even re-read footers. Falls back to
+    a Spark-free pyarrow dataset walk for directory-shaped tables."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+    else:
+        files = [path]
+    sig = tuple(
+        (f, os.path.getsize(f), os.stat(f).st_mtime_ns) for f in files
+    )
+    cached = _ROWCOUNT_CACHE.get(path)
+    if cached is not None and cached[0] == sig:
+        return cached[1]
+    n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    _ROWCOUNT_CACHE[path] = (sig, n)
+    return n

@@ -23,7 +23,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from wikid_spark.catalog import table
+from wikid_spark.catalog import corpus_rows, table
 from wikid_spark.queries.similarity import ivf_derived_cte as _sem_derived_cte
 from wikid_spark.registry import query
 
@@ -1088,7 +1088,7 @@ def nd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikid_spark.queries.similarity import _assignments_multi, derived_k
 
     emb = table(spark, sf_dir, "embeddings")
-    k = derived_k(emb.count())
+    k = derived_k(corpus_rows(sf_dir, "embeddings"))
     cells = _assignments_multi(emb, k, top_m=2).select(
         "vec_id", "embedding", "cent_id"
     )
@@ -1169,7 +1169,7 @@ def nd_semantic_capture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikid_spark.queries.similarity import _assignments_multi, derived_k
 
     emb = table(spark, sf_dir, "embeddings")
-    k = derived_k(emb.count())
+    k = derived_k(corpus_rows(sf_dir, "embeddings"))
     a2 = _assignments_multi(emb, k, top_m=2).select(
         "vec_id", "cent_id", "cent_rank"
     )

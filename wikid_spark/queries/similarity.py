@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from wikid_spark.catalog import table
+from wikid_spark.catalog import corpus_rows, table
 from wikid_spark.functions.vectors import cosine_similarity
 from wikid_spark.registry import query
 
@@ -447,7 +447,7 @@ def sim_ivf_derived_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is scanned once and never self-joined, and the index
     doubles rows (top-2), not pair space."""
     emb = table(spark, sf_dir, "embeddings")
-    k = derived_k(emb.count())
+    k = derived_k(corpus_rows(sf_dir, "embeddings"))
     return (
         _assignments_multi(emb, k, top_m=2)
         .groupBy("cent_id", "cent_rank")
@@ -494,7 +494,7 @@ def sim_ivf_derived_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-3 window. Cells are ~sqrt(n) rows by the derived-K contract,
     so per-query probe work stays ~2·sqrt(n)."""
     emb = table(spark, sf_dir, "embeddings")
-    k = derived_k(emb.count())
+    k = derived_k(corpus_rows(sf_dir, "embeddings"))
     a2 = _assignments_multi(emb, k, top_m=2)
     q = (
         a2.filter(
@@ -670,6 +670,130 @@ def sim_ivf_ann_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRAINED_DERIVED_ROUNDS = 3
+_QUERY_SAMPLE_SQL = "vec_id % 50 = 0 AND vec_id < 2000"
+
+
+def _lloyd_trained_fragment(rounds: int, prefix: str = "") -> str:
+    """DuckDB CTE fragment (no WITH, no final SELECT): derived-K
+    seeds, ``rounds`` unrolled Lloyd steps, then — against the TRAINED
+    centroids — ``{p}frk`` (every vector's full cell-preference
+    ranking: dist + rn per (vec_id, cent_id)) and ``{p}index`` (the
+    top-2 multi-assignment). Probe depth is a downstream ``rn <=
+    nprobe`` filter on frk, so one training chain serves every nprobe
+    and the recall report embeds it once. MATERIALIZED throughout —
+    each round is referenced by the next, and frk by index + probes
+    (inlined, DuckDB would double the scan tree per reference)."""
+    p = prefix
+    ctes = [
+        f"""{p}qv AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+                            x -> CAST(FLOOR(x::DOUBLE * 1000.0) AS BIGINT)) AS qemb
+      FROM embeddings
+    )""",
+        f"""{p}kd AS (
+      SELECT GREATEST(1, LEAST(65536,
+               CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) AS k
+      FROM embeddings
+    )""",
+        f"""{p}c0 AS MATERIALIZED (
+      SELECT cent_id, cemb FROM (
+        SELECT vec_id AS cent_id, qemb AS cemb,
+               ROW_NUMBER() OVER (ORDER BY {_CENT_HASH_SQL}, vec_id) AS krn
+        FROM {p}qv) ranked, {p}kd
+      WHERE ranked.krn <= {p}kd.k
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        c = f"{p}c{r - 1}"
+        ctes.append(
+            f"""{p}d{r} AS MATERIALIZED (
+      SELECT {p}qv.vec_id, {p}qv.qemb, c.cent_id,
+             CAST(list_sum(list_transform({p}qv.qemb,
+                    (x, i) -> (x - c.cemb[i]) * (x - c.cemb[i])))
+                  AS BIGINT) AS dist
+      FROM {p}qv, {c} c
+    )""")
+        ctes.append(
+            f"""{p}a{r} AS MATERIALIZED (
+      SELECT vec_id, qemb, cent_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cent_id) AS rn
+            FROM {p}d{r})
+      WHERE rn = 1
+    )""")
+        ctes.append(
+            f"""{p}c{r} AS MATERIALIZED (
+      SELECT s.cent_id,
+             list(CAST(FLOOR(s::DOUBLE / c.n) AS BIGINT) ORDER BY d) AS cemb
+      FROM (SELECT cent_id, d, CAST(SUM(qemb[d + 1]) AS BIGINT) AS s
+            FROM {p}a{r}, range({EMBED_DIMS}) t(d) GROUP BY cent_id, d) s
+      JOIN (SELECT cent_id, COUNT(*) AS n FROM {p}a{r} GROUP BY cent_id) c
+        ON s.cent_id = c.cent_id
+      GROUP BY s.cent_id, c.n
+    )""")
+    ctes.append(
+        f"""{p}frk AS MATERIALIZED (
+      SELECT vec_id, embedding, cent_id, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cent_id) AS rn
+      FROM (SELECT {p}qv.vec_id, {p}qv.embedding, c.cent_id,
+                   CAST(list_sum(list_transform({p}qv.qemb,
+                          (x, i) -> (x - c.cemb[i]) * (x - c.cemb[i])))
+                        AS BIGINT) AS dist
+            FROM {p}qv, {p}c{rounds} c)
+    )""")
+    ctes.append(
+        f"""{p}index AS MATERIALIZED (
+      SELECT vec_id, embedding, cent_id, CAST(rn AS INT) AS cent_rank
+      FROM {p}frk WHERE rn <= 2
+    )""")
+    return ",\n".join(ctes)
+
+
+def _trained_probe_sql(nprobe: int, prefix: str = "", src: str = "") -> str:
+    """CTE tail over `_lloyd_trained_fragment` (whose prefix is
+    ``src``): the sampled queries' top-``nprobe`` trained cells,
+    candidates from the top-2 index (DISTINCT across probes when
+    nprobe > 1 — a neighbor indexed in two cells can match two
+    probes), exact-cosine top-3. Distinct ``prefix`` per probe depth
+    lets several depths share ONE training chain."""
+    p = prefix
+    dedup = "DISTINCT " if nprobe > 1 else ""
+    return f"""{p}probes AS (
+      SELECT vec_id AS query_id, embedding AS qe, cent_id AS pcell
+      FROM {src}frk WHERE rn <= {nprobe} AND {_QUERY_SAMPLE_SQL}
+    ), {p}cands AS (
+      SELECT {dedup}q.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          q.qe::DOUBLE[]), 4) AS sim
+      FROM {p}probes q JOIN {src}index a ON a.cent_id = q.pcell
+      WHERE a.vec_id <> q.query_id
+    ), {p}top3 AS (
+      SELECT query_id, neighbor_id, sim, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rn
+        FROM {p}cands)
+      WHERE rn <= 3
+    )"""
+
+
+def _lloyd_derived_oracle(rounds: int, nprobe: int = 1) -> str:
+    """Generated DuckDB twin: derived-K seeds, ``rounds`` Lloyd steps,
+    top-2 index, ``nprobe``-cell top-3 probe."""
+    return (
+        "WITH "
+        + _lloyd_trained_fragment(rounds)
+        + ",\n"
+        + _trained_probe_sql(nprobe)
+        + """
+    SELECT query_id, neighbor_id, sim, rn
+    FROM top3
+    ORDER BY query_id, rn"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # Recall audit — the knob that justifies every approximate path above.
 # Exact brute-force is the contract (the same way FTS5 MATCH is exact);
@@ -833,13 +957,20 @@ def sim_ivf_ann_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dkq JOIN dk_assigned a ON a.cent_id = dkq.qcell
         WHERE a.vec_id <> dkq.query_id)
       WHERE rn <= 3
-    ), methods AS (
+    ), {_lloyd_trained_fragment(TRAINED_DERIVED_ROUNDS, prefix="tr_")},
+    {_trained_probe_sql(1, prefix="tr1_", src="tr_")},
+    {_trained_probe_sql(2, prefix="tr2_", src="tr_")},
+    {_trained_probe_sql(4, prefix="tr4_", src="tr_")},
+    methods AS (
       SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh3
       UNION ALL SELECT 'lsh_multitable', query_id, neighbor_id FROM mt3
       UNION ALL SELECT 'ivf_nprobe1', query_id, neighbor_id FROM ivf1
       UNION ALL SELECT 'ivf_nprobe2', query_id, neighbor_id FROM ivf2
       UNION ALL SELECT 'ivf_refined', query_id, neighbor_id FROM refined3
       UNION ALL SELECT 'ivf_derived_k', query_id, neighbor_id FROM dk3
+      UNION ALL SELECT 'ivf_trained_np1', query_id, neighbor_id FROM tr1_top3
+      UNION ALL SELECT 'ivf_trained_np2', query_id, neighbor_id FROM tr2_top3
+      UNION ALL SELECT 'ivf_trained_np4', query_id, neighbor_id FROM tr4_top3
     ), hits AS (
       SELECT m.method, COUNT(b.neighbor_id) AS n_hits
       FROM methods m
@@ -858,8 +989,11 @@ def sim_ivf_ann_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@3 of every approximate ANN path against the brute-force
     baseline on the shared query sample (vec_id % 50 = 0 AND vec_id < 2000). Composes the
-    registered method queries directly, so the report can never drift
-    from what the methods actually return. One row per method:
+    registered method queries directly — the trained multi-probe
+    family through the same `_trained_index`/`_trained_probe_topk`
+    pair the registered queries call (trained ONCE here, three probe
+    depths served from it) — so the report can never drift from what
+    the methods actually return. One row per method:
     (method, n_hits, n_brute, recall_at_3)."""
     brute = sim_ann_brute_topk(spark, sf_dir).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
@@ -877,6 +1011,14 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("method"), "query_id", "neighbor_id"
         )
         methods = part if methods is None else methods.unionAll(part)
+    trained = _trained_index(spark, sf_dir)
+    for np_ in (1, 2, 4):
+        part = _trained_probe_topk(*trained, nprobe=np_).select(
+            F.lit(f"ivf_trained_np{np_}").alias("method"),
+            "query_id",
+            "neighbor_id",
+        )
+        methods = methods.unionAll(part)
     hits = (
         methods.join(brute, on=["query_id", "neighbor_id"], how="left")
         .groupBy("method")
@@ -1602,96 +1744,82 @@ def sim_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with training aligning cells to the data instead of growing them.
 # ---------------------------------------------------------------------------
 
-TRAINED_DERIVED_ROUNDS = 3
 
 
-def _lloyd_derived_oracle(rounds: int) -> str:
-    """Generated DuckDB twin: derived-K seeds, ``rounds`` Lloyd steps,
-    top-2 assignment to the trained centroids, one-cell top-3 probe.
-    MATERIALIZED throughout (each round referenced twice)."""
-    ctes = [
-        """qv AS MATERIALIZED (
-      SELECT vec_id, embedding,
-             list_transform(embedding,
-                            x -> CAST(FLOOR(x::DOUBLE * 1000.0) AS BIGINT)) AS qemb
-      FROM embeddings
-    )""",
-        """kd AS (
-      SELECT GREATEST(1, LEAST(65536,
-               CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) AS k
-      FROM embeddings
-    )""",
-        f"""c0 AS MATERIALIZED (
-      SELECT cent_id, cemb FROM (
-        SELECT vec_id AS cent_id, qemb AS cemb,
-               ROW_NUMBER() OVER (ORDER BY {_CENT_HASH_SQL}, vec_id) AS krn
-        FROM qv) ranked, kd
-      WHERE ranked.krn <= kd.k
-    )""",
-    ]
-    for r in range(1, rounds + 1):
-        p = f"c{r - 1}"
-        ctes.append(
-            f"""d{r} AS MATERIALIZED (
-      SELECT qv.vec_id, qv.qemb, c.cent_id,
-             CAST(list_sum(list_transform(qv.qemb,
-                    (x, i) -> (x - c.cemb[i]) * (x - c.cemb[i])))
-                  AS BIGINT) AS dist
-      FROM qv, {p} c
-    )""")
-        ctes.append(
-            f"""a{r} AS MATERIALIZED (
-      SELECT vec_id, qemb, cent_id
-      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                         ORDER BY dist, cent_id) AS rn
-            FROM d{r})
-      WHERE rn = 1
-    )""")
-        ctes.append(
-            f"""c{r} AS MATERIALIZED (
-      SELECT s.cent_id,
-             list(CAST(FLOOR(s::DOUBLE / c.n) AS BIGINT) ORDER BY d) AS cemb
-      FROM (SELECT cent_id, d, CAST(SUM(qemb[d + 1]) AS BIGINT) AS s
-            FROM a{r}, range({EMBED_DIMS}) t(d) GROUP BY cent_id, d) s
-      JOIN (SELECT cent_id, COUNT(*) AS n FROM a{r} GROUP BY cent_id) c
-        ON s.cent_id = c.cent_id
-      GROUP BY s.cent_id, c.n
-    )""")
-    ctes.append(
-        f"""fd AS MATERIALIZED (
-      SELECT qv.vec_id, qv.embedding, c.cent_id,
-             CAST(list_sum(list_transform(qv.qemb,
-                    (x, i) -> (x - c.cemb[i]) * (x - c.cemb[i])))
-                  AS BIGINT) AS dist
-      FROM qv, c{rounds} c
-    )""")
-    ctes.append(
-        """fassigned AS MATERIALIZED (
-      SELECT vec_id, embedding, cent_id, CAST(rn AS INT) AS cent_rank
-      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                         ORDER BY dist, cent_id) AS rn
-            FROM fd)
-      WHERE rn <= 2
-    )""")
-    return (
-        "WITH " + ",\n".join(ctes) + """, q AS (
-      SELECT vec_id AS query_id, embedding AS qe, cent_id AS qcell
-      FROM fassigned
-      WHERE cent_rank = 1 AND vec_id % 50 = 0 AND vec_id < 2000
-    ), cands AS (
-      SELECT q.query_id, a.vec_id AS neighbor_id,
-             ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
-                                          q.qe::DOUBLE[]), 4) AS sim
-      FROM q JOIN fassigned a ON a.cent_id = q.qcell
-      WHERE a.vec_id <> q.query_id
-    ), ranked AS (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY sim DESC, neighbor_id) AS rn
-      FROM cands
+def _sample_filter(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """The shared fixed query budget ({_QUERY_SAMPLE_SQL})."""
+    return df.filter((F.col(id_col) % 50 == 0) & (F.col(id_col) < 2000))
+
+
+def _trained_index(spark: SparkSession, sf_dir: str):
+    """Build the production index ONCE: derived-K seeds,
+    TRAINED_DERIVED_ROUNDS Lloyd rounds, top-2 corpus assignment.
+    Returns (qemb, cents, a2) so every probe depth — and the recall
+    report, which audits three depths — shares one training run
+    instead of re-training per method."""
+    emb = table(spark, sf_dir, "embeddings")
+    k = derived_k(corpus_rows(sf_dir, "embeddings"))
+    qemb = emb.select(
+        "vec_id",
+        "embedding",
+        quantize_embedding(F.col("embedding")).alias("qemb"),
     )
-    SELECT query_id, neighbor_id, sim, rn
-    FROM ranked WHERE rn <= 3
-    ORDER BY query_id, rn"""
+    cents, _ = lloyd_train(
+        qemb.select("vec_id", "qemb"),
+        _centroids(emb, k),
+        max_rounds=TRAINED_DERIVED_ROUNDS,
+        tol=0,
+    )
+    a2 = _assign_blas(qemb, cents, top_m=2).select(
+        "vec_id", "embedding", "cent_id", "cent_rank"
+    )
+    return qemb, cents, a2
+
+
+def _trained_probe_topk(qemb, cents, a2, nprobe: int) -> DataFrame:
+    """Serve top-3 from the trained top-2 index at probe depth
+    ``nprobe``. nprobe=1 reads the probe cell off the index rows the
+    corpus pass already produced; deeper probes rank the SAMPLE
+    (≤40 rows) against the K centroids — probe rows stay
+    ~nprobe·sqrt(n), the sub-linear budget. Candidates are
+    de-duplicated across probes when nprobe > 1 (a neighbor indexed
+    in two cells can match two probes; sim is a deterministic double
+    per pair, so DISTINCT is exact)."""
+    if nprobe == 1:
+        probes = a2.filter(F.col("cent_rank") == 1)
+        probes = _sample_filter(probes).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("cent_id").alias("pcell"),
+        )
+    else:
+        probes = _assign_blas(
+            _sample_filter(qemb), cents, top_m=nprobe
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("cent_id").alias("pcell"),
+        )
+    cands = (
+        a2.join(F.broadcast(probes), F.col("cent_id") == F.col("pcell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qe")), 4
+            ).alias("sim"),
+        )
+    )
+    if nprobe > 1:
+        cands = cands.distinct()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("query_id", "rn")
     )
 
 
@@ -1708,54 +1836,43 @@ def sim_ivf_trained_derived_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the trained centroids, and the one-cell probe. Everything the
     round-8 ANN work composes: training aligns ~sqrt(n)-row cells to
     the data; multi-assignment widens recall at unchanged probe cost.
+    `sim_ivf_trained_nprobe{{2,4}}_topk` are the recall dial over the
+    SAME index.
 
     Scale: training adds {TRAINED_DERIVED_ROUNDS} corpus passes
     (broadcast-K BLAS, no corpus shuffle); index build and serving
     match sim_ivf_derived_topk exactly."""
-    emb = table(spark, sf_dir, "embeddings")
-    k = derived_k(emb.count())
-    qemb = emb.select(
-        "vec_id",
-        "embedding",
-        quantize_embedding(F.col("embedding")).alias("qemb"),
-    )
-    cents, _ = lloyd_train(
-        qemb.select("vec_id", "qemb"),
-        _centroids(emb, k),
-        max_rounds=TRAINED_DERIVED_ROUNDS,
-        tol=0,
-    )
-    a2 = _assign_blas(qemb, cents, top_m=2).select(
-        "vec_id", "embedding", "cent_id", "cent_rank"
-    )
-    q = (
-        a2.filter(
-            (F.col("cent_rank") == 1)
-            & (F.col("vec_id") % 50 == 0)
-            & (F.col("vec_id") < 2000)
-        )
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-            F.col("cent_id").alias("qcell"),
-        )
-    )
-    cands = (
-        a2.join(F.broadcast(q), F.col("cent_id") == F.col("qcell"))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                cosine_similarity(F.col("embedding"), F.col("qe")), 4
-            ).alias("sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), "neighbor_id"
-    )
-    return (
-        cands.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .orderBy("query_id", "rn")
-    )
+    return _trained_probe_topk(*_trained_index(spark, sf_dir), nprobe=1)
+
+
+@query(
+    "sim_ivf_trained_nprobe2_topk",
+    oracle=_lloyd_derived_oracle(TRAINED_DERIVED_ROUNDS, nprobe=2),
+    tags=("similarity", "ivf", "ann", "derived-k", "kmeans", "multiprobe"),
+)
+def sim_ivf_trained_nprobe2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe serving over the trained derived-K index: each
+    query searches its TWO nearest trained cells. This is the recall
+    dial the round-8 SCALE.md analysis called for: derived-K keeps
+    cells ~sqrt(n) rows, so probe cost is ~nprobe·2·sqrt(n) rows —
+    still sub-linear in the corpus — where widening fixed-K cells
+    probes a constant corpus FRACTION. Probe cells come from ranking
+    the ≤40-row query sample against the broadcast K-row centroid
+    table; candidates de-duplicate across probes before the exact
+    cosine top-3. Audited against every other method in
+    sim_recall_report (ivf_trained_np2)."""
+    return _trained_probe_topk(*_trained_index(spark, sf_dir), nprobe=2)
+
+
+@query(
+    "sim_ivf_trained_nprobe4_topk",
+    oracle=_lloyd_derived_oracle(TRAINED_DERIVED_ROUNDS, nprobe=4),
+    tags=("similarity", "ivf", "ann", "derived-k", "kmeans", "multiprobe"),
+)
+def sim_ivf_trained_nprobe4_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nprobe=4 over the trained derived-K index — the deep end of the
+    multi-probe dial (see sim_ivf_trained_nprobe2_topk). Probe rows
+    ~4·2·sqrt(n): at sf1 that is still ~1/10 the rows the fixed-K
+    nprobe2 path reads, recovering most of its recall (SCALE.md
+    round-9 table)."""
+    return _trained_probe_topk(*_trained_index(spark, sf_dir), nprobe=4)
