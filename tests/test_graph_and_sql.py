@@ -507,3 +507,63 @@ def test_lloyd_train_converges_and_early_stops(spark):
         assert (first_half > 9000 and second_half < 1000) or (
             first_half < 1000 and second_half > 9000
         ), r["cemb"][:4]
+
+
+def test_bpe_encode_heldout_oov_never_drops_words(spark, tmp_path):
+    """Trained-tokenizer serving (the first production use the train-
+    corpus oracle can't see): train the vocab on corpus A, encode a
+    HELD-OUT corpus B containing words A never saw. Contract: no word
+    is ever dropped (per-doc n_words == whitespace token count), OOV
+    words fall back to per-character tokens (length(w) each), and
+    n_oov counts exactly the out-of-vocab occurrences."""
+    from wikid_spark.catalog import table as cat_table
+    from wikid_spark.queries.textstats import (
+        _bpe_wf_train,
+        bpe_encode_with_vocab,
+    )
+
+    train_docs = ["aa ab aa b", "ab ab aa bb", "aa aa ab b bb"]
+    held_out = [
+        "aa zzz ab qqqq",          # 2 in-vocab, 2 novel words
+        "xyzzy aa",                # 1 novel, 1 in-vocab
+        "aa ab b bb",              # fully in-vocab
+        "mmmmm nn",                # fully novel
+    ]
+    sf = _write_docs_sf(tmp_path, train_docs)
+    _, vocab = _bpe_wf_train(cat_table(spark, sf, "documents"), 5)
+    ntok = {
+        r["w"]: r["n_tok"]
+        for r in vocab.selectExpr(
+            "w",
+            "size(split(btrim(s, chr(31)), chr(31) || chr(31))) AS n_tok",
+        ).collect()
+    }
+    docs_b = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(held_out)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["n_oov"])
+        for r in bpe_encode_with_vocab(vocab, docs_b).collect()
+    }
+    for i, t in enumerate(held_out, start=1):
+        words = [w for w in t.split(" ") if w]
+        want_tokens = sum(ntok.get(w, len(w)) for w in words)
+        want_oov = sum(1 for w in words if w not in ntok)
+        assert got[i] == (len(words), want_tokens, want_oov), (i, t)
+    assert got[3][2] == 0 and got[4][2] == len(held_out[3].split())
+
+
+def test_bpe_encode_train_corpus_has_zero_oov(spark, tmp_path):
+    """Encoding the corpus the vocab was trained on is the old
+    (inner-join) behavior exactly: n_oov is identically zero, so the
+    left-join fallback cannot perturb the train-corpus numbers."""
+    from wikid_spark.registry import get
+
+    docs = ["aa ab aa b", "ab ab aa bb", "aa aa ab b bb xyz"]
+    sf = _write_docs_sf(tmp_path, docs)
+    rows = get("tx_bpe_encode").fn(spark, sf).collect()
+    assert len(rows) == len(docs)
+    assert all(r["n_oov"] == 0 for r in rows)
+    assert all(r["n_words"] == len(d.split()) for r, d in
+               zip(sorted(rows, key=lambda r: r["doc_id"]), docs))

@@ -740,13 +740,19 @@ def _bpe_encode_oracle(rounds: int) -> str:
         "tw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
         "FROM documents)"
     )
+    # LEFT join + per-character fallback: an out-of-vocabulary word
+    # contributes length(w) tokens (true BPE byte/char fallback) and is
+    # counted in n_oov, never dropped.
     return (
         "WITH " + ",\n".join(ctes) + "\n"
         + """SELECT tw.doc_id, COUNT(*) AS n_words,
-           CAST(SUM(enc.n_tok) AS BIGINT) AS n_tokens,
-           ROUND(CAST(SUM(enc.n_tok) AS DOUBLE) / COUNT(*), 4)
-             AS tokens_per_word
-    FROM tw JOIN enc ON tw.w = enc.w
+           CAST(SUM(COALESCE(enc.n_tok, length(tw.w))) AS BIGINT)
+             AS n_tokens,
+           CAST(SUM(CASE WHEN enc.n_tok IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           ROUND(CAST(SUM(COALESCE(enc.n_tok, length(tw.w))) AS DOUBLE)
+                 / COUNT(*), 4) AS tokens_per_word
+    FROM tw LEFT JOIN enc ON tw.w = enc.w
     WHERE tw.w <> ''
     GROUP BY tw.doc_id
     ORDER BY tw.doc_id"""
@@ -803,6 +809,12 @@ def tx_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     and tokens/word (the compression ratio tokenizer quality is
     judged by).
 
+    OOV safety: the dictionary join is a LEFT join — a word the vocab
+    never saw (held-out corpus, trained-tokenizer serving) falls back
+    to per-character tokens (length(w), true BPE char-fallback
+    behavior) and is counted in `n_oov` instead of being silently
+    dropped. On the training corpus itself n_oov is identically 0.
+
     Scale: this is why the (word, freq) layout matters twice — train
     cost is vocab-bounded per round, and ENCODE cost is one map-side
     broadcast-join pass over the corpus (plus the per-doc groupBy),
@@ -810,24 +822,39 @@ def tx_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     encodes 100 TB at exactly the same cost as a 20-merge one."""
     d = table(spark, sf_dir, "documents")
     _, vocab = _bpe_wf_train(d, BPE_WF_ROUNDS)
+    return bpe_encode_with_vocab(vocab, d)
+
+
+def bpe_encode_with_vocab(vocab: DataFrame, docs: DataFrame) -> DataFrame:
+    """Encode ``docs`` with a trained BPE vocab table (w, s, freq) —
+    the serving path, callable with a vocab trained on a DIFFERENT
+    corpus. LEFT broadcast join; OOV words fall back to length(w)
+    per-character tokens and are tallied in ``n_oov``. No word is ever
+    dropped: per doc, n_words == count of non-empty whitespace
+    tokens regardless of vocab coverage (property-tested)."""
     n_tok = F.size(
         F.split(F.btrim(F.col("s"), F.lit(BPE_SEP)), BPE_SEP + BPE_SEP)
     )
     wt = vocab.select("w", n_tok.alias("n_tok"))
-    toks = d.select(
+    toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).filter(F.col("w") != "")
+    eff = F.coalesce(F.col("n_tok"), F.length("w"))
     return (
-        toks.join(F.broadcast(wt), "w")
+        toks.join(F.broadcast(wt), "w", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
-            F.sum("n_tok").alias("n_tokens"),
+            F.sum(eff).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("n_tok").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
         )
         .select(
             "doc_id",
             "n_words",
             "n_tokens",
+            "n_oov",
             F.round(
                 F.col("n_tokens").cast("double") / F.col("n_words"), 4
             ).alias("tokens_per_word"),
