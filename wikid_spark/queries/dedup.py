@@ -1179,6 +1179,14 @@ def nd_semantic_capture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = embedding_neardup_pairs(emb).select(
         F.col("vec_a").alias("i"), F.col("vec_b").alias("j")
     )
+    return _capture_report(truth, a2)
+
+
+def _capture_report(truth: DataFrame, a2: DataFrame) -> DataFrame:
+    """Shared tail of the capture audits: given the true near-dup
+    pair set and the top-2 cell assignment, emit the top1/top2
+    detected-pair counts and capture ratios (1-row aggregates
+    cross-joined — nothing corpus-scale leaves executors)."""
 
     def detected(max_rank: int) -> DataFrame:
         d = a2.filter(F.col("cent_rank") <= max_rank)
@@ -1212,3 +1220,92 @@ def nd_semantic_capture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return row("top1", "d1").unionByName(row("top2", "d2")).orderBy("mode")
+
+
+# Deterministic audit sample: keep vectors whose Knuth multiplicative
+# hash lands in residue 0 mod CAPTURE_SAMPLE_DIV (~1/DIV of the corpus,
+# content-independent, identical across engines/runs — the pp_hash_split
+# idiom; constants duplicated from queries/pipeline.py to avoid a
+# dedup→pipeline import cycle).
+_HASH_MULT = 2654435761
+_HASH_MOD = 4294967296
+CAPTURE_SAMPLE_DIV = 4
+_SAMPLE_PRED_SQL = (
+    f"((vec_id * {_HASH_MULT}) % {_HASH_MOD}) % {CAPTURE_SAMPLE_DIV} = 0"
+)
+
+
+@query(
+    "nd_semantic_capture_sampled",
+    oracle=f"""
+    WITH {_sem_derived_cte()}, samp AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE {_SAMPLE_PRED_SQL}
+    ), truth AS (
+      SELECT a.vec_id AS i, b.vec_id AS j
+      FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]) >= 0.4
+    ), sa AS (
+      SELECT vec_id, cent_id, cent_rank FROM assigned
+      WHERE {_SAMPLE_PRED_SQL}
+    ), cand1 AS (
+      SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      FROM sa a JOIN sa b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      WHERE a.cent_rank = 1 AND b.cent_rank = 1
+    ), cand2 AS (
+      SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      FROM sa a JOIN sa b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+    ), counts AS (
+      SELECT (SELECT COUNT(*) FROM truth) AS true_pairs,
+             (SELECT COUNT(*) FROM truth t
+               WHERE EXISTS (SELECT 1 FROM cand1 c
+                             WHERE c.i = t.i AND c.j = t.j)) AS d1,
+             (SELECT COUNT(*) FROM truth t
+               WHERE EXISTS (SELECT 1 FROM cand2 c
+                             WHERE c.i = t.i AND c.j = t.j)) AS d2
+    )
+    SELECT 'top1' AS mode, true_pairs,
+           d1 AS detected_pairs,
+           ROUND(CAST(d1 AS DOUBLE) / NULLIF(true_pairs, 0), 4) AS capture
+    FROM counts
+    UNION ALL
+    SELECT 'top2' AS mode, true_pairs,
+           d2 AS detected_pairs,
+           ROUND(CAST(d2 AS DOUBLE) / NULLIF(true_pairs, 0), 4) AS capture
+    FROM counts
+    ORDER BY mode
+    """,
+    tags=("dedup", "vector", "semantic", "audit", "sampled"),
+)
+def nd_semantic_capture_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`nd_semantic_capture_report` on a deterministic 1/{DIV} hash
+    sample — the form of the audit that actually runs at scale. The
+    INDEX is unchanged (centroids and top-2 assignment over the FULL
+    corpus, K = ceil(sqrt(n)) from full n): the sample restricts only
+    the quadratic ground-truth pass and the pair audit, so truth cost
+    drops DIV² (16×) while capture stays an unbiased estimate of the
+    full report's — pair (i, j) is audited iff both ids hash into the
+    sample, independent of cell geometry.
+
+    Scale: this is what makes the audit runnable at sf1/sf10/100 TB
+    where the full report's O(n²) truth pass is prohibitive: pick DIV
+    so the sample is ~50-100k vectors and truth is a fixed-size
+    block-BLAS job regardless of corpus size; the non-quadratic parts
+    (assignment scan) stay O(n·K)."""
+    from wikid_spark.queries.similarity import _assignments_multi, derived_k
+
+    emb = table(spark, sf_dir, "embeddings")
+    k = derived_k(corpus_rows(sf_dir, "embeddings"))
+    keep = (
+        (F.col("vec_id") * _HASH_MULT) % _HASH_MOD
+    ) % CAPTURE_SAMPLE_DIV == 0
+    a2 = (
+        _assignments_multi(emb, k, top_m=2)
+        .select("vec_id", "cent_id", "cent_rank")
+        .filter(keep)
+    )
+    truth = embedding_neardup_pairs(emb.filter(keep)).select(
+        F.col("vec_a").alias("i"), F.col("vec_b").alias("j")
+    )
+    return _capture_report(truth, a2)
