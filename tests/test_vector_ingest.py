@@ -209,3 +209,25 @@ def test_vector_dedup_through_stream(spark, tmp_path):
     dropped = next(d for d, (v, _) in got.items() if v == "drop")
     kept = next(d for d, (v, _) in got.items() if v == "keep")
     assert got[dropped][1] == kept
+
+
+def test_vector_probe_semijoin_fallback_above_cap(spark, tmp_path, monkeypatch):
+    """Above CELL_PUSHDOWN_MAX_IDS the probe must not inline an
+    unbounded IN-literal list (unbounded plan + driver collect):
+    it falls back to a broadcast semi-join on cent_id with identical
+    verdicts. Force the cap to 0 and compare against the pushdown
+    path row-for-row."""
+    corpus = _mkvecs(spark, _corpus_rows())
+    idx = str(tmp_path / "vidx")
+    vi.persist_vector_index(corpus, idx)
+    batch = _mkvecs(
+        spark,
+        [(500, _vec(_B, eps=0.003)), (501, _vec([0.0] * 7 + [9.0]))],
+    )
+    want = sorted(
+        tuple(r) for r in vi.vector_batch_verdicts(spark, batch, idx).collect()
+    )
+    monkeypatch.setattr(vi, "CELL_PUSHDOWN_MAX_IDS", 0)
+    got_df = vi.vector_batch_verdicts(spark, batch, idx)
+    got = sorted(tuple(r) for r in got_df.collect())
+    assert got == want and {r[3] for r in got} == {"drop", "keep"}

@@ -56,6 +56,7 @@ from wikid_spark.queries.similarity import (
 )
 from wikid_spark.streaming.dedup_ingest import (
     BASE_BATCH_ID,
+    CAND_PUSHDOWN_MAX_IDS as CELL_PUSHDOWN_MAX_IDS,
     compact_index_parts,
 )
 
@@ -122,12 +123,21 @@ def vector_batch_verdicts(
     partitioning — batch-bounded, corpus-independent)."""
     cents = spark.read.parquet(f"{index_dir}/centroids")
     assigned = _assign_cells(batch, cents).localCheckpoint(eager=True)
-    touched = [
-        r[0] for r in assigned.select("cent_id").distinct().collect()
-    ]
-    corpus = _read_cells(spark, index_dir, as_of_batch).filter(
-        F.col("cent_id").isin(touched)
-    )
+    # Touched-cell set is ≤ 2·|batch| ids, but a huge micro-batch (or
+    # a replay over a fat window) must not inline an unbounded literal
+    # list into the plan: mirror dedup_ingest's CAND_PUSHDOWN_MAX_IDS
+    # discipline — IN-literal pushdown (partition-prunes the cell
+    # directory scan) below the cap, broadcast semi-join above it.
+    touched_df = assigned.select("cent_id").distinct()
+    n_touched = touched_df.count()
+    corpus = _read_cells(spark, index_dir, as_of_batch)
+    if n_touched <= CELL_PUSHDOWN_MAX_IDS:
+        touched = [r[0] for r in touched_df.collect()]
+        corpus = corpus.filter(F.col("cent_id").isin(touched))
+    else:
+        corpus = corpus.join(
+            F.broadcast(touched_df), "cent_id", "left_semi"
+        )
     cand = (
         corpus.select(
             "cent_id",
