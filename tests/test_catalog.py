@@ -54,3 +54,59 @@ def test_corpus_rows_directory_table_and_cache_invalidation(spark, tmp_path):
 def test_corpus_rows_all_tables_nonempty():
     for name in TABLES:
         assert corpus_rows(SF_DIR_SMALL, name) > 0
+
+
+def _orphan_vec_ids(sf: str) -> int:
+    import duckdb
+
+    con = duckdb.connect()
+    return con.execute(
+        f"""SELECT COUNT(*)
+        FROM read_parquet('{sf}/embeddings.parquet') e
+        WHERE NOT EXISTS (
+          SELECT 1 FROM read_parquet('{sf}/documents.parquet') d
+          WHERE d.doc_id = e.vec_id)"""
+    ).fetchone()[0]
+
+
+@pytest.mark.parametrize(
+    "sf",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
+def test_embeddings_vec_id_subset_of_documents(sf):
+    """The catalog contract: every embeddings.vec_id is a
+    documents.doc_id (the vector OF that document). The semantic-gate
+    composites join on it."""
+    assert _orphan_vec_ids(sf) == 0
+
+
+def test_gen_sf_preserves_vec_id_contract(tmp_path):
+    """tools/gen_sf.py must shift vec_id by the DOCUMENTS stride so
+    copy i's vectors land on copy i's document ids — with the
+    embeddings stride (|emb| < |docs|), copy-1 vec_ids would collide
+    with copy-0 doc_ids and pair vectors with the wrong copies' text
+    (round-8 ADVICE finding)."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "sf_scaled")
+    subprocess.run(
+        [sys.executable, "/root/repo/tools/gen_sf.py",
+         "/root/testdata/sf0.001", out, "3"],
+        check=True, capture_output=True,
+    )
+    assert _orphan_vec_ids(out) == 0
+    # and the pairing is copy-faithful: copy i's vec_id block sits at
+    # i * |documents|, so ids beyond |documents| exist iff factor > 1
+    import duckdb
+
+    con = duckdb.connect()
+    n_docs_src = con.execute(
+        "SELECT COUNT(*) FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchone()[0]
+    above = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{out}/embeddings.parquet') "
+        f"WHERE vec_id > {n_docs_src}"
+    ).fetchone()[0]
+    assert above > 0

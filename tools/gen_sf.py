@@ -180,7 +180,14 @@ def generate(src: str, out: str, factor: int) -> None:
         if i == 0:
             return f"SELECT * FROM {rd('embeddings')}"
         rot = (7 * i) % N_DIM
-        return f"""SELECT vec_id + {i * card['embeddings']} AS vec_id,
+        # vec_id shifts by the DOCUMENTS stride, not the embeddings
+        # one: the catalog contract is vec_id == doc_id of the
+        # embedded document (embeddings ⊆ documents), and copy i of
+        # document d gets doc_id d + i·|documents| — its embedding
+        # must land on the same id or scaled joins pair vectors with
+        # the wrong copies' text (round-8 ADVICE; regression-tested
+        # in tests/test_catalog.py).
+        return f"""SELECT vec_id + {i * card['documents']} AS vec_id,
             list_transform(range(0, {N_DIM}),
                 j -> (CASE WHEN hash(j * 1000 + {i}) % 2 = 0 THEN 1.0 ELSE -1.0 END
                       * embedding[1 + ((j + {rot}) % {N_DIM})])::FLOAT)::FLOAT[] AS embedding,

@@ -22,6 +22,14 @@ TABLES = (
     "embeddings",
 )
 
+# Cross-table contract: ``embeddings.vec_id`` IS a ``documents.doc_id``
+# — each embeddings row is the vector of that document, and embeddings
+# ⊆ documents (a corpus may be partially embedded, never the reverse).
+# Queries joining the two on doc_id == vec_id (pp_semantic_dedup_gate,
+# pp_dedup_funnel_report) rely on this; tools/gen_sf.py preserves it by
+# shifting vec_id with the DOCUMENTS stride per copy, and
+# tests/test_catalog.py pins it at the driver SFs and on scaled output.
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Lazy — the scan only materializes columns/rows the
