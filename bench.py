@@ -220,7 +220,25 @@ def main() -> None:
     )
 
     # Warmup: JVM + codegen + parquet footer reads, not billed below.
+    # Every TABLE is scanned once first — r7/r8 artifacts showed the
+    # first-executed queries (q01/q04) with p95/median ratios far above
+    # mid-list ones, and the q01-only warmup left the other nine
+    # tables' pages + footers cold for whichever query touched them
+    # first. A full-table noop pass is ~2 s at sf0.1 and makes the
+    # timed loop start from a uniformly warm cache.
+    from wikid_spark.catalog import TABLES
+    from wikid_spark.catalog import table as _cat_table
+
+    for t in TABLES:
+        _cat_table(spark, sf_dir, t).write.mode("overwrite").format(
+            "noop"
+        ).save()
     specs["q01_scan_filter_project"].fn(spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    # ... and the first JOIN-shaped query, so broadcast/shuffle codegen
+    # paths are compiled before anything is timed.
+    specs["q04_profile_join_agg"].fn(spark, sf_dir).write.mode("overwrite").format(
         "noop"
     ).save()
     # Python-worker-pool warmup: the first Arrow-batched UDF in an app
