@@ -817,3 +817,198 @@ def test_lsm_cycle_append_compact_bucketed_probe(spark, tmp_path):
         for t in ("lsh_bands", "lsh_shingles", "lsh_sizes"):
             spark.sql(f"DROP TABLE IF EXISTS lsmidx.{t}")
         spark.sql("DROP DATABASE IF EXISTS lsmidx")
+
+
+class _FakeDeltaStore:
+    """In-memory stand-in for one Delta table: rows keyed by
+    (alias, entity_id), plus the commit-history userMetadata stamps the
+    seam's replay dedup reads."""
+
+    def __init__(self):
+        self.rows = {}
+        self.commits = []
+        self.merge_calls = []
+
+
+class _FakeRow(dict):
+    def __getitem__(self, k):
+        return dict.__getitem__(self, k)
+
+
+def _make_fake_delta(store):
+    """A fake delta.tables.DeltaTable honoring exactly the surface the
+    seam uses: isDeltaTable / forPath / history / alias / merge
+    builder. execute() applies real additive-merge semantics to the
+    in-memory store so the test can assert outcomes, and records the
+    builder arguments so the test can assert the MERGE itself."""
+
+    class _FakeMergeBuilder:
+        def __init__(self, spark, source_df, condition):
+            self._spark = spark
+            self._source = source_df
+            self._cond = condition
+            self._update_set = None
+            self._insert_all = False
+
+        def whenMatchedUpdate(self, set):
+            self._update_set = set
+            return self
+
+        def whenNotMatchedInsertAll(self):
+            self._insert_all = True
+            return self
+
+        def execute(self):
+            stamp = self._spark.conf.get(
+                "spark.databricks.delta.commitInfo.userMetadata"
+            )
+            store.merge_calls.append(
+                {
+                    "condition": self._cond,
+                    "update_set": self._update_set,
+                    "insert_all": self._insert_all,
+                    "stamp": stamp,
+                }
+            )
+            assert self._update_set == {"count": "t.count + u.count"}
+            assert self._insert_all
+            for r in self._source.collect():
+                k = (r["alias"], r["entity_id"])
+                store.rows[k] = store.rows.get(k, 0) + r["count"]
+            store.commits.append(stamp)
+
+    class _FakeDeltaTable:
+        @classmethod
+        def isDeltaTable(cls, spark, path):
+            return True
+
+        @classmethod
+        def forPath(cls, spark, path):
+            t = cls()
+            t._spark = spark
+            return t
+
+        def history(self):
+            class _H:
+                def select(_self, col):
+                    return _self
+
+                def collect(_self):
+                    return [
+                        _FakeRow(userMetadata=s) for s in store.commits
+                    ]
+
+            return _H()
+
+        def alias(self, a):
+            return self
+
+        def merge(self, source_df, condition):
+            return _FakeMergeBuilder(self._spark, source_df, condition)
+
+    return _FakeDeltaTable
+
+
+def test_delta_merge_seam_via_injected_fake(spark, tmp_path):
+    """merge_upsert_batch_writer with an injected DeltaTable class must
+    route through MERGE INTO instead of stage-and-promote: additive
+    update semantics, history-backed replay idempotency (same batch_id
+    re-applied is a no-op), per-commit userMetadata stamps, and the
+    writer lease still held on the target."""
+    import os
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    store = _FakeDeltaStore()
+    target = str(tmp_path / "delta_target")
+    writer = ingest.merge_upsert_batch_writer(
+        spark, target, writer_id="w-delta",
+        delta_table_cls=_make_fake_delta(store),
+    )
+    b0 = spark.createDataFrame(
+        [("click", "0", 2), ("click", "0", 3), ("view", "1", 1)],
+        "alias string, entity_id string, count bigint",
+    )
+    writer(b0, 0)
+    # partial-aggregated before the merge: one source row per key
+    assert store.rows == {("click", "0"): 5, ("view", "1"): 1}
+    assert store.commits == ["batch=0"]
+    call = store.merge_calls[0]
+    assert call["condition"] == (
+        "t.alias = u.alias AND t.entity_id = u.entity_id"
+    )
+    assert call["update_set"] == {"count": "t.count + u.count"}
+    assert call["insert_all"] and call["stamp"] == "batch=0"
+
+    b1 = spark.createDataFrame(
+        [("click", "0", 10)], "alias string, entity_id string, count bigint"
+    )
+    writer(b1, 1)
+    assert store.rows[("click", "0")] == 15
+    writer(b1, 1)  # replay: history already holds batch=1 → no-op
+    assert store.rows[("click", "0")] == 15
+    assert store.commits == ["batch=0", "batch=1"]
+    # the conf stamp is cleaned up after each commit
+    assert (
+        spark.conf.get(
+            "spark.databricks.delta.commitInfo.userMetadata", None
+        )
+        is None
+    )
+    # single-writer lease discipline is unchanged on the Delta path
+    assert os.path.exists(os.path.join(target, ingest.LEASE_FILE))
+
+
+def test_delta_seam_first_batch_creates_table(spark, tmp_path, monkeypatch):
+    """When the target is not yet a Delta table, the first batch goes
+    through _delta_create_table with the bucketed partials and the
+    idempotent (txnAppId, txnVersion) identity."""
+    created = {}
+
+    def fake_create(partials, target_dir, writer_id, batch_id):
+        created["cols"] = set(partials.columns)
+        created["rows"] = {
+            (r["alias"], r["entity_id"]): r["count"]
+            for r in partials.collect()
+        }
+        created["target"] = target_dir
+        created["writer_id"] = writer_id
+        created["batch_id"] = batch_id
+
+    monkeypatch.setattr(ingest, "_delta_create_table", fake_create)
+
+    class _NeverDelta:
+        @classmethod
+        def isDeltaTable(cls, spark, path):
+            return False
+
+    target = str(tmp_path / "delta_new")
+    writer = ingest.merge_upsert_batch_writer(
+        spark, target, writer_id="w0", delta_table_cls=_NeverDelta
+    )
+    b = spark.createDataFrame(
+        [("a", "1", 1), ("a", "1", 2)],
+        "alias string, entity_id string, count bigint",
+    )
+    writer(b, 7)
+    assert created["cols"] == {"alias", "entity_id", "count", "pk"}
+    assert created["rows"] == {("a", "1"): 3}
+    assert created["target"] == target
+    assert created["writer_id"] == "w0" and created["batch_id"] == 7
+
+
+def test_delta_seam_absent_without_injection(spark, tmp_path):
+    """In this container delta does not import, so the default writer
+    must be the parquet stage-and-promote path (the emulation contract
+    the crash/lease tests pin) — not an AttributeError at first batch."""
+    assert ingest._import_delta() is None
+    target = str(tmp_path / "plain")
+    writer = ingest.merge_upsert_batch_writer(spark, target, writer_id="wp")
+    b = spark.createDataFrame(
+        [("a", "1", 1)], "alias string, entity_id string, count bigint"
+    )
+    writer(b, 0)
+    got = spark.read.parquet(target).collect()
+    assert [(r["alias"], r["entity_id"], r["count"]) for r in got] == [
+        ("a", "1", 1)
+    ]

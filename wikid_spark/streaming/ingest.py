@@ -138,6 +138,98 @@ def _merged_affected_state(
     )
 
 
+def _import_delta():
+    """Optional-import seam for the table-format merge path: the
+    `delta-spark` package's DeltaTable when the cluster ships it, else
+    None (this container does not — the parquet stage-and-promote
+    emulation below remains the tested local path). Same pattern as
+    operators/multimodal._import_pil: callers can inject a fake class
+    to exercise the Delta plumbing without the dependency."""
+    try:
+        from delta.tables import DeltaTable
+
+        return DeltaTable
+    except ImportError:
+        return None
+
+
+def _delta_create_table(
+    partials: DataFrame, target_dir: str, writer_id: str, batch_id: int
+) -> None:
+    """First-batch table creation on the Delta path. txnAppId +
+    txnVersion make the create itself replay-idempotent (Delta skips a
+    commit whose (appId, version) it has already seen). Module-level so
+    tests can intercept it without a Delta runtime present."""
+    (
+        partials.write.format("delta")
+        .partitionBy("pk")
+        .option("txnAppId", writer_id)
+        .option("txnVersion", batch_id)
+        .save(target_dir)
+    )
+
+
+def _delta_merge_batch_writer(
+    spark: SparkSession,
+    target_dir: str,
+    delta_table_cls,
+    writer_id: str,
+    lease_seconds: float,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch hook applying the keyed additive merge as a Delta
+    ``MERGE INTO`` — what `merge_upsert_batch_writer`'s parquet
+    stage-and-promote protocol emulates by hand. Delta's ACID commit
+    replaces the staging/promotion machinery outright; the two pieces
+    that remain OURS are:
+
+    * replay idempotency: an at-least-once replayed batch re-applied
+      through an additive MERGE double-counts, so each commit stamps
+      ``userMetadata = "batch=<id>"`` and a replay consults the table
+      HISTORY before merging — the dedup ledger and the data share one
+      transaction log, closing the marker-file crash window the
+      parquet path documents.
+    * the single-writer heartbeat lease, kept for symmetry with the
+      parquet path (Delta serializes conflicting commits, but a second
+      live STREAM would still interleave batches semantically).
+    """
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        _acquire_or_renew_lease(target_dir, writer_id, lease_seconds)
+        partials = (
+            batch.groupBy("alias", "entity_id")
+            .agg(F.sum("count").alias("count"))
+            .withColumn("pk", _merge_bucket(F.col("alias")))
+        )
+        if not delta_table_cls.isDeltaTable(spark, target_dir):
+            _delta_create_table(partials, target_dir, writer_id, batch_id)
+            return
+        tgt = delta_table_cls.forPath(spark, target_dir)
+        stamp = f"batch={batch_id}"
+        applied = {
+            r["userMetadata"]
+            for r in tgt.history().select("userMetadata").collect()
+        }
+        if stamp in applied:
+            return
+        meta_key = "spark.databricks.delta.commitInfo.userMetadata"
+        spark.conf.set(meta_key, stamp)
+        try:
+            (
+                tgt.alias("t")
+                .merge(
+                    partials.alias("u"),
+                    "t.alias = u.alias AND t.entity_id = u.entity_id",
+                )
+                .whenMatchedUpdate(set={"count": "t.count + u.count"})
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+        finally:
+            spark.conf.unset(meta_key)
+
+    return write_batch
+
+
 LEASE_FILE = "_WRITER_LEASE"
 DEFAULT_LEASE_SECONDS = 300.0
 
@@ -224,6 +316,7 @@ def merge_upsert_batch_writer(
     target_dir: str,
     writer_id: str | None = None,
     lease_seconds: float = DEFAULT_LEASE_SECONDS,
+    delta_table_cls=None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch hook applying the keyed merge per micro-batch,
     idempotent under at-least-once replay INCLUDING a crash at any
@@ -274,6 +367,17 @@ def merge_upsert_batch_writer(
     import socket
 
     wid = writer_id or f"{socket.gethostname()}-{os.getpid()}"
+
+    # Table-format seam: when Delta is importable (or a test injects a
+    # fake DeltaTable class), the whole stage-and-promote protocol
+    # collapses into an ACID MERGE INTO with history-backed replay
+    # dedup — see _delta_merge_batch_writer. The parquet protocol below
+    # is the dependency-free emulation and stays the tested local path.
+    dt_cls = delta_table_cls if delta_table_cls is not None else _import_delta()
+    if dt_cls is not None:
+        return _delta_merge_batch_writer(
+            spark, target_dir, dt_cls, wid, lease_seconds
+        )
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         _acquire_or_renew_lease(target_dir, wid, lease_seconds)
