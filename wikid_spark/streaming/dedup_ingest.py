@@ -58,32 +58,19 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from wikid_spark.queries.dedup import band_table_from, shingles_from
+from wikid_spark.streaming.evolving_index import (  # noqa: F401 — re-exported
+    BASE_BATCH_ID,
+    compact_index_parts,
+    read_verdict_log,
+)
+from wikid_spark.streaming import evolving_index as _engine
 
 JACCARD_THRESHOLD = 0.2
-BASE_BATCH_ID = -1  # partition id of the initial corpus index
 # Max candidate doc ids to inline as IN-literals for bucket-pruned
 # verify scans; above this the fetch falls back to a semi-join.
 CAND_PUSHDOWN_MAX_IDS = 100_000
 
-
-def _write_part(df: DataFrame, index_dir: str, part: str, batch_id: int) -> None:
-    df.write.mode("overwrite").parquet(
-        f"{index_dir}/{part}/batch_id={batch_id}"
-    )
-
-
-def _read_part(
-    spark: SparkSession, index_dir: str, part: str, as_of_batch: int | None
-) -> DataFrame:
-    """One index component across base + appended deltas. With
-    ``as_of_batch`` set, reads strictly earlier partitions — partition
-    pruning on ``batch_id``, and the probe's replay determinism."""
-    df = spark.read.option("basePath", f"{index_dir}/{part}").parquet(
-        f"{index_dir}/{part}/batch_id=*"
-    )
-    if as_of_batch is not None:
-        df = df.filter(F.col("batch_id") < as_of_batch)
-    return df.drop("batch_id")
+_read_part = _engine.read_part  # shared lifecycle; local alias
 
 
 def _hashed_shingles(docs: DataFrame) -> DataFrame:
@@ -92,21 +79,28 @@ def _hashed_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
+def _sign_lsh(docs: DataFrame, index_dir: str) -> dict:
+    """The LSH index's `sign` kernel for the shared evolving-index
+    engine: band signatures (candidate generation) plus hashed
+    shingles and sizes (exact verify)."""
+    sh = _hashed_shingles(docs)
+    return {
+        "bands": (band_table_from(docs), ()),
+        "shingles": (sh, ()),
+        "sizes": (
+            sh.groupBy("doc_id").agg(F.count("*").alias("n_sh")),
+            (),
+        ),
+    }
+
+
 def persist_dedup_index(corpus: DataFrame, index_dir: str) -> None:
     """Build and persist the corpus LSH index: band signatures (the
     candidate-generation side) and hashed shingles + sizes (the
     exact-verify side), under ``batch_id=-1`` partitions so streaming
     appends evolve the same tree. For the bucket-pruned catalog-table
     form at scale, see `persist_dedup_index_bucketed`."""
-    _write_part(band_table_from(corpus), index_dir, "bands", BASE_BATCH_ID)
-    sh = _hashed_shingles(corpus)
-    _write_part(sh, index_dir, "shingles", BASE_BATCH_ID)
-    _write_part(
-        sh.groupBy("doc_id").agg(F.count("*").alias("n_sh")),
-        index_dir,
-        "sizes",
-        BASE_BATCH_ID,
-    )
+    _engine.persist_index(_sign_lsh, corpus, index_dir)
 
 
 def append_kept_to_index(
@@ -115,15 +109,8 @@ def append_kept_to_index(
     """Append the kept docs' signatures under this batch's partitions —
     overwrite mode, so a replayed batch rewrites its own appends
     byte-identically instead of duplicating them."""
-    kept_docs = batch.join(F.broadcast(kept_ids), "doc_id", "left_semi")
-    _write_part(band_table_from(kept_docs), index_dir, "bands", batch_id)
-    sh = _hashed_shingles(kept_docs)
-    _write_part(sh, index_dir, "shingles", batch_id)
-    _write_part(
-        sh.groupBy("doc_id").agg(F.count("*").alias("n_sh")),
-        index_dir,
-        "sizes",
-        batch_id,
+    _engine.append_kept(
+        _sign_lsh, batch, kept_ids, "doc_id", index_dir, batch_id
     )
 
 
@@ -227,30 +214,21 @@ def dedup_verdict_batch_writer(
     ``batch_id < n``, keeping replays deterministic. ``evolve=False``
     probes the static corpus-only index — the exact semantics of the
     registered `nd_incremental_dedup` batch query."""
-
-    def write_batch(batch: DataFrame, batch_id: int) -> None:
-        out = f"{out_dir}/batch_id={batch_id}"
-        batch_verdicts(
-            spark, batch, index_dir,
-            as_of_batch=batch_id if evolve else None,
-        ).write.mode("overwrite").parquet(out)
-        if evolve:
-            kept = (
-                spark.read.parquet(out)
-                .filter(F.col("verdict") == "keep")
-                .select("doc_id")
-            )
-            append_kept_to_index(batch, kept, index_dir, batch_id)
-
-    return write_batch
+    return _engine.verdict_batch_writer(
+        spark,
+        index_dir,
+        out_dir,
+        probe=batch_verdicts,
+        sign=_sign_lsh,
+        id_col="doc_id",
+        evolve=evolve,
+    )
 
 
 def read_verdicts(spark: SparkSession, out_dir: str) -> DataFrame:
     """All verdicts appended so far (one row per streamed doc)."""
-    return (
-        spark.read.option("basePath", out_dir)
-        .parquet(f"{out_dir}/batch_id=*")
-        .select("doc_id", "dup_of", "jaccard", "verdict")
+    return read_verdict_log(
+        spark, out_dir, ("doc_id", "dup_of", "jaccard", "verdict")
     )
 
 
@@ -387,64 +365,8 @@ def bucketed_batch_verdicts(
 def compact_dedup_index(spark: SparkSession, index_dir: str) -> None:
     """Fold base + accumulated per-batch deltas back into a single
     ``batch_id=-1`` base. Run between streaming jobs, not concurrently
-    with one.
-
-    Crash-safety: the folded component is written to a SIBLING
-    directory first (a disk materialization — no heap-resident
-    localCheckpoint of corpus-scale data), then swapped in with two
-    renames. At no point is the only copy in memory; a crash leaves
-    either the old tree, or old+new side by side (``.old`` /
-    ``.compacting``), or — in the instant between the two renames —
-    only ``.old`` (+ a fully-written ``.compacting``). Re-running
-    compaction heals every state: the preamble below restores a
-    missing ``live`` from ``.old`` (preferred — it was the live tree)
-    or from a COMPLETE ``.compacting`` (its ``_SUCCESS`` marker
-    present) BEFORE any deletion, so no crash point leaves zero
-    surviving copies. On object storage the renames map to the
-    store's atomic-commit primitive."""
+    with one. Crash-safety contract and heal states:
+    `evolving_index.compact_index_parts` (shared with the vector
+    index; the crash tests in test_streaming.py pin them through this
+    entry point)."""
     compact_index_parts(spark, index_dir, ("bands", "shingles", "sizes"))
-
-
-def compact_index_parts(
-    spark: SparkSession,
-    index_dir: str,
-    parts: tuple[str, ...],
-    partition_cols: tuple[str, ...] = (),
-) -> None:
-    """The crash-safe fold, per component (shared by the LSH index and
-    `streaming.vector_ingest`'s cell index): heal-preamble, write the
-    fold to ``.compacting``, two-rename swap. ``partition_cols``
-    optionally re-partition-by columns inside the folded base (the
-    vector index keeps ``cent_id`` directory pruning)."""
-    import os
-    import shutil
-
-    for part in parts:
-        live = f"{index_dir}/{part}"
-        tmp = f"{index_dir}/{part}.compacting"
-        old = f"{index_dir}/{part}.old"
-        if not os.path.exists(live):
-            # Crash landed between rename(live, old) and rename(tmp,
-            # live): restore first, delete only after live exists again.
-            if os.path.exists(old):
-                os.rename(old, live)
-            elif os.path.exists(
-                f"{tmp}/batch_id={BASE_BATCH_ID}/_SUCCESS"
-            ):
-                os.rename(tmp, live)
-            else:
-                raise FileNotFoundError(
-                    f"dedup index component {live} missing and neither "
-                    f"{old} nor a complete {tmp} exists to restore it"
-                )
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
-        writer = _read_part(spark, index_dir, part, None).write.mode(
-            "overwrite"
-        )
-        if partition_cols:
-            writer = writer.partitionBy(*partition_cols)
-        writer.parquet(f"{tmp}/batch_id={BASE_BATCH_ID}")
-        os.rename(live, old)
-        os.rename(tmp, live)
-        shutil.rmtree(old, ignore_errors=True)

@@ -55,10 +55,10 @@ from wikid_spark.queries.similarity import (
     quantize_embedding,
 )
 from wikid_spark.streaming.dedup_ingest import (
-    BASE_BATCH_ID,
     CAND_PUSHDOWN_MAX_IDS as CELL_PUSHDOWN_MAX_IDS,
-    compact_index_parts,
 )
+from wikid_spark.streaming import evolving_index as _engine
+from wikid_spark.streaming.evolving_index import compact_index_parts
 
 COSINE_THRESHOLD = 0.4
 
@@ -80,6 +80,15 @@ def _assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def _sign_cells(vectors: DataFrame, index_dir: str) -> dict:
+    """The vector index's `sign` kernel for the shared evolving-index
+    engine: top-2 cell assignments against the index's FROZEN centroid
+    table (read back from the index dir, never re-derived per batch),
+    cell-partitioned so probes directory-prune on cent_id."""
+    cents = vectors.sparkSession.read.parquet(f"{index_dir}/centroids")
+    return {"cells": (_assign_cells(vectors, cents), ("cent_id",))}
+
+
 def persist_vector_index(vectors: DataFrame, index_dir: str) -> None:
     """Build and persist the corpus vector index: the derived-K
     centroid table (K rows) and the top-2 cell assignments
@@ -88,24 +97,13 @@ def persist_vector_index(vectors: DataFrame, index_dir: str) -> None:
     k = derived_k(vectors.count())
     cents = _centroids(vectors, k)
     cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
-    spark = vectors.sparkSession
-    cells = _assign_cells(vectors, spark.read.parquet(f"{index_dir}/centroids"))
-    (
-        cells.write.mode("overwrite")
-        .partitionBy("cent_id")
-        .parquet(f"{index_dir}/cells/batch_id={BASE_BATCH_ID}")
-    )
+    _engine.persist_index(_sign_cells, vectors, index_dir)
 
 
 def _read_cells(
     spark: SparkSession, index_dir: str, as_of_batch: int | None
 ) -> DataFrame:
-    df = spark.read.option("basePath", f"{index_dir}/cells").parquet(
-        f"{index_dir}/cells/batch_id=*"
-    )
-    if as_of_batch is not None:
-        df = df.filter(F.col("batch_id") < as_of_batch)
-    return df.drop("batch_id")
+    return _engine.read_part(spark, index_dir, "cells", as_of_batch)
 
 
 def vector_batch_verdicts(
@@ -190,14 +188,8 @@ def append_kept_to_vector_index(
     partition — overwrite mode, so a replayed batch rewrites its own
     appends byte-identically instead of duplicating them. Assignment
     uses the index's frozen centroids (read back, not re-derived)."""
-    spark = batch.sparkSession
-    cents = spark.read.parquet(f"{index_dir}/centroids")
-    kept = batch.join(F.broadcast(kept_ids), "vec_id", "left_semi")
-    (
-        _assign_cells(kept, cents)
-        .write.mode("overwrite")
-        .partitionBy("cent_id")
-        .parquet(f"{index_dir}/cells/batch_id={batch_id}")
+    _engine.append_kept(
+        _sign_cells, batch, kept_ids, "vec_id", index_dir, batch_id
     )
 
 
@@ -206,25 +198,23 @@ def vector_verdict_batch_writer(
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch sink: verdicts for the micro-batch against index
     state ``batch_id < n`` (replay-deterministic), then the kept
-    vectors' assignments appended under ``batch_id = n``."""
-
-    def write_batch(batch: DataFrame, batch_id: int) -> None:
-        b = batch.localCheckpoint(eager=True)
-        v = vector_batch_verdicts(
-            spark, b, index_dir, as_of_batch=batch_id
-        ).localCheckpoint(eager=True)
-        v.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
-        kept_ids = v.filter(F.col("verdict") == "keep").select("vec_id")
-        append_kept_to_vector_index(b, kept_ids, index_dir, batch_id)
-
-    return write_batch
+    vectors' assignments appended under ``batch_id = n``.
+    ``checkpoint_batch``: the batch feeds both the probe and the
+    append-side re-assignment, so it is eagerly materialized once."""
+    return _engine.verdict_batch_writer(
+        spark,
+        index_dir,
+        out_dir,
+        probe=vector_batch_verdicts,
+        sign=_sign_cells,
+        id_col="vec_id",
+        checkpoint_batch=True,
+    )
 
 
 def read_vector_verdicts(spark: SparkSession, out_dir: str) -> DataFrame:
-    return (
-        spark.read.option("basePath", out_dir)
-        .parquet(f"{out_dir}/batch_id=*")
-        .select("vec_id", "dup_of", "sim", "verdict")
+    return _engine.read_verdict_log(
+        spark, out_dir, ("vec_id", "dup_of", "sim", "verdict")
     )
 
 
