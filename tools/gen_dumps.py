@@ -200,10 +200,24 @@ def _gen_wikidata_shard(args) -> int:
 def _page_text(i: int, rng: random.Random, n_entities: int) -> str:
     """Wikitext with link styles the X1/X2/X5 kernels must handle,
     spread over many physical lines (the reference's metric is raw
-    XML LINES, so line shape matters)."""
+    XML LINES, so line shape matters).
+
+    Realism matches a typical mainspace article so the article-text
+    stage benches the X3 fixpoint and X4 offsets at honest cost, not
+    toy cost (round-8 verdict #7): the infobox nests templates to
+    depth 3 ({{Infobox → {{formatnum → {{#expr}}}}); sentences carry
+    inline <ref>{{cite web}}</ref> spans (~6-10/article, nesting a
+    template INSIDE the ref) and self-closing <ref name=/>; HTML
+    comments (with braces inside — the comment strip must not confuse
+    the template fixpoint); [[File:...|thumb|...]] with pipes in the
+    caption; and a 2-5 row [[Category:...]] block at the end."""
     parts = [
-        "{{Infobox thing\n| name = %s\n| kind = %s\n}}" % (_title(i), rng.choice(WORDS))
+        "{{Infobox thing\n| name = %s\n| kind = %s\n"
+        "| pop = {{formatnum|{{#expr:%d * 1000}}}}\n"
+        "| area = {{convert|%d|km2|sqmi|abbr=on}}\n}}"
+        % (_title(i), rng.choice(WORDS), rng.randrange(1, 500), rng.randrange(1, 900))
     ]
+    ref_n = 0
     for _ in range(rng.randrange(4, 10)):
         tgt = _title(rng.randrange(n_entities))
         style = rng.random()
@@ -216,9 +230,31 @@ def _page_text(i: int, rng: random.Random, n_entities: int) -> str:
         else:
             link = f"[[{tgt.replace(' ', '_')}]]"
         sent = " ".join(rng.choice(WORDS) for _ in range(10))
-        parts.append(f"The {sent} includes {link} notably.")
+        r = rng.random()
+        if r < 0.55:
+            ref_n += 1
+            ref = (
+                f'<ref name="r{ref_n}">{{{{cite web |title={rng.choice(WORDS)} '
+                f"|url=http://example.org/{ref_n} |access-date=2024-01-01}}}}</ref>"
+            )
+        elif r < 0.7 and ref_n:
+            ref = f'<ref name="r{rng.randrange(1, ref_n + 1)}" />'
+        else:
+            ref = ""
+        parts.append(f"The {sent} includes {link} notably.{ref}")
+        if rng.random() < 0.2:
+            parts.append(
+                f"[[File:{_title(rng.randrange(n_entities)).replace(' ', '_')}.jpg"
+                f"|thumb|right|A {rng.choice(WORDS)} specimen]]"
+            )
+        if rng.random() < 0.15:
+            parts.append(
+                f"<!-- TODO: verify {{{{date|{rng.choice(WORDS)}}}}} -->"
+            )
     parts.append("== See also ==")
     parts.append(f"* [[{_title(rng.randrange(n_entities))}]]")
+    for _ in range(rng.randrange(2, 6)):
+        parts.append(f"[[Category:{rng.choice(WORDS).capitalize()} topics]]")
     return "\n".join(parts)
 
 
@@ -284,7 +320,7 @@ def generate(
         "n_entities": n_entities,
         "n_pages": n_pages,
         "shards": shards,
-        "version": 3,
+        "version": 4,  # r9: realistic wikitext (refs/files/categories/nested templates)
     }
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
