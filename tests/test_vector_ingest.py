@@ -231,3 +231,51 @@ def test_vector_probe_semijoin_fallback_above_cap(spark, tmp_path, monkeypatch):
     got_df = vi.vector_batch_verdicts(spark, batch, idx)
     got = sorted(tuple(r) for r in got_df.collect())
     assert got == want and {r[3] for r in got} == {"drop", "keep"}
+
+
+def test_persist_with_training_aligns_centroids(spark, tmp_path):
+    """persist_vector_index(train_rounds=N) must store the
+    Lloyd-trained centroids (reference: lloyd_train on the same seeds)
+    and leave the serving contract intact: near-dups of corpus
+    vectors still drop, novel vectors still keep, and the probe stays
+    cent_id-partition-pruned."""
+    from wikid_spark.queries.similarity import (
+        _centroids,
+        derived_k,
+        lloyd_train,
+    )
+
+    corpus = _mkvecs(spark, _corpus_rows())
+    idx = str(tmp_path / "vidx_trained")
+    vi.persist_vector_index(corpus, idx, train_rounds=3)
+
+    k = derived_k(corpus.count())
+    want_cents, _ = lloyd_train(
+        vi._qemb(corpus).select("vec_id", "qemb"),
+        _centroids(corpus, k),
+        max_rounds=3,
+        dims=DIM,
+    )
+    got = {
+        r["cent_id"]: list(r["cemb"])
+        for r in spark.read.parquet(f"{idx}/centroids").collect()
+    }
+    want = {r["cent_id"]: list(r["cemb"]) for r in want_cents.collect()}
+    assert got == want
+
+    # training moved at least one centroid off its raw seed vector
+    seeds = {
+        r["cent_id"]: list(r["cemb"])
+        for r in _centroids(corpus, k).collect()
+    }
+    assert got != seeds
+
+    batch = _mkvecs(
+        spark,
+        [(500, _vec(_A, eps=0.004)), (501, _vec([0.0] * 7 + [9.0]))],
+    )
+    verdicts = {
+        r["vec_id"]: r["verdict"]
+        for r in vi.vector_batch_verdicts(spark, batch, idx).collect()
+    }
+    assert verdicts == {500: "drop", 501: "keep"}

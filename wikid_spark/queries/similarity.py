@@ -1245,16 +1245,20 @@ def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _lloyd_round(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+def _lloyd_round(
+    vecs: DataFrame, cents: DataFrame, dims: int = EMBED_DIMS
+) -> DataFrame:
     """One Lloyd re-centering over (vec_id, qemb) vectors: assign via
     the BLAS kernel, then re-center each non-empty cell at the
-    member mean as {EMBED_DIMS} map-side-combinable SUM columns (no
+    member mean as ``dims`` map-side-combinable SUM columns (no
     posexplode row blow-up), re-quantized floor(S/n). Returns the
-    refined centroid table (cent_id, n, cemb)."""
+    refined centroid table (cent_id, n, cemb). ``dims`` defaults to
+    the catalog embeddings width; callers training over other vector
+    tables (the streaming vector index) pass their own."""
     a1 = _assign_blas(vecs, cents)
     sums = a1.groupBy("cent_id").agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.col("qemb")[d]).alias(f"s{d}") for d in range(EMBED_DIMS)],
+        *[F.sum(F.col("qemb")[d]).alias(f"s{d}") for d in range(dims)],
     )
     return sums.select(
         "cent_id",
@@ -1262,7 +1266,7 @@ def _lloyd_round(vecs: DataFrame, cents: DataFrame) -> DataFrame:
         F.array(
             *[
                 F.floor(F.col(f"s{d}") / F.col("n")).cast("long")
-                for d in range(EMBED_DIMS)
+                for d in range(dims)
             ]
         ).alias("cemb"),
     )
@@ -1577,6 +1581,7 @@ def lloyd_train(
     max_rounds: int,
     tol: int = 0,
     pad_trace: bool = False,
+    dims: int = EMBED_DIMS,
 ):
     """Run Lloyd rounds until the max integer centroid shift is <= tol
     with no cell dropped, or ``max_rounds``. Returns (final centroid
@@ -1592,7 +1597,7 @@ def lloyd_train(
         if fixed is not None:
             trace.append((rnd, *fixed))
             continue
-        newc = _lloyd_round(vecs, cents).localCheckpoint(eager=True)
+        newc = _lloyd_round(vecs, cents, dims=dims).localCheckpoint(eager=True)
         shift = F.aggregate(
             F.zip_with(
                 F.col("cemb"),

@@ -89,13 +89,34 @@ def _sign_cells(vectors: DataFrame, index_dir: str) -> dict:
     return {"cells": (_assign_cells(vectors, cents), ("cent_id",))}
 
 
-def persist_vector_index(vectors: DataFrame, index_dir: str) -> None:
+def persist_vector_index(
+    vectors: DataFrame, index_dir: str, train_rounds: int = 0
+) -> None:
     """Build and persist the corpus vector index: the derived-K
     centroid table (K rows) and the top-2 cell assignments
     (cell-partitioned, under ``batch_id=-1`` so streaming appends
-    evolve the same tree)."""
+    evolve the same tree).
+
+    ``train_rounds > 0`` Lloyd-trains the centroids before the corpus
+    assignment (`lloyd_train`, early-stopping at the exact fixpoint) —
+    the round-9 ANN measurements show training aligns cells to the
+    data (recall +44% at sf0.1 at unchanged probe cost), and for the
+    dedup index better-aligned cells mean more near-dup pairs sharing
+    a cell at the same √n probe budget. Training costs ``train_rounds``
+    broadcast-K corpus passes at BUILD time only; batch probes are
+    unchanged (the centroid table is frozen either way)."""
+    from wikid_spark.queries.similarity import lloyd_train
+
     k = derived_k(vectors.count())
     cents = _centroids(vectors, k)
+    if train_rounds > 0:
+        dims = len(vectors.select("embedding").head()[0])
+        cents, _ = lloyd_train(
+            _qemb(vectors).select("vec_id", "qemb"),
+            cents,
+            max_rounds=train_rounds,
+            dims=dims,
+        )
     cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     _engine.persist_index(_sign_cells, vectors, index_dir)
 
