@@ -1182,14 +1182,19 @@ def nd_semantic_capture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _capture_report(truth, a2)
 
 
-def _capture_report(truth: DataFrame, a2: DataFrame) -> DataFrame:
+def _capture_report(
+    truth: DataFrame,
+    assigned: DataFrame,
+    max_ranks: tuple[int, ...] = (1, 2),
+) -> DataFrame:
     """Shared tail of the capture audits: given the true near-dup
-    pair set and the top-2 cell assignment, emit the top1/top2
-    detected-pair counts and capture ratios (1-row aggregates
-    cross-joined — nothing corpus-scale leaves executors)."""
+    pair set and a top-m cell assignment, emit one row per audited
+    assignment depth ("top{r}") with detected-pair counts and capture
+    ratios (1-row aggregates cross-joined — nothing corpus-scale
+    leaves executors)."""
 
     def detected(max_rank: int) -> DataFrame:
-        d = a2.filter(F.col("cent_rank") <= max_rank)
+        d = assigned.filter(F.col("cent_rank") <= max_rank)
         cand = (
             d.select(F.col("vec_id").alias("i"), "cent_id")
             .join(
@@ -1203,11 +1208,9 @@ def _capture_report(truth: DataFrame, a2: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias(f"d{max_rank}")
         )
 
-    counts = (
-        truth.agg(F.count(F.lit(1)).alias("true_pairs"))
-        .crossJoin(detected(1))
-        .crossJoin(detected(2))
-    )
+    counts = truth.agg(F.count(F.lit(1)).alias("true_pairs"))
+    for r in max_ranks:
+        counts = counts.crossJoin(detected(r))
 
     def row(mode: str, dcol: str):
         return counts.select(
@@ -1219,7 +1222,11 @@ def _capture_report(truth: DataFrame, a2: DataFrame) -> DataFrame:
             ).alias("capture"),
         )
 
-    return row("top1", "d1").unionByName(row("top2", "d2")).orderBy("mode")
+    out = None
+    for r in max_ranks:
+        part = row(f"top{r}", f"d{r}")
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("mode")
 
 
 # Deterministic audit sample: keep vectors whose Knuth multiplicative
@@ -1235,10 +1242,30 @@ _SAMPLE_PRED_SQL = (
 )
 
 
-@query(
-    "nd_semantic_capture_sampled",
-    oracle=f"""
-    WITH {_sem_derived_cte()}, samp AS (
+def _sampled_capture_oracle() -> str:
+    cands = ",\n".join(
+        f"""cand{r} AS (
+      SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      FROM sa a JOIN sa b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      WHERE a.cent_rank <= {r} AND b.cent_rank <= {r}
+    )"""
+        for r in (1, 2, 3)
+    )
+    dcols = ",\n".join(
+        f"""             (SELECT COUNT(*) FROM truth t
+               WHERE EXISTS (SELECT 1 FROM cand{r} c
+                             WHERE c.i = t.i AND c.j = t.j)) AS d{r}"""
+        for r in (1, 2, 3)
+    )
+    selects = "\n    UNION ALL\n".join(
+        f"""    SELECT 'top{r}' AS mode, true_pairs,
+           d{r} AS detected_pairs,
+           ROUND(CAST(d{r} AS DOUBLE) / NULLIF(true_pairs, 0), 4) AS capture
+    FROM counts"""
+        for r in (1, 2, 3)
+    )
+    return f"""
+    WITH {_sem_derived_cte(top_m=3)}, samp AS (
       SELECT vec_id, embedding FROM embeddings
       WHERE {_SAMPLE_PRED_SQL}
     ), truth AS (
@@ -1249,44 +1276,35 @@ _SAMPLE_PRED_SQL = (
     ), sa AS (
       SELECT vec_id, cent_id, cent_rank FROM assigned
       WHERE {_SAMPLE_PRED_SQL}
-    ), cand1 AS (
-      SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
-      FROM sa a JOIN sa b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
-      WHERE a.cent_rank = 1 AND b.cent_rank = 1
-    ), cand2 AS (
-      SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
-      FROM sa a JOIN sa b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
-    ), counts AS (
+    ), {cands}, counts AS (
       SELECT (SELECT COUNT(*) FROM truth) AS true_pairs,
-             (SELECT COUNT(*) FROM truth t
-               WHERE EXISTS (SELECT 1 FROM cand1 c
-                             WHERE c.i = t.i AND c.j = t.j)) AS d1,
-             (SELECT COUNT(*) FROM truth t
-               WHERE EXISTS (SELECT 1 FROM cand2 c
-                             WHERE c.i = t.i AND c.j = t.j)) AS d2
+{dcols}
     )
-    SELECT 'top1' AS mode, true_pairs,
-           d1 AS detected_pairs,
-           ROUND(CAST(d1 AS DOUBLE) / NULLIF(true_pairs, 0), 4) AS capture
-    FROM counts
-    UNION ALL
-    SELECT 'top2' AS mode, true_pairs,
-           d2 AS detected_pairs,
-           ROUND(CAST(d2 AS DOUBLE) / NULLIF(true_pairs, 0), 4) AS capture
-    FROM counts
+{selects}
     ORDER BY mode
-    """,
+    """
+
+
+@query(
+    "nd_semantic_capture_sampled",
+    oracle=_sampled_capture_oracle(),
     tags=("dedup", "vector", "semantic", "audit", "sampled"),
 )
 def nd_semantic_capture_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`nd_semantic_capture_report` on a deterministic 1/{DIV} hash
     sample — the form of the audit that actually runs at scale. The
-    INDEX is unchanged (centroids and top-2 assignment over the FULL
-    corpus, K = ceil(sqrt(n)) from full n): the sample restricts only
-    the quadratic ground-truth pass and the pair audit, so truth cost
+    INDEX is unchanged (centroids over the FULL corpus, K =
+    ceil(sqrt(n)) from full n): the sample restricts only the
+    quadratic ground-truth pass and the pair audit, so truth cost
     drops DIV² (16×) while capture stays an unbiased estimate of the
     full report's — pair (i, j) is audited iff both ids hash into the
-    sample, independent of cell geometry.
+    sample, independent of cell geometry (validated at sf0.1: sampled
+    top-2 capture 0.354 vs full 0.349).
+
+    Audits assignment depths top-1/2/3 — top-3 is the capture dial
+    SCALE.md's round-9 analysis names for raising recall at scale:
+    +1 assignment costs +n index rows (O(√n) per cell), never a
+    threshold on cells that grow with the corpus.
 
     Scale: this is what makes the audit runnable at sf1/sf10/100 TB
     where the full report's O(n²) truth pass is prohibitive: pick DIV
@@ -1300,12 +1318,12 @@ def nd_semantic_capture_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = (
         (F.col("vec_id") * _HASH_MULT) % _HASH_MOD
     ) % CAPTURE_SAMPLE_DIV == 0
-    a2 = (
-        _assignments_multi(emb, k, top_m=2)
+    a3 = (
+        _assignments_multi(emb, k, top_m=3)
         .select("vec_id", "cent_id", "cent_rank")
         .filter(keep)
     )
     truth = embedding_neardup_pairs(emb.filter(keep)).select(
         F.col("vec_a").alias("i"), F.col("vec_b").alias("j")
     )
-    return _capture_report(truth, a2)
+    return _capture_report(truth, a3, max_ranks=(1, 2, 3))
