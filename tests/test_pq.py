@@ -1,0 +1,101 @@
+"""Product-quantization invariants beyond the oracle twin.
+
+The oracle (tests/test_oracle.py) certifies engine parity; these pin
+the PQ math itself: the packed code round-trips to the per-subspace
+argmins, and the ADC lookup distance equals the exact squared L2 to
+the codeword reconstruction — the identity that makes the 8-byte scan
+a faithful stand-in for vector arithmetic.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_DIR_SMALL
+from wikid_spark.catalog import table
+from wikid_spark.queries.similarity import (
+    PQ_CODES,
+    PQ_DIMS,
+    PQ_SUBS,
+    _pq_adc_cands,
+    _pq_codebooks,
+    _pq_dtab,
+    _pq_encode,
+    _pq_parts,
+    quantize_embedding,
+)
+
+
+def _numpy_reference(spark, sf_dir):
+    """Independent numpy PQ: codebooks straight from the collected
+    codebook table, codes by brute-force argmin, ADC by explicit
+    reconstruction."""
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings")
+    rows = emb.select(
+        "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
+    ).collect()
+    X = {r["vec_id"]: np.array(r["qemb"], dtype=np.int64) for r in rows}
+    cb_rows = _pq_codebooks(emb).collect()
+    C = np.zeros((PQ_SUBS, PQ_CODES, PQ_DIMS), dtype=np.int64)
+    for r in cb_rows:
+        C[r["sub"], r["code_id"]] = np.array(r["cw"], dtype=np.int64)
+    codes = {}
+    for vid, x in X.items():
+        xs = x.reshape(PQ_SUBS, PQ_DIMS)
+        d = ((xs[:, None, :] - C) ** 2).sum(axis=2)
+        codes[vid] = d.argmin(axis=1)
+    return X, C, codes
+
+
+def test_pq_pack_roundtrip(spark):
+    """pqcode unpacks (shift/mask) to exactly the per-subspace argmin
+    codes an independent numpy pass computes."""
+    _, _, codes_df, _ = _pq_parts(spark, SF_DIR_SMALL)
+    got = {r["vec_id"]: r["pqcode"] for r in codes_df.collect()}
+    _, _, want = _numpy_reference(spark, SF_DIR_SMALL)
+    assert set(got) == set(want) and len(got) > 0
+    for vid, pq in got.items():
+        unpacked = [(pq >> (4 * s)) & 15 for s in range(PQ_SUBS)]
+        assert unpacked == list(want[vid]), vid
+        assert 0 <= pq < (1 << (4 * PQ_SUBS))
+
+
+def test_pq_adc_is_exact_reconstruction_distance(spark):
+    """ADC identity: adist(q, n) == ||qemb(q) - reconstruction(n)||^2
+    exactly (integer), where reconstruction(n) concatenates n's
+    codewords. The lookup-table path must introduce zero error beyond
+    quantization itself."""
+    import numpy as np
+
+    qemb, cb, codes_df, sample = _pq_parts(spark, SF_DIR_SMALL)
+    cands = _pq_adc_cands(codes_df, _pq_dtab(sample, cb)).collect()
+    assert len(cands) > 0
+    X, C, codes = _numpy_reference(spark, SF_DIR_SMALL)
+    for r in cands:
+        recon = np.concatenate(
+            [C[s, codes[r["neighbor_id"]][s]] for s in range(PQ_SUBS)]
+        )
+        want = int(((X[r["query_id"]] - recon) ** 2).sum())
+        assert r["adist"] == want, (r["query_id"], r["neighbor_id"])
+
+
+def test_pq_encode_passthrough_and_broadcast_plan(spark):
+    """The encode pass preserves every input column and row; the ADC
+    candidate pass broadcasts the query tables (no shuffle join of the
+    corpus against the sample)."""
+    emb = table(spark, SF_DIR_SMALL, "embeddings")
+    qemb = emb.select(
+        "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
+    )
+    cb = _pq_codebooks(emb)
+    out = _pq_encode(qemb, cb)
+    assert out.columns == ["vec_id", "qemb", "pqcode"]
+    assert out.count() == qemb.count()
+
+    codes = out.select("vec_id", "pqcode")
+    _, _, _, sample = _pq_parts(spark, SF_DIR_SMALL)
+    plan = _pq_adc_cands(codes, _pq_dtab(sample, cb))._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan

@@ -1881,3 +1881,424 @@ def sim_ivf_trained_nprobe4_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe2 path reads, recovering most of its recall (SCALE.md
     round-9 table)."""
     return _trained_probe_topk(*_trained_index(spark, sf_dir), nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory side of the 100 TB ANN story.
+# IVF/LSH bound the ROWS a probe reads; PQ bounds the BYTES each row
+# costs: the 64-dim vector splits into PQ_SUBS subspaces, each encoded
+# as its nearest of PQ_CODES codewords, and the 4-bit codes pack into
+# ONE BIGINT (8 subs x 4 bits = 32 bits). A 10^9-vector corpus indexes
+# in ~8 GB — broadcastable to every executor — where the raw float
+# vectors need ~256 GB; the ADC serving scan reads the single pqcode
+# column (parquet-pruned), ~30x less IO than a raw-vector scan.
+# Asymmetric distance (ADC): the QUERY stays unquantized; per query a
+# PQ_SUBS x PQ_CODES table of exact integer sub-distances broadcasts,
+# and each candidate's distance is PQ_SUBS table lookups — no vector
+# arithmetic in the corpus-scale pass. (Jegou, Douze, Schmid,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011 —
+# public reference; this family is beyond the reference engine's own
+# surface, like the rest of the similarity module.)
+#
+# Exactness for the oracle: codewords are slices of hash-seeded
+# QUANTIZED vectors, so every sub-distance is an exact integer in both
+# engines (max per-sub distance 8 * 2000^2 = 3.2e7 << 2^53) and
+# ADC distance = ||q - reconstruction(code)||^2 exactly, ties broken
+# on (distance, code_id) / (adist, neighbor_id).
+# ---------------------------------------------------------------------------
+
+PQ_SUBS = 8
+PQ_DIMS = EMBED_DIMS // PQ_SUBS  # 8 dims per subspace
+PQ_CODES = 16  # 4-bit codes: 8 subs x 4 bits pack into one BIGINT
+
+
+def _pq_codebooks(emb: DataFrame) -> DataFrame:
+    """(sub, code_id, cw): per-subspace codebooks sliced from the
+    PQ_CODES hash-seeded quantized vectors (the `_centroids` sampling
+    hash, so seed choice is engine-identical). code_id is the DENSE
+    rank 0..PQ_CODES-1 in hash order — the packing positions.
+    The row_number window sorts only the PQ_CODES-row limit result."""
+    h = ((F.col("vec_id") % _H_P) * _H_A + _H_C) % _H_M
+    seeds = (
+        emb.select(
+            "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
+        )
+        .orderBy(h.alias("h"), "vec_id")
+        .limit(PQ_CODES)
+    )
+    w = Window.orderBy(
+        (((F.col("vec_id") % _H_P) * _H_A + _H_C) % _H_M), "vec_id"
+    )
+    seeds = seeds.withColumn(
+        "code_id", (F.row_number().over(w) - 1).cast("long")
+    )
+    slices = F.array(
+        *[
+            F.slice("qemb", s * PQ_DIMS + 1, PQ_DIMS)
+            for s in range(PQ_SUBS)
+        ]
+    )
+    return seeds.select(
+        "code_id", F.posexplode(slices).alias("sub", "cw")
+    ).select("sub", "code_id", "cw")
+
+
+def _pq_encode(vecs: DataFrame, cb: DataFrame) -> DataFrame:
+    """Appends ``pqcode`` (the packed PQ code word) to every input row
+    in ONE corpus pass: a cogrouped-pandas kernel computes all PQ_SUBS
+    argmins per vector from a reshaped (subs, codes, dims) codebook
+    tensor — the `_assign_blas` discipline (corpus never shuffles; the
+    tiny codebook replicates to every slice). Distances are exact
+    integers in float64; np.argmin's first-minimum over code_id-sorted
+    codewords reproduces the (dist, code_id) tie-break.
+
+    ``vecs`` must carry ``vec_id`` and ``qemb``; all columns pass
+    through."""
+    import numpy as np
+    import pandas as pd
+
+    n_parts = 64
+    out_cols = [f.name for f in vecs.schema.fields]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in vecs.schema.fields
+    ) + ", pqcode bigint"
+
+    def encode(key, vpdf, cpdf):
+        vpdf = vpdf[out_cols]
+        if len(vpdf) == 0:
+            return vpdf.assign(pqcode=pd.Series([], dtype="int64"))
+        if len(cpdf) == 0:
+            raise ValueError(
+                "_pq_encode: non-empty vector slice cogrouped with an "
+                "empty codebook table — nothing to encode with"
+            )
+        cpdf = cpdf.sort_values(["sub", "code_id"], kind="stable")
+        n_codes = len(cpdf) // PQ_SUBS
+        C = np.array(cpdf["cw"].tolist(), dtype=np.float64).reshape(
+            PQ_SUBS, n_codes, PQ_DIMS
+        )
+        X = np.array(vpdf["qemb"].tolist(), dtype=np.float64).reshape(
+            len(vpdf), PQ_SUBS, PQ_DIMS
+        )
+        d = ((X[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3)
+        codes = np.argmin(d, axis=2)  # first min = lowest code_id
+        weights = (1 << (4 * np.arange(PQ_SUBS, dtype=np.int64)))
+        pq = (codes.astype(np.int64) * weights[None, :]).sum(axis=1)
+        return vpdf.assign(pqcode=pq)
+
+    spark = vecs.sparkSession
+    v = vecs.withColumn("pk", F.pmod(F.xxhash64("vec_id"), F.lit(n_parts)))
+    c = cb.select("sub", "code_id", "cw").crossJoin(
+        F.broadcast(spark.range(n_parts).select(F.col("id").alias("pk")))
+    )
+    return (
+        v.groupBy("pk")
+        .cogroup(c.groupBy("pk"))
+        .applyInPandas(encode, out_schema)
+    )
+
+
+def _pq_sub_dist(qq_col, cw_col, sub_col):
+    """Exact integer squared-L2 between one subspace slice of a
+    quantized vector and a codeword — the shared distance both the
+    encoder audit and the ADC tables use."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(qq_col, sub_col * PQ_DIMS + 1, PQ_DIMS),
+            cw_col,
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_dtab(sample: DataFrame, cb: DataFrame) -> DataFrame:
+    """Per-query ADC distance tables: (query_id, dt) where dt is the
+    PQ_SUBS x PQ_CODES nested array of exact integer sub-distances
+    from the query's subvector to every codeword. Built on the tiny
+    query sample (<= 40 rows x 128 codewords); broadcast downstream.
+    Nested collect_list order is canonicalized by array_sort over
+    (code_id,·) / (sub,·) structs — both keys unique."""
+    per = sample.crossJoin(F.broadcast(cb)).select(
+        "query_id",
+        "sub",
+        "code_id",
+        _pq_sub_dist(F.col("qq"), F.col("cw"), F.col("sub")).alias("d"),
+    )
+    per_sub = per.groupBy("query_id", "sub").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("code_id", "d"))),
+            lambda s: s["d"],
+        ).alias("row")
+    )
+    return per_sub.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "row"))),
+            lambda s: s["row"],
+        ).alias("dt")
+    )
+
+
+def _pq_adc_cands(codes: DataFrame, dtab: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, adist): ADC distance of every encoded
+    corpus row to every sampled query — the corpus-scale pass of PQ
+    serving. Pure projection over (pqcode x broadcast dtab): unpack
+    sub s's 4-bit code with shift/mask, look up its pre-computed
+    sub-distance, sum the PQ_SUBS terms. No vector math, no shuffle
+    until the top-k window."""
+    import functools
+    import operator
+
+    terms = [
+        F.element_at(
+            F.element_at(F.col("dt"), s + 1),
+            (
+                F.shiftright(F.col("pqcode"), 4 * s).bitwiseAND(F.lit(15))
+            ).cast("int")
+            + 1,
+        )
+        for s in range(PQ_SUBS)
+    ]
+    adist = functools.reduce(operator.add, terms)
+    return (
+        codes.crossJoin(F.broadcast(dtab))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adist.alias("adist"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+
+
+def _pq_parts(spark: SparkSession, sf_dir: str):
+    """Shared build: (qemb, cb, codes, sample) — codebooks from the
+    hash seeds, the one-pass packed encode, and the fixed query
+    sample carrying raw + quantized forms."""
+    emb = table(spark, sf_dir, "embeddings")
+    qemb = emb.select(
+        "vec_id",
+        "embedding",
+        quantize_embedding(F.col("embedding")).alias("qemb"),
+    )
+    cb = _pq_codebooks(emb)
+    codes = _pq_encode(qemb.select("vec_id", "qemb"), cb).select(
+        "vec_id", "pqcode"
+    )
+    sample = _sample_filter(qemb).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("qemb").alias("qq"),
+    )
+    return qemb, cb, codes, sample
+
+
+def _pq_cte(prefix: str = "") -> str:
+    """DuckDB twin of the PQ build: hash-seeded codebooks (dense
+    code_id = rank in hash order), per-(vector, sub, codeword) exact
+    integer distances, argmin codes, 4-bit packing into one BIGINT.
+    ``prefix`` renames the internal CTEs so the fragment composes with
+    oracles that already bind the bare names (the IVF fragments)."""
+    p = prefix
+    return f"""{p}pqv AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+                            x -> CAST(FLOOR(x::DOUBLE * 1000.0) AS BIGINT)) AS qemb
+      FROM embeddings
+    ), {p}seeds AS (
+      SELECT vec_id, qemb,
+             CAST(ROW_NUMBER() OVER (ORDER BY {_CENT_HASH_SQL}, vec_id) AS BIGINT) - 1 AS code_id
+      FROM {p}pqv
+      QUALIFY code_id < {PQ_CODES}
+    ), {p}cb AS (
+      SELECT t.sub, s.code_id,
+             s.qemb[t.sub * {PQ_DIMS} + 1 : (t.sub + 1) * {PQ_DIMS}] AS cw
+      FROM {p}seeds s, range({PQ_SUBS}) t(sub)
+    ), {p}ed AS (
+      SELECT v.vec_id, c.sub, c.code_id,
+             CAST(list_sum(list_transform(
+                    v.qemb[c.sub * {PQ_DIMS} + 1 : (c.sub + 1) * {PQ_DIMS}],
+                    (x, i) -> (x - c.cw[i]) * (x - c.cw[i]))) AS BIGINT) AS d
+      FROM {p}pqv v, {p}cb c
+    ), {p}codes AS (
+      SELECT vec_id, sub, code_id
+      FROM (SELECT vec_id, sub, code_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d, code_id) AS rn
+            FROM {p}ed)
+      WHERE rn = 1
+    ), {p}packed AS (
+      SELECT vec_id,
+             CAST(SUM(code_id * (CAST(1 AS BIGINT) << (4 * sub))) AS BIGINT) AS pqcode
+      FROM {p}codes GROUP BY vec_id
+    )"""
+
+
+def _pq_adc_sql() -> str:
+    """CTE tail over `_pq_cte`: per-query ADC tables on the fixed
+    sample and the summed lookup distance per (query, corpus row)."""
+    return f"""qs AS (
+      SELECT vec_id AS query_id, embedding AS qe, qemb AS qq
+      FROM pqv WHERE {_QUERY_SAMPLE_SQL}
+    ), dt AS (
+      SELECT qs.query_id, c.sub, c.code_id,
+             CAST(list_sum(list_transform(
+                    qs.qq[c.sub * {PQ_DIMS} + 1 : (c.sub + 1) * {PQ_DIMS}],
+                    (x, i) -> (x - c.cw[i]) * (x - c.cw[i]))) AS BIGINT) AS d
+      FROM qs, cb c
+    ), ad AS (
+      SELECT dt.query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(dt.d) AS BIGINT) AS adist
+      FROM codes c JOIN dt ON c.sub = dt.sub AND c.code_id = dt.code_id
+      WHERE c.vec_id <> dt.query_id
+      GROUP BY dt.query_id, c.vec_id
+    )"""
+
+
+@query(
+    "sim_pq_codebooks",
+    oracle="WITH "
+    + _pq_cte()
+    + f"""
+    SELECT sub, code_id, t.dim, cw[t.dim + 1] AS val
+    FROM cb, range({PQ_DIMS}) t(dim)
+    ORDER BY sub, code_id, dim
+    """,
+    tags=("similarity", "pq", "ann"),
+)
+def sim_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ codebook tensor, exploded to (sub, code_id, dim, val) for
+    exact audit: PQ_SUBS x PQ_CODES codewords of PQ_DIMS quantized
+    values each. Seeding reuses the centroid-sampling hash, so the
+    codebooks — like the IVF cells — are a deterministic function of
+    the corpus both engines agree on."""
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        _pq_codebooks(emb)
+        .select("sub", "code_id", F.posexplode("cw").alias("dim", "val"))
+        .orderBy("sub", "code_id", "dim")
+    )
+
+
+@query(
+    "sim_pq_encode",
+    oracle="WITH "
+    + _pq_cte()
+    + """
+    SELECT vec_id, pqcode FROM packed ORDER BY vec_id
+    """,
+    tags=("similarity", "pq", "ann"),
+)
+def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed PQ index: every 64-dim vector compressed to ONE
+    BIGINT (8 subspace codes x 4 bits). This is the 100 TB memory
+    story — the serving index is 8 bytes/vector (10^9 vectors ~ 8 GB,
+    broadcastable), vs 256 bytes for the raw float32 vectors — and the
+    build is one cogrouped-Arrow corpus pass against a broadcast
+    128-row codebook."""
+    _, _, codes, _ = _pq_parts(spark, sf_dir)
+    return codes.orderBy("vec_id")
+
+
+@query(
+    "sim_pq_adc_topk",
+    oracle="WITH "
+    + _pq_cte()
+    + ", "
+    + _pq_adc_sql()
+    + """
+    SELECT query_id, neighbor_id, adist, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adist, neighbor_id) AS rn
+      FROM ad)
+    WHERE rn <= 3
+    ORDER BY query_id, rn
+    """,
+    tags=("similarity", "pq", "ann"),
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-3 from the packed PQ index alone: per
+    query a PQ_SUBS x PQ_CODES integer distance table broadcasts, and
+    the corpus-scale pass is PQ_SUBS shift/mask lookups per row over
+    the 8-byte pqcode column — no vector arithmetic, no raw-vector IO.
+    The scan is linear in n (this is the un-celled form; sim_ivfpq_topk
+    composes PQ with the derived-K cells for sub-linear rows), but each
+    row costs ~8 bytes of input and ~8 adds."""
+    _, cb, codes, sample = _pq_parts(spark, sf_dir)
+    cands = _pq_adc_cands(codes, _pq_dtab(sample, cb))
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("query_id", "rn")
+    )
+
+
+@query(
+    "sim_pq_rerank_topk",
+    oracle="WITH "
+    + _pq_cte()
+    + ", "
+    + _pq_adc_sql()
+    + """
+    , short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adist, neighbor_id) AS rn
+        FROM ad)
+      WHERE rn <= 10
+    )
+    SELECT query_id, neighbor_id, sim, rn FROM (
+      SELECT s.query_id, s.neighbor_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                          qs.qe::DOUBLE[]), 4) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY s.query_id
+               ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                     qs.qe::DOUBLE[]), 4) DESC,
+                        s.neighbor_id) AS rn
+      FROM short s
+      JOIN embeddings e ON e.vec_id = s.neighbor_id
+      JOIN qs ON qs.query_id = s.query_id)
+    WHERE rn <= 3
+    ORDER BY query_id, rn
+    """,
+    tags=("similarity", "pq", "ann"),
+)
+def sim_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ serving: ADC shortlists 10 candidates per query
+    from the 8-byte codes, then ONLY the shortlist (<= 400 rows) pays
+    for raw-vector IO — an exact cosine re-rank to top-3. This is the
+    standard compressed-index serving shape: the corpus-scale pass
+    never touches a float vector, and the exact pass is
+    shortlist-bounded. Output is schema-identical to
+    sim_ann_brute_topk, so recall is directly comparable."""
+    emb = table(spark, sf_dir, "embeddings")
+    _, cb, codes, sample = _pq_parts(spark, sf_dir)
+    cands = _pq_adc_cands(codes, _pq_dtab(sample, cb))
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    short = (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    nb = emb.join(
+        F.broadcast(short), emb.vec_id == F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", "embedding")
+    re = nb.join(
+        F.broadcast(sample.select("query_id", "qe")), "query_id"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine_similarity(F.col("embedding"), F.col("qe")), 4
+        ).alias("sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+    return (
+        re.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 3)
+        .orderBy("query_id", "rn")
+    )
