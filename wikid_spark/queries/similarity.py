@@ -794,249 +794,6 @@ def _lloyd_derived_oracle(rounds: int, nprobe: int = 1) -> str:
     )
 
 
-# ---------------------------------------------------------------------------
-# Recall audit — the knob that justifies every approximate path above.
-# Exact brute-force is the contract (the same way FTS5 MATCH is exact);
-# each ANN variant trades candidates-scanned for recall, and this query
-# makes that trade measurable: recall@3 of each method's top-3 against
-# the brute-force top-3 on the SAME query sample. At 100 TB this runs on
-# a held-out sample; the plan is three bucket/cell equi-joins plus one
-# broadcast brute pass over the sample — nothing quadratic in the corpus.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "sim_recall_report",
-    oracle=f"""
-    WITH {_BUCKETS_CTE}, qv AS (
-      SELECT vec_id, embedding,
-             list_transform(embedding,
-                            x -> CAST(FLOOR(x::DOUBLE * 1000.0) AS BIGINT)) AS qemb
-      FROM embeddings
-    ), cents AS (
-      SELECT vec_id AS cent_id, qemb AS cemb FROM qv
-      ORDER BY {_CENT_HASH_SQL}, vec_id
-      LIMIT {N_CENTROIDS}
-    ), dists AS (
-      SELECT qv.vec_id, qv.embedding, cents.cent_id,
-             ROW_NUMBER() OVER (PARTITION BY qv.vec_id
-                                ORDER BY CAST(list_sum(list_transform(qv.qemb,
-                                  (x, i) -> (x - cents.cemb[i]) * (x - cents.cemb[i])))
-                                  AS BIGINT), cents.cent_id) AS rn
-      FROM qv, cents
-    ), assigned AS (
-      SELECT d.vec_id, e.embedding, d.cent_id
-      FROM dists d JOIN embeddings e ON e.vec_id = d.vec_id
-      WHERE d.rn = 1
-    ), bq AS (
-      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000
-    ), brute AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT bq.query_id, e.vec_id AS neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY bq.query_id
-                 ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], bq.qe::DOUBLE[]), 4) DESC,
-                          e.vec_id) AS rn
-        FROM embeddings e, bq WHERE e.vec_id <> bq.query_id)
-      WHERE rn <= 3
-    ), lq AS (
-      SELECT e.vec_id AS query_id, e.embedding AS qe, b.bucket
-      FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
-      WHERE e.vec_id % 50 = 0 AND e.vec_id < 2000
-    ), lsh3 AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT lq.query_id, e.vec_id AS neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY lq.query_id
-                 ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], lq.qe::DOUBLE[]), 4) DESC,
-                          e.vec_id) AS rn
-        FROM lq
-        JOIN buckets b ON b.bucket = lq.bucket
-        JOIN embeddings e ON e.vec_id = b.vec_id
-        WHERE e.vec_id <> lq.query_id)
-      WHERE rn <= 3
-    ), iq AS (
-      SELECT vec_id AS query_id, embedding AS qe, cent_id AS qcell
-      FROM assigned WHERE vec_id % 50 = 0 AND vec_id < 2000
-    ), ivf1 AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT iq.query_id, a.vec_id AS neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY iq.query_id
-                 ORDER BY ROUND(list_cosine_similarity(a.embedding::DOUBLE[], iq.qe::DOUBLE[]), 4) DESC,
-                          a.vec_id) AS rn
-        FROM iq JOIN assigned a ON a.cent_id = iq.qcell
-        WHERE a.vec_id <> iq.query_id)
-      WHERE rn <= 3
-    ), probes AS (
-      SELECT d.vec_id AS query_id, e.embedding AS qe, d.cent_id AS pcell
-      FROM dists d JOIN embeddings e ON e.vec_id = d.vec_id
-      WHERE d.rn <= 2 AND d.vec_id % 50 = 0 AND d.vec_id < 2000
-    ), ivf2 AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT query_id, neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY sim DESC, neighbor_id) AS rn
-        FROM (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
-                     ROUND(list_cosine_similarity(a.embedding::DOUBLE[], p.qe::DOUBLE[]), 4) AS sim
-              FROM probes p JOIN assigned a ON a.cent_id = p.pcell
-              WHERE a.vec_id <> p.query_id))
-      WHERE rn <= 3
-    ), ra1 AS (
-      SELECT d.vec_id, qv.qemb, d.cent_id
-      FROM dists d JOIN qv ON qv.vec_id = d.vec_id
-      WHERE d.rn = 1
-    ), rdims AS (
-      SELECT cent_id, dd, qemb[dd + 1] AS x FROM ra1, range({EMBED_DIMS}) t(dd)
-    ), rsums AS (
-      SELECT cent_id, dd, CAST(SUM(x) AS BIGINT) AS s
-      FROM rdims GROUP BY cent_id, dd
-    ), rcounts AS (
-      SELECT cent_id, COUNT(*) AS n FROM ra1 GROUP BY cent_id
-    ), rnewc AS (
-      SELECT s.cent_id,
-             list(CAST(FLOOR(s::DOUBLE / c.n) AS BIGINT) ORDER BY dd) AS cemb
-      FROM rsums s JOIN rcounts c ON s.cent_id = c.cent_id
-      GROUP BY s.cent_id
-    ), rd2 AS (
-      SELECT qv.vec_id, qv.embedding, nc.cent_id,
-             CAST(list_sum(list_transform(qv.qemb,
-                    (x, i) -> (x - nc.cemb[i]) * (x - nc.cemb[i])))
-                  AS BIGINT) AS dist
-      FROM qv, rnewc nc
-    ), ra2 AS (
-      SELECT vec_id, embedding, cent_id
-      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                         ORDER BY dist, cent_id) AS rn
-            FROM rd2)
-      WHERE rn = 1
-    ), rq AS (
-      SELECT vec_id AS query_id, embedding AS qe, cent_id AS qcell
-      FROM ra2 WHERE vec_id % 50 = 0 AND vec_id < 2000
-    ), refined3 AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT rq.query_id, a.vec_id AS neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY rq.query_id
-                 ORDER BY ROUND(list_cosine_similarity(a.embedding::DOUBLE[], rq.qe::DOUBLE[]), 4) DESC,
-                          a.vec_id) AS rn
-        FROM rq JOIN ra2 a ON a.cent_id = rq.qcell
-        WHERE a.vec_id <> rq.query_id)
-      WHERE rn <= 3
-    ), mplanes AS (
-      SELECT vec_id, t, p,
-             SUM(x * (((17 * p + (31 + t) * d) % 7) - 3)) AS dot_p
-      FROM dims, range({N_PLANES}) u(p), range({N_TABLES}) v(t)
-      GROUP BY vec_id, t, p
-    ), mbuckets AS (
-      SELECT vec_id, t,
-             CAST(SUM(CASE WHEN dot_p >= 0 THEN POWER(2, p)::BIGINT ELSE 0 END)
-                  AS BIGINT) AS bucket
-      FROM mplanes GROUP BY vec_id, t
-    ), mq AS (
-      SELECT b.vec_id AS query_id, e.embedding AS qe, b.t, b.bucket
-      FROM mbuckets b JOIN embeddings e ON e.vec_id = b.vec_id
-      WHERE b.vec_id % 50 = 0 AND b.vec_id < 2000
-    ), mt3 AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT query_id, neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY sim DESC, neighbor_id) AS rn
-        FROM (SELECT DISTINCT mq.query_id, e.vec_id AS neighbor_id,
-                     ROUND(list_cosine_similarity(e.embedding::DOUBLE[], mq.qe::DOUBLE[]), 4) AS sim
-              FROM mq JOIN mbuckets b ON b.t = mq.t AND b.bucket = mq.bucket
-              JOIN embeddings e ON e.vec_id = b.vec_id
-              WHERE e.vec_id <> mq.query_id))
-      WHERE rn <= 3
-    ), {ivf_derived_cte(prefix="dk_")}, dkq AS (
-      SELECT vec_id AS query_id, embedding AS qe, cent_id AS qcell
-      FROM dk_assigned
-      WHERE cent_rank = 1 AND vec_id % 50 = 0 AND vec_id < 2000
-    ), dk3 AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT dkq.query_id, a.vec_id AS neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY dkq.query_id
-                 ORDER BY ROUND(list_cosine_similarity(a.embedding::DOUBLE[], dkq.qe::DOUBLE[]), 4) DESC,
-                          a.vec_id) AS rn
-        FROM dkq JOIN dk_assigned a ON a.cent_id = dkq.qcell
-        WHERE a.vec_id <> dkq.query_id)
-      WHERE rn <= 3
-    ), {_lloyd_trained_fragment(TRAINED_DERIVED_ROUNDS, prefix="tr_")},
-    {_trained_probe_sql(1, prefix="tr1_", src="tr_")},
-    {_trained_probe_sql(2, prefix="tr2_", src="tr_")},
-    {_trained_probe_sql(4, prefix="tr4_", src="tr_")},
-    methods AS (
-      SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh3
-      UNION ALL SELECT 'lsh_multitable', query_id, neighbor_id FROM mt3
-      UNION ALL SELECT 'ivf_nprobe1', query_id, neighbor_id FROM ivf1
-      UNION ALL SELECT 'ivf_nprobe2', query_id, neighbor_id FROM ivf2
-      UNION ALL SELECT 'ivf_refined', query_id, neighbor_id FROM refined3
-      UNION ALL SELECT 'ivf_derived_k', query_id, neighbor_id FROM dk3
-      UNION ALL SELECT 'ivf_trained_np1', query_id, neighbor_id FROM tr1_top3
-      UNION ALL SELECT 'ivf_trained_np2', query_id, neighbor_id FROM tr2_top3
-      UNION ALL SELECT 'ivf_trained_np4', query_id, neighbor_id FROM tr4_top3
-    ), hits AS (
-      SELECT m.method, COUNT(b.neighbor_id) AS n_hits
-      FROM methods m
-      LEFT JOIN brute b
-        ON m.query_id = b.query_id AND m.neighbor_id = b.neighbor_id
-      GROUP BY m.method
-    ), tot AS (SELECT COUNT(*) AS n_brute FROM brute)
-    SELECT method, CAST(n_hits AS BIGINT) AS n_hits,
-           CAST(n_brute AS BIGINT) AS n_brute,
-           ROUND(n_hits * 1.0 / n_brute, 4) AS recall_at_3
-    FROM hits, tot
-    ORDER BY method
-    """,
-    tags=("similarity", "ann", "recall"),
-)
-def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@3 of every approximate ANN path against the brute-force
-    baseline on the shared query sample (vec_id % 50 = 0 AND vec_id < 2000). Composes the
-    registered method queries directly — the trained multi-probe
-    family through the same `_trained_index`/`_trained_probe_topk`
-    pair the registered queries call (trained ONCE here, three probe
-    depths served from it) — so the report can never drift from what
-    the methods actually return. One row per method:
-    (method, n_hits, n_brute, recall_at_3)."""
-    brute = sim_ann_brute_topk(spark, sf_dir).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
-    )
-    methods = None
-    for name, fn in (
-        ("lsh", sim_lsh_ann_topk),
-        ("lsh_multitable", sim_lsh_multitable_topk),
-        ("ivf_nprobe1", sim_ivf_ann_topk),
-        ("ivf_nprobe2", sim_ivf_ann_topk_nprobe2),
-        ("ivf_refined", sim_ivf_refined_topk),
-        ("ivf_derived_k", sim_ivf_derived_topk),
-    ):
-        part = fn(spark, sf_dir).select(
-            F.lit(name).alias("method"), "query_id", "neighbor_id"
-        )
-        methods = part if methods is None else methods.unionAll(part)
-    trained = _trained_index(spark, sf_dir)
-    for np_ in (1, 2, 4):
-        part = _trained_probe_topk(*trained, nprobe=np_).select(
-            F.lit(f"ivf_trained_np{np_}").alias("method"),
-            "query_id",
-            "neighbor_id",
-        )
-        methods = methods.unionAll(part)
-    hits = (
-        methods.join(brute, on=["query_id", "neighbor_id"], how="left")
-        .groupBy("method")
-        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
-    )
-    tot = brute.agg(F.count(F.lit(1)).alias("n_brute"))
-    return (
-        hits.crossJoin(F.broadcast(tot))
-        .select(
-            "method",
-            F.col("n_hits").cast("long").alias("n_hits"),
-            F.col("n_brute").cast("long").alias("n_brute"),
-            F.round(F.col("n_hits") / F.col("n_brute"), 4).alias("recall_at_3"),
-        )
-        .orderBy("method")
-    )
-
-
 @query(
     "sim_group_centroids",
     oracle="""
@@ -2227,29 +1984,31 @@ def _pq_cte(prefix: str = "", train_rounds: int = 0) -> str:
     )"""
 
 
-def _pq_query_sql() -> str:
-    """CTE fragment over `_pq_cte`: the fixed query sample and its
-    per-query ADC distance tables — shared by the flat-scan serving
-    (`_pq_adc_sql`) and the celled IVF-PQ probe."""
-    return f"""qs AS (
+def _pq_query_sql(prefix: str = "") -> str:
+    """CTE fragment over `_pq_cte` (same ``prefix``): the fixed query
+    sample and its per-query ADC distance tables — shared by the
+    flat-scan serving (`_pq_adc_sql`) and the celled IVF-PQ probe."""
+    p = prefix
+    return f"""{p}qs AS (
       SELECT vec_id AS query_id, embedding AS qe, qemb AS qq
-      FROM pqv WHERE {_QUERY_SAMPLE_SQL}
-    ), dt AS (
-      SELECT qs.query_id, c.sub, c.code_id,
+      FROM {p}pqv WHERE {_QUERY_SAMPLE_SQL}
+    ), {p}dt AS (
+      SELECT q.query_id, c.sub, c.code_id,
              CAST(list_sum(list_transform(
-                    qs.qq[c.sub * {PQ_DIMS} + 1 : (c.sub + 1) * {PQ_DIMS}],
+                    q.qq[c.sub * {PQ_DIMS} + 1 : (c.sub + 1) * {PQ_DIMS}],
                     (x, i) -> (x - c.cw[i]) * (x - c.cw[i]))) AS BIGINT) AS d
-      FROM qs, cb c
+      FROM {p}qs q, {p}cb c
     )"""
 
 
-def _pq_adc_sql() -> str:
+def _pq_adc_sql(prefix: str = "") -> str:
     """CTE tail over `_pq_cte`: the summed lookup distance per
     (query, corpus row) — the un-celled full ADC scan."""
-    return _pq_query_sql() + f""", ad AS (
+    p = prefix
+    return _pq_query_sql(prefix) + f""", {p}ad AS (
       SELECT dt.query_id, c.vec_id AS neighbor_id,
              CAST(SUM(dt.d) AS BIGINT) AS adist
-      FROM codes c JOIN dt ON c.sub = dt.sub AND c.code_id = dt.code_id
+      FROM {p}codes c JOIN {p}dt dt ON c.sub = dt.sub AND c.code_id = dt.code_id
       WHERE c.vec_id <> dt.query_id
       GROUP BY dt.query_id, c.vec_id
     )"""
@@ -2589,4 +2348,331 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         re.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= 3)
         .orderBy("query_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recall audit — the knob that justifies every approximate path above.
+# Exact brute-force is the contract (the same way FTS5 MATCH is exact);
+# each ANN variant trades candidates-scanned for recall, and this query
+# makes that trade measurable: recall@3 of each method's top-3 against
+# the brute-force top-3 on the SAME query sample. At 100 TB this runs on
+# a held-out sample; the plan is three bucket/cell equi-joins plus one
+# broadcast brute pass over the sample — nothing quadratic in the corpus.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_recall_report",
+    oracle=f"""
+    WITH {_BUCKETS_CTE}, qv AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+                            x -> CAST(FLOOR(x::DOUBLE * 1000.0) AS BIGINT)) AS qemb
+      FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cent_id, qemb AS cemb FROM qv
+      ORDER BY {_CENT_HASH_SQL}, vec_id
+      LIMIT {N_CENTROIDS}
+    ), dists AS (
+      SELECT qv.vec_id, qv.embedding, cents.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY qv.vec_id
+                                ORDER BY CAST(list_sum(list_transform(qv.qemb,
+                                  (x, i) -> (x - cents.cemb[i]) * (x - cents.cemb[i])))
+                                  AS BIGINT), cents.cent_id) AS rn
+      FROM qv, cents
+    ), assigned AS (
+      SELECT d.vec_id, e.embedding, d.cent_id
+      FROM dists d JOIN embeddings e ON e.vec_id = d.vec_id
+      WHERE d.rn = 1
+    ), bq AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000
+    ), brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT bq.query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY bq.query_id
+                 ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], bq.qe::DOUBLE[]), 4) DESC,
+                          e.vec_id) AS rn
+        FROM embeddings e, bq WHERE e.vec_id <> bq.query_id)
+      WHERE rn <= 3
+    ), lq AS (
+      SELECT e.vec_id AS query_id, e.embedding AS qe, b.bucket
+      FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+      WHERE e.vec_id % 50 = 0 AND e.vec_id < 2000
+    ), lsh3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT lq.query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY lq.query_id
+                 ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], lq.qe::DOUBLE[]), 4) DESC,
+                          e.vec_id) AS rn
+        FROM lq
+        JOIN buckets b ON b.bucket = lq.bucket
+        JOIN embeddings e ON e.vec_id = b.vec_id
+        WHERE e.vec_id <> lq.query_id)
+      WHERE rn <= 3
+    ), iq AS (
+      SELECT vec_id AS query_id, embedding AS qe, cent_id AS qcell
+      FROM assigned WHERE vec_id % 50 = 0 AND vec_id < 2000
+    ), ivf1 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT iq.query_id, a.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY iq.query_id
+                 ORDER BY ROUND(list_cosine_similarity(a.embedding::DOUBLE[], iq.qe::DOUBLE[]), 4) DESC,
+                          a.vec_id) AS rn
+        FROM iq JOIN assigned a ON a.cent_id = iq.qcell
+        WHERE a.vec_id <> iq.query_id)
+      WHERE rn <= 3
+    ), probes AS (
+      SELECT d.vec_id AS query_id, e.embedding AS qe, d.cent_id AS pcell
+      FROM dists d JOIN embeddings e ON e.vec_id = d.vec_id
+      WHERE d.rn <= 2 AND d.vec_id % 50 = 0 AND d.vec_id < 2000
+    ), ivf2 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rn
+        FROM (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+                     ROUND(list_cosine_similarity(a.embedding::DOUBLE[], p.qe::DOUBLE[]), 4) AS sim
+              FROM probes p JOIN assigned a ON a.cent_id = p.pcell
+              WHERE a.vec_id <> p.query_id))
+      WHERE rn <= 3
+    ), ra1 AS (
+      SELECT d.vec_id, qv.qemb, d.cent_id
+      FROM dists d JOIN qv ON qv.vec_id = d.vec_id
+      WHERE d.rn = 1
+    ), rdims AS (
+      SELECT cent_id, dd, qemb[dd + 1] AS x FROM ra1, range({EMBED_DIMS}) t(dd)
+    ), rsums AS (
+      SELECT cent_id, dd, CAST(SUM(x) AS BIGINT) AS s
+      FROM rdims GROUP BY cent_id, dd
+    ), rcounts AS (
+      SELECT cent_id, COUNT(*) AS n FROM ra1 GROUP BY cent_id
+    ), rnewc AS (
+      SELECT s.cent_id,
+             list(CAST(FLOOR(s::DOUBLE / c.n) AS BIGINT) ORDER BY dd) AS cemb
+      FROM rsums s JOIN rcounts c ON s.cent_id = c.cent_id
+      GROUP BY s.cent_id
+    ), rd2 AS (
+      SELECT qv.vec_id, qv.embedding, nc.cent_id,
+             CAST(list_sum(list_transform(qv.qemb,
+                    (x, i) -> (x - nc.cemb[i]) * (x - nc.cemb[i])))
+                  AS BIGINT) AS dist
+      FROM qv, rnewc nc
+    ), ra2 AS (
+      SELECT vec_id, embedding, cent_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cent_id) AS rn
+            FROM rd2)
+      WHERE rn = 1
+    ), rq AS (
+      SELECT vec_id AS query_id, embedding AS qe, cent_id AS qcell
+      FROM ra2 WHERE vec_id % 50 = 0 AND vec_id < 2000
+    ), refined3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT rq.query_id, a.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY rq.query_id
+                 ORDER BY ROUND(list_cosine_similarity(a.embedding::DOUBLE[], rq.qe::DOUBLE[]), 4) DESC,
+                          a.vec_id) AS rn
+        FROM rq JOIN ra2 a ON a.cent_id = rq.qcell
+        WHERE a.vec_id <> rq.query_id)
+      WHERE rn <= 3
+    ), mplanes AS (
+      SELECT vec_id, t, p,
+             SUM(x * (((17 * p + (31 + t) * d) % 7) - 3)) AS dot_p
+      FROM dims, range({N_PLANES}) u(p), range({N_TABLES}) v(t)
+      GROUP BY vec_id, t, p
+    ), mbuckets AS (
+      SELECT vec_id, t,
+             CAST(SUM(CASE WHEN dot_p >= 0 THEN POWER(2, p)::BIGINT ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM mplanes GROUP BY vec_id, t
+    ), mq AS (
+      SELECT b.vec_id AS query_id, e.embedding AS qe, b.t, b.bucket
+      FROM mbuckets b JOIN embeddings e ON e.vec_id = b.vec_id
+      WHERE b.vec_id % 50 = 0 AND b.vec_id < 2000
+    ), mt3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rn
+        FROM (SELECT DISTINCT mq.query_id, e.vec_id AS neighbor_id,
+                     ROUND(list_cosine_similarity(e.embedding::DOUBLE[], mq.qe::DOUBLE[]), 4) AS sim
+              FROM mq JOIN mbuckets b ON b.t = mq.t AND b.bucket = mq.bucket
+              JOIN embeddings e ON e.vec_id = b.vec_id
+              WHERE e.vec_id <> mq.query_id))
+      WHERE rn <= 3
+    ), {ivf_derived_cte(prefix="dk_")}, dkq AS (
+      SELECT vec_id AS query_id, embedding AS qe, cent_id AS qcell
+      FROM dk_assigned
+      WHERE cent_rank = 1 AND vec_id % 50 = 0 AND vec_id < 2000
+    ), dk3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT dkq.query_id, a.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY dkq.query_id
+                 ORDER BY ROUND(list_cosine_similarity(a.embedding::DOUBLE[], dkq.qe::DOUBLE[]), 4) DESC,
+                          a.vec_id) AS rn
+        FROM dkq JOIN dk_assigned a ON a.cent_id = dkq.qcell
+        WHERE a.vec_id <> dkq.query_id)
+      WHERE rn <= 3
+    ), {_lloyd_trained_fragment(TRAINED_DERIVED_ROUNDS, prefix="tr_")},
+    {_trained_probe_sql(1, prefix="tr1_", src="tr_")},
+    {_trained_probe_sql(2, prefix="tr2_", src="tr_")},
+    {_trained_probe_sql(4, prefix="tr4_", src="tr_")},
+    {_pq_cte()}, {_pq_adc_sql()},
+    pqshort AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adist, neighbor_id) AS rn
+        FROM ad)
+      WHERE rn <= 10
+    ), pq3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                 ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) DESC,
+                          s.neighbor_id) AS rn
+        FROM pqshort s
+        JOIN embeddings e ON e.vec_id = s.neighbor_id
+        JOIN qs q ON q.query_id = s.query_id)
+      WHERE rn <= 3
+    ),
+    {_pq_cte(prefix="tq_", train_rounds=PQ_TRAIN_ROUNDS)}, {_pq_adc_sql("tq_")},
+    tqshort AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adist, neighbor_id) AS rn
+        FROM tq_ad)
+      WHERE rn <= 50
+    ), tq3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                 ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) DESC,
+                          s.neighbor_id) AS rn
+        FROM tqshort s
+        JOIN embeddings e ON e.vec_id = s.neighbor_id
+        JOIN tq_qs q ON q.query_id = s.query_id)
+      WHERE rn <= 3
+    ), xpprobes AS (
+      SELECT query_id, cent_id AS pcell FROM (
+        SELECT q.query_id, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY CAST(list_sum(list_transform(q.qq,
+                          (x, i) -> (x - c.cemb[i]) * (x - c.cemb[i]))) AS BIGINT),
+                          c.cent_id) AS rn
+        FROM qs q, dk_cents c)
+      WHERE rn <= 2
+    ), xpcands AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM xpprobes p JOIN dk_assigned a ON a.cent_id = p.pcell
+      WHERE a.vec_id <> p.query_id
+    ), xpadc AS (
+      SELECT c.query_id, c.neighbor_id, CAST(SUM(dt.d) AS BIGINT) AS adist
+      FROM xpcands c
+      JOIN codes k ON k.vec_id = c.neighbor_id
+      JOIN dt ON dt.query_id = c.query_id AND dt.sub = k.sub AND dt.code_id = k.code_id
+      GROUP BY c.query_id, c.neighbor_id
+    ), xpshort AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adist, neighbor_id) AS rn
+        FROM xpadc)
+      WHERE rn <= 10
+    ), xp3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                 ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) DESC,
+                          s.neighbor_id) AS rn
+        FROM xpshort s
+        JOIN embeddings e ON e.vec_id = s.neighbor_id
+        JOIN qs q ON q.query_id = s.query_id)
+      WHERE rn <= 3
+    ),
+    methods AS (
+      SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh3
+      UNION ALL SELECT 'lsh_multitable', query_id, neighbor_id FROM mt3
+      UNION ALL SELECT 'ivf_nprobe1', query_id, neighbor_id FROM ivf1
+      UNION ALL SELECT 'ivf_nprobe2', query_id, neighbor_id FROM ivf2
+      UNION ALL SELECT 'ivf_refined', query_id, neighbor_id FROM refined3
+      UNION ALL SELECT 'ivf_derived_k', query_id, neighbor_id FROM dk3
+      UNION ALL SELECT 'ivf_trained_np1', query_id, neighbor_id FROM tr1_top3
+      UNION ALL SELECT 'ivf_trained_np2', query_id, neighbor_id FROM tr2_top3
+      UNION ALL SELECT 'ivf_trained_np4', query_id, neighbor_id FROM tr4_top3
+      UNION ALL SELECT 'pq_rerank', query_id, neighbor_id FROM pq3
+      UNION ALL SELECT 'pq_trained', query_id, neighbor_id FROM tq3
+      UNION ALL SELECT 'ivfpq', query_id, neighbor_id FROM xp3
+    ), hits AS (
+      SELECT m.method, COUNT(b.neighbor_id) AS n_hits
+      FROM methods m
+      LEFT JOIN brute b
+        ON m.query_id = b.query_id AND m.neighbor_id = b.neighbor_id
+      GROUP BY m.method
+    ), tot AS (SELECT COUNT(*) AS n_brute FROM brute)
+    SELECT method, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_brute AS BIGINT) AS n_brute,
+           ROUND(n_hits * 1.0 / n_brute, 4) AS recall_at_3
+    FROM hits, tot
+    ORDER BY method
+    """,
+    tags=("similarity", "ann", "recall"),
+)
+def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of every approximate ANN path against the brute-force
+    baseline on the shared query sample (vec_id % 50 = 0 AND vec_id < 2000). Composes the
+    registered method queries directly — the trained multi-probe
+    family through the same `_trained_index`/`_trained_probe_topk`
+    pair the registered queries call (trained ONCE here, three probe
+    depths served from it), and the round-9 PQ family through the
+    registered query functions themselves — so the report can never
+    drift from what the methods actually return. One row per method:
+    (method, n_hits, n_brute, recall_at_3)."""
+    brute = sim_ann_brute_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    methods = None
+    for name, fn in (
+        ("lsh", sim_lsh_ann_topk),
+        ("lsh_multitable", sim_lsh_multitable_topk),
+        ("ivf_nprobe1", sim_ivf_ann_topk),
+        ("ivf_nprobe2", sim_ivf_ann_topk_nprobe2),
+        ("ivf_refined", sim_ivf_refined_topk),
+        ("ivf_derived_k", sim_ivf_derived_topk),
+    ):
+        part = fn(spark, sf_dir).select(
+            F.lit(name).alias("method"), "query_id", "neighbor_id"
+        )
+        methods = part if methods is None else methods.unionAll(part)
+    trained = _trained_index(spark, sf_dir)
+    for np_ in (1, 2, 4):
+        part = _trained_probe_topk(*trained, nprobe=np_).select(
+            F.lit(f"ivf_trained_np{np_}").alias("method"),
+            "query_id",
+            "neighbor_id",
+        )
+        methods = methods.unionAll(part)
+    for name, fn in (
+        ("pq_rerank", sim_pq_rerank_topk),
+        ("pq_trained", sim_pq_trained_rerank_topk),
+        ("ivfpq", sim_ivfpq_topk),
+    ):
+        part = fn(spark, sf_dir).select(
+            F.lit(name).alias("method"), "query_id", "neighbor_id"
+        )
+        methods = methods.unionAll(part)
+    hits = (
+        methods.join(brute, on=["query_id", "neighbor_id"], how="left")
+        .groupBy("method")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+    )
+    tot = brute.agg(F.count(F.lit(1)).alias("n_brute"))
+    return (
+        hits.crossJoin(F.broadcast(tot))
+        .select(
+            "method",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.col("n_brute").cast("long").alias("n_brute"),
+            F.round(F.col("n_hits") / F.col("n_brute"), 4).alias("recall_at_3"),
+        )
+        .orderBy("method")
     )
