@@ -72,6 +72,11 @@ HEADLINE = [
     # round-9 addition: the multi-probe recall dial over the trained
     # derived-K index (nprobe=2; nprobe=4 tracked via --full):
     "sim_ivf_trained_nprobe2_topk",
+    # round-9 additions: the compressed-index ANN family — trained PQ
+    # rerank (8-byte codes, best recall in sim_recall_report) and the
+    # IVF-PQ composition (celled rows x compressed bytes):
+    "sim_pq_trained_rerank_topk",
+    "sim_ivfpq_topk",
 ]
 
 
