@@ -1700,7 +1700,9 @@ def _pq_codebooks(emb: DataFrame) -> DataFrame:
     ).select("sub", "code_id", "cw")
 
 
-def _pq_encode(vecs: DataFrame, cb: DataFrame) -> DataFrame:
+def _pq_encode(
+    vecs: DataFrame, cb: DataFrame, with_dist: bool = False
+) -> DataFrame:
     """Appends ``pqcode`` (the packed PQ code word) to every input row
     in ONE corpus pass: a cogrouped-pandas kernel computes all PQ_SUBS
     argmins per vector from a reshaped (subs, codes, dims) codebook
@@ -1708,6 +1710,10 @@ def _pq_encode(vecs: DataFrame, cb: DataFrame) -> DataFrame:
     tiny codebook replicates to every slice). Distances are exact
     integers in float64; np.argmin's first-minimum over code_id-sorted
     codewords reproduces the (dist, code_id) tie-break.
+
+    ``with_dist`` also emits ``pqdist`` — the exact integer
+    quantization distortion ||x - reconstruction(x)||^2 (the sum of
+    the chosen sub-distances) — for the index-quality audit.
 
     ``vecs`` must carry ``vec_id`` and ``qemb``; all columns pass
     through."""
@@ -1719,11 +1725,16 @@ def _pq_encode(vecs: DataFrame, cb: DataFrame) -> DataFrame:
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in vecs.schema.fields
     ) + ", pqcode bigint"
+    if with_dist:
+        out_schema += ", pqdist bigint"
 
     def encode(key, vpdf, cpdf):
         vpdf = vpdf[out_cols]
         if len(vpdf) == 0:
-            return vpdf.assign(pqcode=pd.Series([], dtype="int64"))
+            out = vpdf.assign(pqcode=pd.Series([], dtype="int64"))
+            if with_dist:
+                out = out.assign(pqdist=pd.Series([], dtype="int64"))
+            return out
         if len(cpdf) == 0:
             raise ValueError(
                 "_pq_encode: non-empty vector slice cogrouped with an "
@@ -1737,6 +1748,7 @@ def _pq_encode(vecs: DataFrame, cb: DataFrame) -> DataFrame:
             len(vpdf), PQ_SUBS, PQ_DIMS
         )
         pq = np.zeros(len(vpdf), dtype=np.int64)
+        dist = np.zeros(len(vpdf), dtype=np.int64)
         for s in range(PQ_SUBS):
             cs = cpdf[cpdf["sub"] == s]
             cid = cs["code_id"].to_numpy(dtype=np.int64)
@@ -1744,7 +1756,12 @@ def _pq_encode(vecs: DataFrame, cb: DataFrame) -> DataFrame:
             d = ((X[:, s, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             # first min = lowest code_id (cid ascends within the sub)
             pq += cid[np.argmin(d, axis=1)] << (4 * s)
-        return vpdf.assign(pqcode=pq)
+            if with_dist:
+                dist += d.min(axis=1).astype(np.int64)
+        out = vpdf.assign(pqcode=pq)
+        if with_dist:
+            out = out.assign(pqdist=dist)
+        return out
 
     spark = vecs.sparkSession
     v = vecs.withColumn("pk", F.pmod(F.xxhash64("vec_id"), F.lit(n_parts)))
@@ -1857,13 +1874,11 @@ def _pq_dtab(sample: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
-def _pq_adc_cands(codes: DataFrame, dtab: DataFrame) -> DataFrame:
-    """(query_id, neighbor_id, adist): ADC distance of every encoded
-    corpus row to every sampled query — the corpus-scale pass of PQ
-    serving. Pure projection over (pqcode x broadcast dtab): unpack
+def _pq_adist():
+    """The ADC distance expression over (pqcode, dt) columns: unpack
     sub s's 4-bit code with shift/mask, look up its pre-computed
-    sub-distance, sum the PQ_SUBS terms. No vector math, no shuffle
-    until the top-k window."""
+    sub-distance in the broadcast table, sum the PQ_SUBS terms — a
+    pure projection, no vector math."""
     import functools
     import operator
 
@@ -1877,7 +1892,15 @@ def _pq_adc_cands(codes: DataFrame, dtab: DataFrame) -> DataFrame:
         )
         for s in range(PQ_SUBS)
     ]
-    adist = functools.reduce(operator.add, terms)
+    return functools.reduce(operator.add, terms)
+
+
+def _pq_adc_cands(codes: DataFrame, dtab: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, adist): ADC distance of every encoded
+    corpus row to every sampled query — the corpus-scale pass of PQ
+    serving. Pure projection over (pqcode x broadcast dtab). No
+    shuffle until the top-k window."""
+    adist = _pq_adist()
     return (
         codes.crossJoin(F.broadcast(dtab))
         .select(
@@ -2304,23 +2327,10 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "pqcode")
         .distinct()
     )
-    import functools
-    import operator
-
-    terms = [
-        F.element_at(
-            F.element_at(F.col("dt"), s + 1),
-            (
-                F.shiftright(F.col("pqcode"), 4 * s).bitwiseAND(F.lit(15))
-            ).cast("int")
-            + 1,
-        )
-        for s in range(PQ_SUBS)
-    ]
     adc = cands.join(F.broadcast(dtab), "query_id").select(
         "query_id",
         "neighbor_id",
-        functools.reduce(operator.add, terms).alias("adist"),
+        _pq_adist().alias("adist"),
     )
     w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     short = (
@@ -2588,6 +2598,36 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN embeddings e ON e.vec_id = s.neighbor_id
         JOIN qs q ON q.query_id = s.query_id)
       WHERE rn <= 3
+    ), ytprobes AS (
+      SELECT vec_id AS query_id, cent_id AS pcell
+      FROM tr_frk WHERE rn <= 2 AND vec_id % 50 = 0 AND vec_id < 2000
+    ), ytcands AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM ytprobes p JOIN tr_index a ON a.cent_id = p.pcell
+      WHERE a.vec_id <> p.query_id
+    ), ytadc AS (
+      SELECT c.query_id, c.neighbor_id, CAST(SUM(dt.d) AS BIGINT) AS adist
+      FROM ytcands c
+      JOIN tq_codes k ON k.vec_id = c.neighbor_id
+      JOIN tq_dt dt ON dt.query_id = c.query_id
+            AND dt.sub = k.sub AND dt.code_id = k.code_id
+      GROUP BY c.query_id, c.neighbor_id
+    ), ytshort AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adist, neighbor_id) AS rn
+        FROM ytadc)
+      WHERE rn <= 10
+    ), yt3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                 ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) DESC,
+                          s.neighbor_id) AS rn
+        FROM ytshort s
+        JOIN embeddings e ON e.vec_id = s.neighbor_id
+        JOIN tq_qs q ON q.query_id = s.query_id)
+      WHERE rn <= 3
     ),
     methods AS (
       SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh3
@@ -2602,6 +2642,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT 'pq_rerank', query_id, neighbor_id FROM pq3
       UNION ALL SELECT 'pq_trained', query_id, neighbor_id FROM tq3
       UNION ALL SELECT 'ivfpq', query_id, neighbor_id FROM xp3
+      UNION ALL SELECT 'ivfpq_trained', query_id, neighbor_id FROM yt3
     ), hits AS (
       SELECT m.method, COUNT(b.neighbor_id) AS n_hits
       FROM methods m
@@ -2655,6 +2696,7 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pq_rerank", sim_pq_rerank_topk),
         ("pq_trained", sim_pq_trained_rerank_topk),
         ("ivfpq", sim_ivfpq_topk),
+        ("ivfpq_trained", sim_ivfpq_trained_topk),
     ):
         part = fn(spark, sf_dir).select(
             F.lit(name).alias("method"), "query_id", "neighbor_id"
@@ -2675,4 +2717,193 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hits") / F.col("n_brute"), 4).alias("recall_at_3"),
         )
         .orderBy("method")
+    )
+
+
+@query(
+    "sim_pq_index_stats",
+    oracle="WITH "
+    + _pq_cte()
+    + ", "
+    + _pq_cte(prefix="tq_", train_rounds=PQ_TRAIN_ROUNDS)
+    + """
+    , sd AS (
+      SELECT vec_id, CAST(SUM(md) AS BIGINT) AS pqdist FROM (
+        SELECT vec_id, sub, MIN(d) AS md FROM ed GROUP BY vec_id, sub)
+      GROUP BY vec_id
+    ), tsd AS (
+      SELECT vec_id, CAST(SUM(md) AS BIGINT) AS pqdist FROM (
+        SELECT vec_id, sub, MIN(d) AS md FROM tq_ed GROUP BY vec_id, sub)
+      GROUP BY vec_id
+    )
+    SELECT * FROM (
+      SELECT 'seeded' AS variant, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             CAST(SUM(pqdist) AS BIGINT) AS total_distortion,
+             ROUND(SUM(pqdist) * 1.0 / COUNT(*), 4) AS mean_distortion
+      FROM sd
+      UNION ALL
+      SELECT 'trained', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(pqdist) AS BIGINT),
+             ROUND(SUM(pqdist) * 1.0 / COUNT(*), 4)
+      FROM tsd)
+    ORDER BY variant
+    """,
+    tags=("similarity", "pq", "ann", "kmeans"),
+)
+def sim_pq_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index quality audit: total and mean quantization distortion
+    (exact integer ||x - reconstruction(x)||^2) for the seeded vs the
+    Lloyd-trained codebooks — the number that explains the recall gap
+    between sim_pq_rerank_topk and sim_pq_trained_rerank_topk at the
+    SAME 8-byte index width. Two corpus encode passes (with_dist) plus
+    the training chain; at 100 TB this is the nightly index-health
+    metric (distortion creep signals the codebooks no longer fit the
+    corpus distribution — retrain trigger)."""
+    emb = table(spark, sf_dir, "embeddings")
+    qemb = emb.select(
+        "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
+    )
+    cb0 = _pq_codebooks(emb)
+    out = None
+    for variant, cb in (
+        ("seeded", cb0),
+        ("trained", _pq_train(qemb, cb0, PQ_TRAIN_ROUNDS)),
+    ):
+        stats = (
+            _pq_encode(qemb, cb, with_dist=True)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_vectors"),
+                F.sum("pqdist").cast("long").alias("total_distortion"),
+                F.round(
+                    F.sum("pqdist") / F.count(F.lit(1)), 4
+                ).alias("mean_distortion"),
+            )
+            .select(F.lit(variant).alias("variant"), "*")
+        )
+        out = stats if out is None else out.unionAll(stats)
+    return out.orderBy("variant")
+
+
+@query(
+    "sim_ivfpq_trained_topk",
+    oracle="WITH "
+    + _lloyd_trained_fragment(TRAINED_DERIVED_ROUNDS, prefix="tr_")
+    + ", "
+    + _pq_cte(prefix="tq_", train_rounds=PQ_TRAIN_ROUNDS)
+    + ", "
+    + _pq_query_sql("tq_")
+    + f"""
+    , xprobes AS (
+      SELECT vec_id AS query_id, cent_id AS pcell
+      FROM tr_frk WHERE rn <= {_IVFPQ_NPROBE} AND {_QUERY_SAMPLE_SQL}
+    ), xcands AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM xprobes p JOIN tr_index a ON a.cent_id = p.pcell
+      WHERE a.vec_id <> p.query_id
+    ), xadc AS (
+      SELECT c.query_id, c.neighbor_id, CAST(SUM(dt.d) AS BIGINT) AS adist
+      FROM xcands c
+      JOIN tq_codes k ON k.vec_id = c.neighbor_id
+      JOIN tq_dt dt ON dt.query_id = c.query_id
+            AND dt.sub = k.sub AND dt.code_id = k.code_id
+      GROUP BY c.query_id, c.neighbor_id
+    ), xshort AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adist, neighbor_id) AS rn
+        FROM xadc)
+      WHERE rn <= 10
+    )
+    SELECT query_id, neighbor_id, sim, rn FROM (
+      SELECT s.query_id, s.neighbor_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                          q.qe::DOUBLE[]), 4) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY s.query_id
+               ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                     q.qe::DOUBLE[]), 4) DESC,
+                        s.neighbor_id) AS rn
+      FROM xshort s
+      JOIN embeddings e ON e.vec_id = s.neighbor_id
+      JOIN tq_qs q ON q.query_id = s.query_id)
+    WHERE rn <= 3
+    ORDER BY query_id, rn
+    """,
+    tags=("similarity", "pq", "ivf", "ann", "derived-k", "kmeans"),
+)
+def sim_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULLY-trained compressed production build: derived-K cells
+    Lloyd-trained {TRAINED_DERIVED_ROUNDS} rounds (cells fit the data)
+    AND subspace codebooks Lloyd-trained {PQ_TRAIN_ROUNDS} rounds
+    (codes fit the data), composed into the same 24-byte index row
+    and two-cell probe as sim_ivfpq_topk. Everything the similarity
+    module built this round converges here: training is
+    {TRAINED_DERIVED_ROUNDS} + {PQ_TRAIN_ROUNDS} broadcast-state
+    corpus passes, the index build is two chained Arrow passes, the
+    probe reads ~{_IVFPQ_NPROBE}·2·sqrt(n) rows of 24 bytes, and the
+    exact pass touches 10 rows per query."""
+    emb = table(spark, sf_dir, "embeddings")
+    k = derived_k(corpus_rows(sf_dir, "embeddings"))
+    qemb = emb.select(
+        "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
+    )
+    cents, _ = lloyd_train(
+        qemb, _centroids(emb, k), max_rounds=TRAINED_DERIVED_ROUNDS, tol=0
+    )
+    cb = _pq_train(qemb, _pq_codebooks(emb), PQ_TRAIN_ROUNDS)
+    index = _assign_blas(_pq_encode(qemb, cb), cents, top_m=2).select(
+        "vec_id", "cent_id", "pqcode"
+    )
+
+    raw_sample = _sample_filter(
+        emb.select(
+            "vec_id",
+            F.col("embedding").alias("qe"),
+            quantize_embedding(F.col("embedding")).alias("qemb"),
+        )
+    )
+    probes = _assign_blas(
+        raw_sample.select("vec_id", "qemb"), cents, top_m=_IVFPQ_NPROBE
+    ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("pcell"))
+    dtab = _pq_dtab(
+        raw_sample.select(
+            F.col("vec_id").alias("query_id"), F.col("qemb").alias("qq")
+        ),
+        cb,
+    )
+
+    cands = (
+        index.join(F.broadcast(probes), F.col("cent_id") == F.col("pcell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "pqcode")
+        .distinct()
+    )
+    adc = cands.join(F.broadcast(dtab), "query_id").select(
+        "query_id", "neighbor_id", _pq_adist().alias("adist")
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    short = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    re = (
+        emb.join(F.broadcast(short), emb.vec_id == F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "embedding")
+        .join(
+            F.broadcast(raw_sample.select(F.col("vec_id").alias("query_id"), "qe")),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qe")), 4
+            ).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        re.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 3)
+        .orderBy("query_id", "rn")
     )
