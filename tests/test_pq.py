@@ -99,3 +99,39 @@ def test_pq_encode_passthrough_and_broadcast_plan(spark):
     plan = _pq_adc_cands(codes, _pq_dtab(sample, cb))._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pq_distortion_column_and_training_improves_it(spark):
+    """with_dist emits the exact reconstruction error (== the sum of
+    chosen sub-distances the numpy reference computes), and Lloyd
+    training never worsens total distortion on the training corpus."""
+    import numpy as np
+
+    from wikid_spark.queries.similarity import (
+        PQ_TRAIN_ROUNDS,
+        _pq_train,
+    )
+
+    emb = table(spark, SF_DIR_SMALL, "embeddings")
+    qemb = emb.select(
+        "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
+    )
+    cb0 = _pq_codebooks(emb)
+    enc = _pq_encode(qemb, cb0, with_dist=True).collect()
+    X, C, codes = _numpy_reference(spark, SF_DIR_SMALL)
+    for r in enc:
+        want = int(
+            sum(
+                ((X[r["vec_id"]].reshape(PQ_SUBS, PQ_DIMS)[s] - C[s, codes[r["vec_id"]][s]]) ** 2).sum()
+                for s in range(PQ_SUBS)
+            )
+        )
+        assert r["pqdist"] == want, r["vec_id"]
+
+    seeded_total = sum(r["pqdist"] for r in enc)
+    cbt = _pq_train(qemb, cb0, PQ_TRAIN_ROUNDS)
+    trained_total = sum(
+        r["pqdist"]
+        for r in _pq_encode(qemb, cbt, with_dist=True).collect()
+    )
+    assert trained_total <= seeded_total
