@@ -2293,6 +2293,14 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan reads 256 GB. Codebooks are corpus-global (shared across
     cells, not residual-trained) — the noted simplification vs
     IVFADC's per-residual encoding (Jegou et al. 2011 §IV)."""
+    return _ivfpq_plan(spark, sf_dir, trained=False)
+
+
+def _ivfpq_plan(spark: SparkSession, sf_dir: str, trained: bool) -> DataFrame:
+    """Shared IVF-PQ build + serve: derived-K cells and PQ codebooks
+    (both Lloyd-trained when ``trained``), the 24-byte index row, the
+    top-{_IVFPQ_NPROBE}-cell probe, ADC shortlist of 10, exact
+    re-rank."""
     emb = table(spark, sf_dir, "embeddings")
     k = derived_k(corpus_rows(sf_dir, "embeddings"))
     qemb = emb.select(
@@ -2300,6 +2308,11 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cb = _pq_codebooks(emb)
     cents = _centroids(emb, k)
+    if trained:
+        cents, _ = lloyd_train(
+            qemb, cents, max_rounds=TRAINED_DERIVED_ROUNDS, tol=0
+        )
+        cb = _pq_train(qemb, cb, PQ_TRAIN_ROUNDS)
     index = _assign_blas(
         _pq_encode(qemb, cb), cents, top_m=2
     ).select("vec_id", "cent_id", "pqcode")
@@ -2841,69 +2854,4 @@ def sim_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus passes, the index build is two chained Arrow passes, the
     probe reads ~{_IVFPQ_NPROBE}·2·sqrt(n) rows of 24 bytes, and the
     exact pass touches 10 rows per query."""
-    emb = table(spark, sf_dir, "embeddings")
-    k = derived_k(corpus_rows(sf_dir, "embeddings"))
-    qemb = emb.select(
-        "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
-    )
-    cents, _ = lloyd_train(
-        qemb, _centroids(emb, k), max_rounds=TRAINED_DERIVED_ROUNDS, tol=0
-    )
-    cb = _pq_train(qemb, _pq_codebooks(emb), PQ_TRAIN_ROUNDS)
-    index = _assign_blas(_pq_encode(qemb, cb), cents, top_m=2).select(
-        "vec_id", "cent_id", "pqcode"
-    )
-
-    raw_sample = _sample_filter(
-        emb.select(
-            "vec_id",
-            F.col("embedding").alias("qe"),
-            quantize_embedding(F.col("embedding")).alias("qemb"),
-        )
-    )
-    probes = _assign_blas(
-        raw_sample.select("vec_id", "qemb"), cents, top_m=_IVFPQ_NPROBE
-    ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("pcell"))
-    dtab = _pq_dtab(
-        raw_sample.select(
-            F.col("vec_id").alias("query_id"), F.col("qemb").alias("qq")
-        ),
-        cb,
-    )
-
-    cands = (
-        index.join(F.broadcast(probes), F.col("cent_id") == F.col("pcell"))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "pqcode")
-        .distinct()
-    )
-    adc = cands.join(F.broadcast(dtab), "query_id").select(
-        "query_id", "neighbor_id", _pq_adist().alias("adist")
-    )
-    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
-    short = (
-        adc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .select("query_id", "neighbor_id")
-    )
-    re = (
-        emb.join(F.broadcast(short), emb.vec_id == F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "embedding")
-        .join(
-            F.broadcast(raw_sample.select(F.col("vec_id").alias("query_id"), "qe")),
-            "query_id",
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                cosine_similarity(F.col("embedding"), F.col("qe")), 4
-            ).alias("sim"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
-    return (
-        re.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= 3)
-        .orderBy("query_id", "rn")
-    )
+    return _ivfpq_plan(spark, sf_dir, trained=True)
