@@ -2064,6 +2064,29 @@ def _pq_rerank_sql(depth: int) -> str:
     """
 
 
+def _pq_topk(cands: DataFrame, depth: int) -> DataFrame:
+    """Exact top-``depth`` per query by (adist, neighbor_id), in TWO
+    window stages: a local prune partitioned by (query_id, input
+    partition) keeps ``depth`` rows per source partition, then the
+    global window ranks the ≤ partitions·depth survivors. One global
+    window alone would put ALL n of a query's candidates in a single
+    task — the flat ADC scan's one skew hazard at corpus scale; the
+    local stage caps any task's group at ~n/partitions rows and the
+    global shuffle at queries·partitions·depth rows. Exact because
+    every global top-``depth`` row survives its local top-``depth``."""
+    wl = Window.partitionBy("query_id", "pid").orderBy(
+        "adist", "neighbor_id"
+    )
+    wg = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        cands.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrn", F.row_number().over(wl))
+        .filter(F.col("lrn") <= depth)
+        .withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= depth)
+    )
+
+
 def _pq_rerank_plan(
     spark: SparkSession, sf_dir: str, train_rounds: int, depth: int
 ) -> DataFrame:
@@ -2073,12 +2096,7 @@ def _pq_rerank_plan(
     emb = table(spark, sf_dir, "embeddings")
     _, cb, codes, sample = _pq_parts(spark, sf_dir, train_rounds)
     cands = _pq_adc_cands(codes, _pq_dtab(sample, cb))
-    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
-    short = (
-        cands.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= depth)
-        .select("query_id", "neighbor_id")
-    )
+    short = _pq_topk(cands, depth).select("query_id", "neighbor_id")
     nb = emb.join(
         F.broadcast(short), emb.vec_id == F.col("neighbor_id")
     ).select("query_id", "neighbor_id", "embedding")
@@ -2172,10 +2190,9 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     row costs ~8 bytes of input and ~8 adds."""
     _, cb, codes, sample = _pq_parts(spark, sf_dir)
     cands = _pq_adc_cands(codes, _pq_dtab(sample, cb))
-    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     return (
-        cands.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
+        _pq_topk(cands, 3)
+        .select("query_id", "neighbor_id", "adist", "rn")
         .orderBy("query_id", "rn")
     )
 
