@@ -1672,16 +1672,23 @@ PQ_CODES = 16  # 4-bit codes: 8 subs x 4 bits pack into one BIGINT
 def _pq_codebooks(emb: DataFrame) -> DataFrame:
     """(sub, code_id, cw): per-subspace codebooks sliced from the
     PQ_CODES hash-seeded quantized vectors (the `_centroids` sampling
-    hash, so seed choice is engine-identical). code_id is the DENSE
-    rank 0..PQ_CODES-1 in hash order — the packing positions.
-    The row_number window sorts only the PQ_CODES-row limit result."""
-    h = ((F.col("vec_id") % _H_P) * _H_A + _H_C) % _H_M
-    seeds = (
+    hash, so seed choice is engine-identical)."""
+    return _pq_seed_codebooks(
         emb.select(
             "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
         )
-        .orderBy(h.alias("h"), "vec_id")
-        .limit(PQ_CODES)
+    )
+
+
+def _pq_seed_codebooks(qdf: DataFrame) -> DataFrame:
+    """Codebook seeding over an arbitrary (vec_id, qemb) table — the
+    raw-embedding path and the residual (IVFADC) path share it.
+    code_id is the DENSE rank 0..PQ_CODES-1 in hash order — the
+    packing positions. The row_number window sorts only the
+    PQ_CODES-row limit result."""
+    h = ((F.col("vec_id") % _H_P) * _H_A + _H_C) % _H_M
+    seeds = (
+        qdf.select("vec_id", "qemb").orderBy(h.alias("h"), "vec_id").limit(PQ_CODES)
     )
     w = Window.orderBy(
         (((F.col("vec_id") % _H_P) * _H_A + _H_C) % _H_M), "vec_id"
@@ -1847,26 +1854,30 @@ def _pq_sub_dist(qq_col, cw_col, sub_col):
     )
 
 
-def _pq_dtab(sample: DataFrame, cb: DataFrame) -> DataFrame:
-    """Per-query ADC distance tables: (query_id, dt) where dt is the
+def _pq_dtab(
+    sample: DataFrame, cb: DataFrame, keys: tuple[str, ...] = ("query_id",)
+) -> DataFrame:
+    """Per-query ADC distance tables: (*keys, dt) where dt is the
     PQ_SUBS x PQ_CODES nested array of exact integer sub-distances
-    from the query's subvector to every codeword. Built on the tiny
-    query sample (<= 40 rows x 128 codewords); broadcast downstream.
-    Nested collect_list order is canonicalized by array_sort over
+    from the query's subvector (column ``qq``) to every codeword.
+    Built on the tiny query sample (<= 40 rows x 128 codewords);
+    broadcast downstream. The residual (IVFADC) path keys tables by
+    (query_id, pcell) — one table per probed cell. Nested
+    collect_list order is canonicalized by array_sort over
     (code_id,·) / (sub,·) structs — both keys unique."""
     per = sample.crossJoin(F.broadcast(cb)).select(
-        "query_id",
+        *keys,
         "sub",
         "code_id",
         _pq_sub_dist(F.col("qq"), F.col("cw"), F.col("sub")).alias("d"),
     )
-    per_sub = per.groupBy("query_id", "sub").agg(
+    per_sub = per.groupBy(*keys, "sub").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("code_id", "d"))),
             lambda s: s["d"],
         ).alias("row")
     )
-    return per_sub.groupBy("query_id").agg(
+    return per_sub.groupBy(*keys).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("sub", "row"))),
             lambda s: s["row"],
@@ -1937,7 +1948,9 @@ def _pq_parts(spark: SparkSession, sf_dir: str, train_rounds: int = 0):
     return qemb, cb, codes, sample
 
 
-def _pq_cte(prefix: str = "", train_rounds: int = 0) -> str:
+def _pq_cte(
+    prefix: str = "", train_rounds: int = 0, src: str | None = None
+) -> str:
     """DuckDB twin of the PQ build: hash-seeded codebooks (dense
     code_id = rank in hash order), ``train_rounds`` unrolled Lloyd
     refinements over (sub, code) cells (MATERIALIZED — each round is
@@ -1945,7 +1958,10 @@ def _pq_cte(prefix: str = "", train_rounds: int = 0) -> str:
     per-(vector, sub, codeword) exact integer distances, argmin codes,
     4-bit packing into one BIGINT. ``prefix`` renames the internal
     CTEs so the fragment composes with oracles that already bind the
-    bare names (the IVF fragments)."""
+    bare names (the IVF fragments). ``src`` names an existing CTE
+    providing (vec_id, embedding, qemb) to quantize-encode instead of
+    the embeddings table — the residual (IVFADC) path feeds
+    pre-computed residual vectors through the same chain."""
     p = prefix
     rounds = []
     for r in range(1, train_rounds + 1):
@@ -1971,11 +1987,16 @@ def _pq_cte(prefix: str = "", train_rounds: int = 0) -> str:
       GROUP BY sub, code_id
     )""")
     rounds_sql = (", " + ", ".join(rounds)) if rounds else ""
-    return f"""{p}pqv AS (
-      SELECT vec_id, embedding,
+    pqv_body = (
+        f"SELECT vec_id, embedding, qemb FROM {src}"
+        if src
+        else """SELECT vec_id, embedding,
              list_transform(embedding,
                             x -> CAST(FLOOR(x::DOUBLE * 1000.0) AS BIGINT)) AS qemb
-      FROM embeddings
+      FROM embeddings"""
+    )
+    return f"""{p}pqv AS (
+      {pqv_body}
     ), {p}seeds AS (
       SELECT vec_id, qemb,
              CAST(ROW_NUMBER() OVER (ORDER BY {_CENT_HASH_SQL}, vec_id) AS BIGINT) - 1 AS code_id
@@ -2658,6 +2679,60 @@ def _ivfpq_plan(spark: SparkSession, sf_dir: str, trained: bool) -> DataFrame:
         JOIN embeddings e ON e.vec_id = s.neighbor_id
         JOIN tq_qs q ON q.query_id = s.query_id)
       WHERE rn <= 3
+    ), zzrsrc AS (
+      SELECT q.vec_id, q.embedding,
+             list_transform(q.qemb, (x, j) -> x - c.cemb[j]) AS qemb
+      FROM tr_qv q
+      JOIN tr_index i ON i.vec_id = q.vec_id AND i.cent_rank = 1
+      JOIN tr_c{TRAINED_DERIVED_ROUNDS} c ON c.cent_id = i.cent_id
+    ),
+    {_pq_cte(prefix="zq_", train_rounds=PQ_TRAIN_ROUNDS, src="zzrsrc")},
+    zzindex AS (
+      SELECT i.vec_id, i.cent_id, p.pqcode
+      FROM tr_index i JOIN zq_packed p ON p.vec_id = i.vec_id
+      WHERE i.cent_rank = 1
+    ), zzprobes AS (
+      SELECT vec_id AS query_id, cent_id AS pcell
+      FROM tr_frk WHERE rn <= 2 AND vec_id % 50 = 0 AND vec_id < 2000
+    ), zzqres AS (
+      SELECT p.query_id, p.pcell,
+             list_transform(q.qemb, (x, j) -> x - c.cemb[j]) AS qq
+      FROM zzprobes p
+      JOIN tr_qv q ON q.vec_id = p.query_id
+      JOIN tr_c{TRAINED_DERIVED_ROUNDS} c ON c.cent_id = p.pcell
+    ), zzdt AS (
+      SELECT r.query_id, r.pcell, c.sub, c.code_id,
+             CAST(list_sum(list_transform(
+                    r.qq[c.sub * {PQ_DIMS} + 1 : (c.sub + 1) * {PQ_DIMS}],
+                    (x, i) -> (x - c.cw[i]) * (x - c.cw[i]))) AS BIGINT) AS d
+      FROM zzqres r, zq_cb c
+    ), zzcands AS (
+      SELECT p.query_id, p.pcell, a.vec_id AS neighbor_id
+      FROM zzprobes p JOIN zzindex a ON a.cent_id = p.pcell
+      WHERE a.vec_id <> p.query_id
+    ), zzadc AS (
+      SELECT c.query_id, c.neighbor_id, CAST(SUM(dt.d) AS BIGINT) AS adist
+      FROM zzcands c
+      JOIN zq_codes k ON k.vec_id = c.neighbor_id
+      JOIN zzdt dt ON dt.query_id = c.query_id AND dt.pcell = c.pcell
+            AND dt.sub = k.sub AND dt.code_id = k.code_id
+      GROUP BY c.query_id, c.neighbor_id
+    ), zzshort AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adist, neighbor_id) AS rn
+        FROM zzadc)
+      WHERE rn <= 10
+    ), zz3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                 ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) DESC,
+                          s.neighbor_id) AS rn
+        FROM zzshort s
+        JOIN embeddings e ON e.vec_id = s.neighbor_id
+        JOIN qs q ON q.query_id = s.query_id)
+      WHERE rn <= 3
     ),
     methods AS (
       SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh3
@@ -2673,6 +2748,7 @@ def _ivfpq_plan(spark: SparkSession, sf_dir: str, trained: bool) -> DataFrame:
       UNION ALL SELECT 'pq_trained', query_id, neighbor_id FROM tq3
       UNION ALL SELECT 'ivfpq', query_id, neighbor_id FROM xp3
       UNION ALL SELECT 'ivfpq_trained', query_id, neighbor_id FROM yt3
+      UNION ALL SELECT 'ivfpq_residual', query_id, neighbor_id FROM zz3
     ), hits AS (
       SELECT m.method, COUNT(b.neighbor_id) AS n_hits
       FROM methods m
@@ -2727,6 +2803,7 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pq_trained", sim_pq_trained_rerank_topk),
         ("ivfpq", sim_ivfpq_topk),
         ("ivfpq_trained", sim_ivfpq_trained_topk),
+        ("ivfpq_residual", sim_ivfpq_residual_topk),
     ):
         part = fn(spark, sf_dir).select(
             F.lit(name).alias("method"), "query_id", "neighbor_id"
@@ -2872,3 +2949,174 @@ def sim_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe reads ~{_IVFPQ_NPROBE}·2·sqrt(n) rows of 24 bytes, and the
     exact pass touches 10 rows per query."""
     return _ivfpq_plan(spark, sf_dir, trained=True)
+
+
+@query(
+    "sim_ivfpq_residual_topk",
+    oracle="WITH "
+    + _lloyd_trained_fragment(TRAINED_DERIVED_ROUNDS, prefix="tr_")
+    + f""", rsrc AS (
+      SELECT q.vec_id, q.embedding,
+             list_transform(q.qemb, (x, j) -> x - c.cemb[j]) AS qemb
+      FROM tr_qv q
+      JOIN tr_index i ON i.vec_id = q.vec_id AND i.cent_rank = 1
+      JOIN tr_c{TRAINED_DERIVED_ROUNDS} c ON c.cent_id = i.cent_id
+    ), """
+    + _pq_cte(prefix="rq_", train_rounds=PQ_TRAIN_ROUNDS, src="rsrc")
+    + f""", rindex AS (
+      SELECT i.vec_id, i.cent_id, p.pqcode
+      FROM tr_index i JOIN rq_packed p ON p.vec_id = i.vec_id
+      WHERE i.cent_rank = 1
+    ), rprobes AS (
+      SELECT vec_id AS query_id, cent_id AS pcell
+      FROM tr_frk WHERE rn <= {_IVFPQ_NPROBE} AND {_QUERY_SAMPLE_SQL}
+    ), rqres AS (
+      SELECT p.query_id, p.pcell,
+             list_transform(q.qemb, (x, j) -> x - c.cemb[j]) AS qq
+      FROM rprobes p
+      JOIN tr_qv q ON q.vec_id = p.query_id
+      JOIN tr_c{TRAINED_DERIVED_ROUNDS} c ON c.cent_id = p.pcell
+    ), rdt AS (
+      SELECT r.query_id, r.pcell, c.sub, c.code_id,
+             CAST(list_sum(list_transform(
+                    r.qq[c.sub * {PQ_DIMS} + 1 : (c.sub + 1) * {PQ_DIMS}],
+                    (x, i) -> (x - c.cw[i]) * (x - c.cw[i]))) AS BIGINT) AS d
+      FROM rqres r, rq_cb c
+    ), rcands AS (
+      SELECT p.query_id, p.pcell, a.vec_id AS neighbor_id
+      FROM rprobes p JOIN rindex a ON a.cent_id = p.pcell
+      WHERE a.vec_id <> p.query_id
+    ), radc AS (
+      SELECT c.query_id, c.neighbor_id, CAST(SUM(dt.d) AS BIGINT) AS adist
+      FROM rcands c
+      JOIN rq_codes k ON k.vec_id = c.neighbor_id
+      JOIN rdt dt ON dt.query_id = c.query_id AND dt.pcell = c.pcell
+            AND dt.sub = k.sub AND dt.code_id = k.code_id
+      GROUP BY c.query_id, c.neighbor_id
+    ), rshort AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adist, neighbor_id) AS rn
+        FROM radc)
+      WHERE rn <= 10
+    ), rqs AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM tr_qv
+      WHERE {_QUERY_SAMPLE_SQL}
+    )
+    SELECT query_id, neighbor_id, sim, rn FROM (
+      SELECT s.query_id, s.neighbor_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                          q.qe::DOUBLE[]), 4) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY s.query_id
+               ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                     q.qe::DOUBLE[]), 4) DESC,
+                        s.neighbor_id) AS rn
+      FROM rshort s
+      JOIN embeddings e ON e.vec_id = s.neighbor_id
+      JOIN rqs q ON q.query_id = s.query_id)
+    WHERE rn <= 3
+    ORDER BY query_id, rn
+    """,
+    tags=("similarity", "pq", "ivf", "ann", "derived-k", "kmeans", "residual"),
+)
+def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True IVFADC (Jegou et al. 2011 §IV): PQ codebooks trained on
+    the RESIDUALS (x − trained-cell centroid) instead of raw vectors —
+    residuals concentrate near zero, so the same 16-codeword budget
+    spends its resolution where the vectors actually are, closing the
+    global-codebook simplification sim_ivfpq_topk documents. Each
+    vector indexes once (its nearest trained cell) as
+    (vec_id, cent_id, pqcode-of-residual); a probe ranks the query's
+    top-{_IVFPQ_NPROBE} cells and builds a PER-CELL ADC table from
+    the query's residual against THAT cell's centroid — the lookup
+    join keys on (query, cell, sub, code). Costs match sim_ivfpq_topk
+    (24-byte rows, ~{_IVFPQ_NPROBE}·sqrt(n) candidate rows, 10-row
+    exact re-rank) plus one broadcast-K residual subtraction per
+    corpus pass — the residual never materializes outside the
+    projection."""
+    emb = table(spark, sf_dir, "embeddings")
+    k = derived_k(corpus_rows(sf_dir, "embeddings"))
+    qemb = emb.select(
+        "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
+    )
+    cents, _ = lloyd_train(
+        qemb, _centroids(emb, k), max_rounds=TRAINED_DERIVED_ROUNDS, tol=0
+    )
+    a1 = _assign_blas(qemb, cents, top_m=1)
+    rv = a1.join(F.broadcast(cents), "cent_id").select(
+        "vec_id",
+        "cent_id",
+        F.zip_with("qemb", "cemb", lambda a, b: a - b).alias("qemb"),
+    )
+    cb = _pq_train(
+        rv.select("vec_id", "qemb"), _pq_seed_codebooks(rv), PQ_TRAIN_ROUNDS
+    )
+    rindex = _pq_encode(rv, cb).select("vec_id", "cent_id", "pqcode")
+
+    raw_sample = _sample_filter(
+        emb.select(
+            "vec_id",
+            F.col("embedding").alias("qe"),
+            quantize_embedding(F.col("embedding")).alias("qemb"),
+        )
+    )
+    probes = _assign_blas(
+        raw_sample.select("vec_id", "qemb"), cents, top_m=_IVFPQ_NPROBE
+    ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("pcell"))
+    qres = (
+        probes.join(
+            F.broadcast(
+                raw_sample.select(F.col("vec_id").alias("query_id"), "qemb")
+            ),
+            "query_id",
+        )
+        .join(
+            F.broadcast(cents.withColumnRenamed("cent_id", "pcell")), "pcell"
+        )
+        .select(
+            "query_id",
+            "pcell",
+            F.zip_with("qemb", "cemb", lambda a, b: a - b).alias("qq"),
+        )
+    )
+    dtab = _pq_dtab(qres, cb, keys=("query_id", "pcell"))
+
+    cands = (
+        rindex.join(F.broadcast(probes), F.col("cent_id") == F.col("pcell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "pcell", F.col("vec_id").alias("neighbor_id"), "pqcode"
+        )
+    )
+    adc = cands.join(F.broadcast(dtab), ["query_id", "pcell"]).select(
+        "query_id", "neighbor_id", _pq_adist().alias("adist")
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    short = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    re = (
+        emb.join(F.broadcast(short), emb.vec_id == F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "embedding")
+        .join(
+            F.broadcast(
+                raw_sample.select(F.col("vec_id").alias("query_id"), "qe")
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qe")), 4
+            ).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        re.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 3)
+        .orderBy("query_id", "rn")
+    )
