@@ -2328,9 +2328,9 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-candidate shortlist. IVF bounds rows, PQ bounds bytes — at
     10^9 vectors the probe reads ~128k index rows (~3 MB) where the
     flat ADC scan reads the full 8 GB code column and a raw-vector
-    scan reads 256 GB. Codebooks are corpus-global (shared across
-    cells, not residual-trained) — the noted simplification vs
-    IVFADC's per-residual encoding (Jegou et al. 2011 §IV)."""
+    scan reads 256 GB. Codebooks here are corpus-global (shared
+    across cells); sim_ivfpq_residual_topk is the full IVFADC form
+    with residual-trained codebooks (Jegou et al. 2011 §IV)."""
     return _ivfpq_plan(spark, sf_dir, trained=False)
 
 
