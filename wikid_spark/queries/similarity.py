@@ -2108,6 +2108,35 @@ def _pq_topk(cands: DataFrame, depth: int) -> DataFrame:
     )
 
 
+def _pq_exact_rerank(
+    emb: DataFrame, short: DataFrame, queries: DataFrame
+) -> DataFrame:
+    """Exact cosine top-3 over a broadcast shortlist — the stage
+    where raw-vector IO is paid, bounded by the shortlist size.
+    ``queries`` carries (query_id, qe). Shared tail of every PQ
+    serving query."""
+    re = (
+        emb.join(F.broadcast(short), emb.vec_id == F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "embedding")
+        .join(F.broadcast(queries.select("query_id", "qe")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qe")), 4
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+    return (
+        re.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("query_id", "rn")
+    )
+
+
 def _pq_rerank_plan(
     spark: SparkSession, sf_dir: str, train_rounds: int, depth: int
 ) -> DataFrame:
@@ -2118,26 +2147,7 @@ def _pq_rerank_plan(
     _, cb, codes, sample = _pq_parts(spark, sf_dir, train_rounds)
     cands = _pq_adc_cands(codes, _pq_dtab(sample, cb))
     short = _pq_topk(cands, depth).select("query_id", "neighbor_id")
-    nb = emb.join(
-        F.broadcast(short), emb.vec_id == F.col("neighbor_id")
-    ).select("query_id", "neighbor_id", "embedding")
-    re = nb.join(
-        F.broadcast(sample.select("query_id", "qe")), "query_id"
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            cosine_similarity(F.col("embedding"), F.col("qe")), 4
-        ).alias("sim"),
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), "neighbor_id"
-    )
-    return (
-        re.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= 3)
-        .orderBy("query_id", "rn")
-    )
+    return _pq_exact_rerank(emb, short, sample)
 
 
 @query(
@@ -2389,26 +2399,8 @@ def _ivfpq_plan(spark: SparkSession, sf_dir: str, trained: bool) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("query_id", "neighbor_id")
     )
-    re = (
-        emb.join(F.broadcast(short), emb.vec_id == F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "embedding")
-        .join(
-            F.broadcast(raw_sample.select(F.col("vec_id").alias("query_id"), "qe")),
-            "query_id",
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                cosine_similarity(F.col("embedding"), F.col("qe")), 4
-            ).alias("sim"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
-    return (
-        re.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= 3)
-        .orderBy("query_id", "rn")
+    return _pq_exact_rerank(
+        emb, short, raw_sample.select(F.col("vec_id").alias("query_id"), "qe")
     )
 
 
@@ -3097,26 +3089,6 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("query_id", "neighbor_id")
     )
-    re = (
-        emb.join(F.broadcast(short), emb.vec_id == F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "embedding")
-        .join(
-            F.broadcast(
-                raw_sample.select(F.col("vec_id").alias("query_id"), "qe")
-            ),
-            "query_id",
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                cosine_similarity(F.col("embedding"), F.col("qe")), 4
-            ).alias("sim"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
-    return (
-        re.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= 3)
-        .orderBy("query_id", "rn")
+    return _pq_exact_rerank(
+        emb, short, raw_sample.select(F.col("vec_id").alias("query_id"), "qe")
     )
