@@ -135,3 +135,16 @@ def test_pq_distortion_column_and_training_improves_it(spark):
         for r in _pq_encode(qemb, cbt, with_dist=True).collect()
     )
     assert trained_total <= seeded_total
+
+
+def test_celled_pq_plans_have_no_sortmergejoin(spark):
+    """The IVF-PQ serving plans must stay broadcast-shaped end to end:
+    probes, ADC tables, and shortlists broadcast into the index scan —
+    a SortMergeJoin anywhere means a corpus-scale shuffle crept in."""
+    from wikid_spark.registry import all_queries
+
+    for name in ("sim_ivfpq_topk", "sim_ivfpq_residual_topk"):
+        df = all_queries()[name].fn(spark, SF_DIR_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, name
