@@ -148,3 +148,55 @@ def test_celled_pq_plans_have_no_sortmergejoin(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" not in plan, name
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, name
+
+
+def test_pq_dtab_survives_dropped_codewords(spark):
+    """ADVICE r9: the per-sub distance rows must be code_id-KEYED, not
+    positional. Emulate a Lloyd round that dropped a mid-range
+    (sub, code) cell, re-encode under the pruned codebook, and check
+    every ADC distance still equals the exact reconstruction distance
+    computed by joining on (sub, code_id) — the oracle's join shape.
+    With positional rows, codes above the dropped id read the wrong
+    codeword and the top codes read out of range."""
+    import numpy as np
+
+    emb = table(spark, SF_DIR_SMALL, "embeddings")
+    qemb = emb.select(
+        "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
+    )
+    # Drop code 3 in sub 0 and code 15 (the top code) in sub 5 — the
+    # two failure shapes: position shift and out-of-range.
+    cb = _pq_codebooks(emb).filter(
+        ~((F.col("sub") == 0) & (F.col("code_id") == 3))
+        & ~((F.col("sub") == 5) & (F.col("code_id") == PQ_CODES - 1))
+    )
+    codes = _pq_encode(qemb, cb).select("vec_id", "pqcode")
+    from wikid_spark.queries.similarity import _pq_parts
+
+    _, _, _, sample = _pq_parts(spark, SF_DIR_SMALL)
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["adist"]
+        for r in _pq_adc_cands(codes, _pq_dtab(sample, cb)).collect()
+    }
+    assert len(got) > 0
+    assert all(v is not None for v in got.values())
+
+    # Exact recompute: keyed join on (sub, code_id), never positional.
+    C = {
+        (r["sub"], r["code_id"]): np.array(r["cw"], dtype=np.int64)
+        for r in cb.collect()
+    }
+    X = {
+        r["vec_id"]: np.array(r["qemb"], dtype=np.int64)
+        for r in qemb.collect()
+    }
+    packed = {r["vec_id"]: r["pqcode"] for r in codes.collect()}
+    assert not any(
+        ((packed[v] >> (4 * 0)) & 15) == 3 for v in packed
+    ), "encoder assigned a dropped code"
+    for (q, n), adist in got.items():
+        recon = np.concatenate(
+            [C[(s, (packed[n] >> (4 * s)) & 15)] for s in range(PQ_SUBS)]
+        )
+        want = int(((X[q] - recon) ** 2).sum())
+        assert adist == want, (q, n)

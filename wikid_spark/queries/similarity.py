@@ -1839,13 +1839,13 @@ def _pq_train(qemb_df: DataFrame, cb0: DataFrame, rounds: int) -> DataFrame:
     return cb
 
 
-def _pq_sub_dist(qq_col, cw_col, sub_col):
+def _pq_sub_dist(qq_col, cw_col, sub_col, n_dims: int = PQ_DIMS):
     """Exact integer squared-L2 between one subspace slice of a
     quantized vector and a codeword — the shared distance both the
     encoder audit and the ADC tables use."""
     return F.aggregate(
         F.zip_with(
-            F.slice(qq_col, sub_col * PQ_DIMS + 1, PQ_DIMS),
+            F.slice(qq_col, sub_col * n_dims + 1, n_dims),
             cw_col,
             lambda a, b: (a - b) * (a - b),
         ),
@@ -1854,34 +1854,79 @@ def _pq_sub_dist(qq_col, cw_col, sub_col):
     )
 
 
+# Fill distance for a (sub, code) cell Lloyd training dropped: the
+# encoder can never ASSIGN a dropped code, so this value is unread in
+# any consistently-encoded corpus — it only pads the table so that
+# positions stay code_id-keyed. Far above any real sub-distance
+# (max 8 * 2000^2 ~ 3.2e7) yet PQ_SUBS * sentinel stays << 2^63.
+PQ_DROPPED_DIST = 1 << 40
+
+
 def _pq_dtab(
-    sample: DataFrame, cb: DataFrame, keys: tuple[str, ...] = ("query_id",)
+    sample: DataFrame,
+    cb: DataFrame,
+    keys: tuple[str, ...] = ("query_id",),
+    n_subs: int = PQ_SUBS,
+    n_codes: int = PQ_CODES,
+    n_dims: int = PQ_DIMS,
 ) -> DataFrame:
     """Per-query ADC distance tables: (*keys, dt) where dt is the
-    PQ_SUBS x PQ_CODES nested array of exact integer sub-distances
+    n_subs x n_codes nested array of exact integer sub-distances
     from the query's subvector (column ``qq``) to every codeword.
-    Built on the tiny query sample (<= 40 rows x 128 codewords);
+    Built on the tiny query sample (<= 40 rows x codebook);
     broadcast downstream. The residual (IVFADC) path keys tables by
-    (query_id, pcell) — one table per probed cell. Nested
-    collect_list order is canonicalized by array_sort over
-    (code_id,·) / (sub,·) structs — both keys unique."""
+    (query_id, pcell) — one table per probed cell.
+
+    Rows are code_id-KEYED, not positional: Lloyd training can drop a
+    (sub, code) cell (`_pq_lloyd_round` re-emits only non-empty
+    cells), and a collect_list row of survivors would shift every
+    later code's position — `_pq_adist` indexes by the packed code
+    value. Each sub's row is therefore densified to exactly
+    ``n_codes`` entries via a code_id-keyed map, dropped codes padded
+    with `PQ_DROPPED_DIST` (unreachable: the encoder never assigns a
+    dropped code); the sub dimension is densified the same way."""
     per = sample.crossJoin(F.broadcast(cb)).select(
         *keys,
         "sub",
         "code_id",
-        _pq_sub_dist(F.col("qq"), F.col("cw"), F.col("sub")).alias("d"),
+        _pq_sub_dist(F.col("qq"), F.col("cw"), F.col("sub"), n_dims).alias("d"),
     )
-    per_sub = per.groupBy(*keys, "sub").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("code_id", "d"))),
-            lambda s: s["d"],
-        ).alias("row")
+    per_sub = (
+        per.groupBy(*keys, "sub")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("code_id", "d"))
+            ).alias("m")
+        )
+        .select(
+            *keys,
+            "sub",
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.lit(n_codes - 1).cast("long")),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("m"), i),
+                    F.lit(PQ_DROPPED_DIST).cast("long"),
+                ),
+            ).alias("row"),
+        )
     )
-    return per_sub.groupBy(*keys).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("sub", "row"))),
-            lambda s: s["row"],
-        ).alias("dt")
+    pad_row = F.array_repeat(F.lit(PQ_DROPPED_DIST).cast("long"), n_codes)
+    return (
+        per_sub.groupBy(*keys)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("sub", "row"))
+            ).alias("sm")
+        )
+        .select(
+            *keys,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_subs - 1)),
+                lambda s: F.coalesce(
+                    F.element_at(F.col("sm"), s), pad_row
+                ),
+            ).alias("dt"),
+        )
     )
 
 
