@@ -828,6 +828,8 @@ class _FakeDeltaStore:
         self.rows = {}
         self.commits = []
         self.merge_calls = []
+        self.history_limits = []
+        self.exists = True  # isDeltaTable answer; create-path tests flip it
 
 
 class _FakeRow(dict):
@@ -880,7 +882,7 @@ def _make_fake_delta(store):
     class _FakeDeltaTable:
         @classmethod
         def isDeltaTable(cls, spark, path):
-            return True
+            return store.exists
 
         @classmethod
         def forPath(cls, spark, path):
@@ -888,15 +890,16 @@ def _make_fake_delta(store):
             t._spark = spark
             return t
 
-        def history(self):
+        def history(self, limit=None):
+            store.history_limits.append(limit)
+            commits = store.commits if limit is None else store.commits[-limit:]
+
             class _H:
                 def select(_self, col):
                     return _self
 
                 def collect(_self):
-                    return [
-                        _FakeRow(userMetadata=s) for s in store.commits
-                    ]
+                    return [_FakeRow(userMetadata=s) for s in commits]
 
             return _H()
 
@@ -1012,3 +1015,200 @@ def test_delta_seam_absent_without_injection(spark, tmp_path):
     assert [(r["alias"], r["entity_id"], r["count"]) for r in got] == [
         ("a", "1", 1)
     ]
+
+
+def test_delta_create_branch_is_replay_idempotent(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r9: the table-CREATING batch must be replay-safe. The
+    create commit now carries the same ``batch=<id>`` userMetadata
+    stamp as MERGE commits, so a replay that finds the table existing
+    takes the merge branch, sees the stamp in history, and no-ops —
+    instead of re-applying the additive merge and double-counting
+    every key from the first batch."""
+    store = _FakeDeltaStore()
+    store.exists = False  # not a Delta table until batch 0 creates it
+
+    def fake_write(self):
+        """Stand-in for partials.write on the Delta format: applies the
+        rows to the store and records — like real Delta — whatever
+        userMetadata stamp the session conf carries at save() time. The
+        stamp itself is set by the REAL _delta_create_table, which runs
+        unpatched; test_delta_create_table_sets_userMetadata_stamp pins
+        its conf handling in isolation."""
+        df = self
+
+        class _W:
+            def format(self, f):
+                return self
+
+            def partitionBy(self, c):
+                return self
+
+            def option(self, k, v):
+                return self
+
+            def save(self, path):
+                stamp = df.sparkSession.conf.get(
+                    "spark.databricks.delta.commitInfo.userMetadata", None
+                )
+                for r in df.collect():
+                    k = (r["alias"], r["entity_id"])
+                    store.rows[k] = store.rows.get(k, 0) + r["count"]
+                store.commits.append(stamp)
+                store.exists = True
+
+        return _W()
+
+    b0 = spark.createDataFrame(
+        [("click", "0", 2), ("view", "1", 1)],
+        "alias string, entity_id string, count bigint",
+    )
+    # patch the CONCRETE DataFrame class (pyspark 4: classic.dataframe)
+    monkeypatch.setattr(type(b0), "write", property(fake_write))
+    target = str(tmp_path / "delta_create_replay")
+    writer = ingest.merge_upsert_batch_writer(
+        spark,
+        target,
+        writer_id="w0",
+        delta_table_cls=_make_fake_delta(store),
+    )
+    writer(b0, 0)
+    assert store.rows == {("click", "0"): 2, ("view", "1"): 1}
+    assert store.commits == ["batch=0"]
+
+    # At-least-once replay of the CREATE batch: table now exists, the
+    # merge branch consults history, finds batch=0, and no-ops.
+    writer(b0, 0)
+    assert store.rows == {("click", "0"): 2, ("view", "1"): 1}
+    assert store.commits == ["batch=0"]
+    assert store.merge_calls == []
+
+
+def test_delta_create_table_sets_userMetadata_stamp(spark, monkeypatch):
+    """Unit pin on the production _delta_create_table: the session
+    conf carries batch=<id> for the duration of the write and is
+    cleaned up afterwards."""
+    seen = {}
+
+    class _FakeWriter:
+        def __init__(self, df):
+            self._df = df
+
+        def format(self, f):
+            return self
+
+        def partitionBy(self, c):
+            return self
+
+        def option(self, k, v):
+            seen[k] = v
+            return self
+
+        def save(self, path):
+            seen["stamp_at_save"] = self._df.sparkSession.conf.get(
+                "spark.databricks.delta.commitInfo.userMetadata", None
+            )
+
+    df = spark.createDataFrame(
+        [("a", "1", 1, 0)],
+        "alias string, entity_id string, count bigint, pk int",
+    )
+    monkeypatch.setattr(
+        type(df), "write", property(lambda self: _FakeWriter(self))
+    )
+    ingest._delta_create_table(df, "/tmp/nowhere", "w9", 4)
+    assert seen["stamp_at_save"] == "batch=4"
+    assert seen["txnAppId"] == "w9" and seen["txnVersion"] == 4
+    assert (
+        spark.conf.get(
+            "spark.databricks.delta.commitInfo.userMetadata", None
+        )
+        is None
+    )
+
+
+def test_delta_refuses_to_create_over_parquet_state(spark, tmp_path):
+    """ADVICE r9: the Delta create path must not build a table inside
+    a directory holding parquet stage-and-promote state — that is an
+    existing table in the OTHER protocol, and mixing produces a failed
+    tree instead of resuming the ledger."""
+    import os
+
+    import pytest
+
+    store = _FakeDeltaStore()
+    store.exists = False
+    target = str(tmp_path / "parquet_protocol_target")
+    os.makedirs(os.path.join(target, "pk=3"))
+    open(os.path.join(target, "_merged_batch_0"), "w").close()
+    writer = ingest.merge_upsert_batch_writer(
+        spark,
+        target,
+        writer_id="w1",
+        delta_table_cls=_make_fake_delta(store),
+    )
+    b = spark.createDataFrame(
+        [("a", "1", 1)], "alias string, entity_id string, count bigint"
+    )
+    with pytest.raises(RuntimeError, match="parquet merge-protocol state"):
+        writer(b, 0)
+    assert store.rows == {} and store.commits == []
+
+
+def test_delta_requires_explicit_opt_in(spark, tmp_path, monkeypatch):
+    """ADVICE r9: import-detection must not flip the sink format. With
+    delta importable but use_delta unset, the writer stays on the
+    parquet stage-and-promote protocol; use_delta=True without the
+    package raises instead of silently falling back."""
+    import os
+
+    import pytest
+
+    store = _FakeDeltaStore()
+    monkeypatch.setattr(
+        ingest, "_import_delta", lambda: _make_fake_delta(store)
+    )
+    target = str(tmp_path / "no_optin")
+    writer = ingest.merge_upsert_batch_writer(spark, target, writer_id="w2")
+    b = spark.createDataFrame(
+        [("a", "1", 1)], "alias string, entity_id string, count bigint"
+    )
+    writer(b, 0)
+    # parquet protocol ran: ledger marker + bucket dirs, no Delta commits
+    assert os.path.exists(os.path.join(target, "_merged_batch_0"))
+    assert store.commits == [] and store.rows == {}
+
+    monkeypatch.setattr(ingest, "_import_delta", lambda: None)
+    with pytest.raises(RuntimeError, match="use_delta=True"):
+        ingest.merge_upsert_batch_writer(
+            spark, str(tmp_path / "x"), writer_id="w3", use_delta=True
+        )
+
+
+def test_delta_history_scan_is_bounded(spark, tmp_path):
+    """ADVICE r9: the replay-dedup scan reads only the last
+    DELTA_HISTORY_LOOKBACK commits, not the full (unboundedly growing)
+    table history."""
+    store = _FakeDeltaStore()
+    target = str(tmp_path / "bounded_history")
+    writer = ingest.merge_upsert_batch_writer(
+        spark,
+        target,
+        writer_id="w4",
+        delta_table_cls=_make_fake_delta(store),
+    )
+    b = spark.createDataFrame(
+        [("a", "1", 1)], "alias string, entity_id string, count bigint"
+    )
+    writer(b, 0)
+    writer(b, 1)
+    assert store.history_limits == [
+        ingest.DELTA_HISTORY_LOOKBACK,
+        ingest.DELTA_HISTORY_LOOKBACK,
+    ]
+    # a stamp older than the lookback window is invisible — the dedup
+    # contract holds because foreachBatch never replays that far back
+    store.commits = [f"batch={i}" for i in range(500)]
+    writer(b, 499)  # within window → deduped
+    assert len(store.commits) == 500

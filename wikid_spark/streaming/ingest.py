@@ -153,20 +153,64 @@ def _import_delta():
         return None
 
 
+# Replay-dedup lookback on the Delta path: foreachBatch only ever
+# replays batches at/after the last unfinished checkpoint offset, so a
+# replayed batch_id is always within the most recent few commits. 100
+# leaves two orders of magnitude of slack over the single in-flight
+# batch while keeping the per-batch history scan O(1) in stream age.
+DELTA_HISTORY_LOOKBACK = 100
+
+
+def _refuse_parquet_protocol_state(target_dir: str) -> None:
+    """Creating a Delta table over a directory holding parquet
+    stage-and-promote state (bucket partitions, batch ledger markers,
+    staging dirs) would produce a failed or mixed tree instead of
+    resuming the ledger — fail loudly; the operator migrates the table
+    explicitly (read_alias_counts → one Delta write) instead."""
+    import os
+
+    try:
+        children = os.listdir(target_dir)
+    except FileNotFoundError:
+        return
+    state = [
+        c
+        for c in children
+        if c.startswith(("pk=", "_merged_batch_", "_staging_batch_"))
+    ]
+    if state:
+        raise RuntimeError(
+            f"refusing to create a Delta table at {target_dir!r}: the "
+            f"directory holds parquet merge-protocol state ({state[:3]}"
+            f"{'...' if len(state) > 3 else ''}); migrate the existing "
+            "table explicitly before switching formats"
+        )
+
+
 def _delta_create_table(
     partials: DataFrame, target_dir: str, writer_id: str, batch_id: int
 ) -> None:
-    """First-batch table creation on the Delta path. txnAppId +
-    txnVersion make the create itself replay-idempotent (Delta skips a
-    commit whose (appId, version) it has already seen). Module-level so
-    tests can intercept it without a Delta runtime present."""
-    (
-        partials.write.format("delta")
-        .partitionBy("pk")
-        .option("txnAppId", writer_id)
-        .option("txnVersion", batch_id)
-        .save(target_dir)
-    )
+    """First-batch table creation on the Delta path. The create commit
+    is stamped with the SAME ``batch=<id>`` userMetadata the MERGE
+    commits carry: txnAppId/txnVersion only dedup save()-path commits,
+    so without the stamp an at-least-once replay of the table-creating
+    batch would find the table existing, take the merge branch, see no
+    stamp in history, and re-apply the additive MERGE — double-counting
+    every key from the first batch. Module-level so tests can intercept
+    it without a Delta runtime present."""
+    spark = partials.sparkSession
+    meta_key = "spark.databricks.delta.commitInfo.userMetadata"
+    spark.conf.set(meta_key, f"batch={batch_id}")
+    try:
+        (
+            partials.write.format("delta")
+            .partitionBy("pk")
+            .option("txnAppId", writer_id)
+            .option("txnVersion", batch_id)
+            .save(target_dir)
+        )
+    finally:
+        spark.conf.unset(meta_key)
 
 
 def _delta_merge_batch_writer(
@@ -191,6 +235,13 @@ def _delta_merge_batch_writer(
     * the single-writer heartbeat lease, kept for symmetry with the
       parquet path (Delta serializes conflicting commits, but a second
       live STREAM would still interleave batches semantically).
+
+    The replay-dedup history scan is bounded to the last
+    ``DELTA_HISTORY_LOOKBACK`` commits: foreachBatch replays only
+    batches at or after the last unfinished checkpoint offset, so any
+    replayed batch_id sits within the last handful of commits — an
+    unbounded history() would grow the per-batch driver work linearly
+    with stream lifetime.
     """
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
@@ -201,13 +252,16 @@ def _delta_merge_batch_writer(
             .withColumn("pk", _merge_bucket(F.col("alias")))
         )
         if not delta_table_cls.isDeltaTable(spark, target_dir):
+            _refuse_parquet_protocol_state(target_dir)
             _delta_create_table(partials, target_dir, writer_id, batch_id)
             return
         tgt = delta_table_cls.forPath(spark, target_dir)
         stamp = f"batch={batch_id}"
         applied = {
             r["userMetadata"]
-            for r in tgt.history().select("userMetadata").collect()
+            for r in tgt.history(DELTA_HISTORY_LOOKBACK)
+            .select("userMetadata")
+            .collect()
         }
         if stamp in applied:
             return
@@ -317,6 +371,7 @@ def merge_upsert_batch_writer(
     writer_id: str | None = None,
     lease_seconds: float = DEFAULT_LEASE_SECONDS,
     delta_table_cls=None,
+    use_delta: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch hook applying the keyed merge per micro-batch,
     idempotent under at-least-once replay INCLUDING a crash at any
@@ -368,13 +423,25 @@ def merge_upsert_batch_writer(
 
     wid = writer_id or f"{socket.gethostname()}-{os.getpid()}"
 
-    # Table-format seam: when Delta is importable (or a test injects a
-    # fake DeltaTable class), the whole stage-and-promote protocol
-    # collapses into an ACID MERGE INTO with history-backed replay
-    # dedup — see _delta_merge_batch_writer. The parquet protocol below
-    # is the dependency-free emulation and stays the tested local path.
-    dt_cls = delta_table_cls if delta_table_cls is not None else _import_delta()
-    if dt_cls is not None:
+    # Table-format seam, EXPLICIT opt-in only: ``use_delta=True`` (or a
+    # test injecting a DeltaTable class) collapses the whole
+    # stage-and-promote protocol into an ACID MERGE INTO with
+    # history-backed replay dedup — see _delta_merge_batch_writer.
+    # Import-detection alone must NOT flip the sink format: a cluster
+    # that happens to ship delta-spark would otherwise silently start
+    # writing Delta commits over an existing parquet-protocol target.
+    # The parquet protocol below is the dependency-free emulation and
+    # stays the tested local path.
+    if use_delta or delta_table_cls is not None:
+        dt_cls = (
+            delta_table_cls if delta_table_cls is not None else _import_delta()
+        )
+        if dt_cls is None:
+            raise RuntimeError(
+                "merge_upsert_batch_writer(use_delta=True) requires the "
+                "delta-spark package (delta.tables.DeltaTable), which is "
+                "not importable on this cluster"
+            )
         return _delta_merge_batch_writer(
             spark, target_dir, dt_cls, wid, lease_seconds
         )
