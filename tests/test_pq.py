@@ -200,3 +200,122 @@ def test_pq_dtab_survives_dropped_codewords(spark):
         )
         want = int(((X[q] - recon) ** 2).sum())
         assert adist == want, (q, n)
+
+
+def test_pq8_pack_roundtrip_and_adc(spark):
+    """The 16-byte (two-word, 8-bit) index: packed words unpack to the
+    per-subspace argmins of an independent numpy pass, and the ADC
+    distance over both words equals the exact reconstruction
+    distance."""
+    import numpy as np
+
+    from wikid_spark.queries.similarity import PQ8, _pq_parts
+
+    qemb, cb, codes_df, sample = _pq_parts(spark, SF_DIR_SMALL, spec=PQ8)
+    got = {
+        r["vec_id"]: (r["pqcode"], r["pqcode2"]) for r in codes_df.collect()
+    }
+    assert len(got) > 0
+    C = {}
+    for r in cb.collect():
+        C[(r["sub"], r["code_id"])] = np.array(r["cw"], dtype=np.int64)
+    X = {
+        r["vec_id"]: np.array(r["qemb"], dtype=np.int64)
+        for r in qemb.select("vec_id", "qemb").collect()
+    }
+    want_codes = {}
+    for vid, x in X.items():
+        xs = x.reshape(PQ8.subs, PQ8.dims)
+        cs = []
+        for s in range(PQ8.subs):
+            cands = sorted(
+                (int(((xs[s] - cw) ** 2).sum()), cid)
+                for (sub, cid), cw in C.items()
+                if sub == s
+            )
+            cs.append(cands[0][1])
+        want_codes[vid] = cs
+    for vid, (w0, w1) in got.items():
+        unpacked = [((w0 if s < 8 else w1) >> (8 * (s % 8))) & 255
+                    for s in range(PQ8.subs)]
+        assert unpacked == want_codes[vid], vid
+
+    cands = _pq_adc_cands(
+        codes_df.select("vec_id", "pqcode", "pqcode2"),
+        _pq_dtab(sample, cb, spec=PQ8),
+        PQ8,
+    ).collect()
+    assert len(cands) > 0
+    for r in cands:
+        recon = np.concatenate(
+            [C[(s, want_codes[r["neighbor_id"]][s])] for s in range(PQ8.subs)]
+        )
+        want = int(((X[r["query_id"]] - recon) ** 2).sum())
+        assert r["adist"] == want, (r["query_id"], r["neighbor_id"])
+
+
+def test_pq8_sign_wrapped_word_roundtrips(spark):
+    """A code >= 128 in the top byte of a word sets the BIGINT sign
+    bit. Packing must wrap two's-complement (uint64 view) and the
+    arithmetic-shift/mask unpack must still extract the original
+    code — pinned with a crafted codebook that forces code 200 at
+    subs 7 and 15 (both words' top bytes)."""
+    import numpy as np
+
+    import pyspark.sql.functions as F
+    from wikid_spark.queries.similarity import PQ8, _pq_encode
+
+    # Codebook: code c at sub s is the constant vector [c*10]*4 —
+    # vector slices equal to [2000]*4 pick code 200 everywhere.
+    rows = [
+        (s, c, [c * 10] * PQ8.dims)
+        for s in range(PQ8.subs)
+        for c in range(PQ8.codes)
+    ]
+    cb = spark.createDataFrame(
+        rows, "sub int, code_id long, cw array<long>"
+    )
+    vec = spark.createDataFrame(
+        [(1, [2000] * 64)], "vec_id long, qemb array<long>"
+    )
+    out = _pq_encode(vec, cb, spec=PQ8).collect()[0]
+    assert out["pqcode"] < 0 and out["pqcode2"] < 0  # sign bit set
+    for s in range(PQ8.subs):
+        w = out["pqcode"] if s < 8 else out["pqcode2"]
+        assert ((w >> (8 * (s % 8))) & 255) == 200, s
+    # and the Spark-side unpack expression agrees
+    from wikid_spark.queries.similarity import _pq_unpack
+
+    df = spark.createDataFrame(
+        [(out["pqcode"], out["pqcode2"])], "pqcode long, pqcode2 long"
+    )
+    arr = df.select(
+        _pq_unpack([F.col("pqcode"), F.col("pqcode2")], PQ8).alias("a")
+    ).collect()[0]["a"]
+    assert arr == [200] * PQ8.subs
+
+
+def test_pq_spec_for_width_dial():
+    """The width derives from corpus size like derived_k: 8-byte codes
+    below the threshold, 16-byte at/above; both specs tile EMBED_DIMS
+    exactly and declare their packing layout consistently."""
+    from wikid_spark.queries.similarity import (
+        EMBED_DIMS,
+        PQ4,
+        PQ8,
+        PQ_WIDTH_THRESHOLD,
+        pq_spec_for,
+    )
+
+    assert pq_spec_for(500) is PQ4
+    assert pq_spec_for(PQ_WIDTH_THRESHOLD - 1) is PQ4
+    assert pq_spec_for(PQ_WIDTH_THRESHOLD) is PQ8
+    assert pq_spec_for(50_000_000) is PQ8
+    for spec in (PQ4, PQ8):
+        assert spec.subs * spec.dims == EMBED_DIMS
+        assert spec.codes == 2**spec.bits
+        assert spec.per_word * spec.words >= spec.subs
+        assert len(spec.cols) == spec.words
+        assert spec.index_bytes == 8 * spec.words
+    assert PQ4.cols == ("pqcode",) and PQ8.cols == ("pqcode", "pqcode2")
+    assert PQ4.index_bytes == 8 and PQ8.index_bytes == 16

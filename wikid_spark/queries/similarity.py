@@ -9,6 +9,8 @@ space. Hyperplane weights are deterministic integer functions of
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -1669,26 +1671,83 @@ PQ_DIMS = EMBED_DIMS // PQ_SUBS  # 8 dims per subspace
 PQ_CODES = 16  # 4-bit codes: 8 subs x 4 bits pack into one BIGINT
 
 
-def _pq_codebooks(emb: DataFrame) -> DataFrame:
+class PQSpec(NamedTuple):
+    """A PQ code-width configuration — the BYTES dial of the ANN
+    serving budget (the rows dial is nprobe x derived_k). ``subs``
+    subspaces of ``dims`` dims each (subs * dims == EMBED_DIMS),
+    ``codes`` = 2^``bits`` codewords per subspace. Codes pack
+    little-endian into ``words`` BIGINT columns (``cols``),
+    ``per_word`` codes each; a multi-word top byte can set the sign
+    bit — packing wraps two's-complement identically in both engines
+    (numpy uint64 view / DuckDB HUGEINT wrap) and the shift/mask
+    unpack is sign-safe (arithmetic shift then AND mask)."""
+
+    subs: int
+    dims: int
+    codes: int
+    bits: int
+
+    @property
+    def per_word(self) -> int:
+        return 64 // self.bits
+
+    @property
+    def words(self) -> int:
+        return (self.subs + self.per_word - 1) // self.per_word
+
+    @property
+    def cols(self) -> tuple[str, ...]:
+        return tuple(
+            "pqcode" if w == 0 else f"pqcode{w + 1}"
+            for w in range(self.words)
+        )
+
+    @property
+    def index_bytes(self) -> int:
+        return 8 * self.words
+
+
+PQ4 = PQSpec(subs=PQ_SUBS, dims=PQ_DIMS, codes=PQ_CODES, bits=4)
+PQ8 = PQSpec(subs=16, dims=EMBED_DIMS // 16, codes=256, bits=8)
+
+# Corpus size at which the 4-bit (8-byte) code runs out of entropy:
+# SCALE.md round-9/10 tables show pq_trained recall@3 0.600 at n=5e3
+# falling to 0.250 by n=5e4, while the 16-byte code holds. Like
+# derived_k, the width derives from the corpus, not from config.
+PQ_WIDTH_THRESHOLD = 20_000
+
+
+def pq_spec_for(corpus_rows: int) -> PQSpec:
+    """Corpus-size-aware code width — the production dial `derived_k`
+    is for index width and `nprobe` is for probe depth: 8-byte 4-bit
+    codes below PQ_WIDTH_THRESHOLD rows, 16-byte 8-bit codes at or
+    above (constant-entropy codes decay in recall as n grows; see
+    SCALE.md). Callers pass `catalog.corpus_rows` (parquet footer
+    metadata — no count() scan)."""
+    return PQ4 if corpus_rows < PQ_WIDTH_THRESHOLD else PQ8
+
+
+def _pq_codebooks(emb: DataFrame, spec: PQSpec = PQ4) -> DataFrame:
     """(sub, code_id, cw): per-subspace codebooks sliced from the
-    PQ_CODES hash-seeded quantized vectors (the `_centroids` sampling
+    spec.codes hash-seeded quantized vectors (the `_centroids` sampling
     hash, so seed choice is engine-identical)."""
     return _pq_seed_codebooks(
         emb.select(
             "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
-        )
+        ),
+        spec,
     )
 
 
-def _pq_seed_codebooks(qdf: DataFrame) -> DataFrame:
+def _pq_seed_codebooks(qdf: DataFrame, spec: PQSpec = PQ4) -> DataFrame:
     """Codebook seeding over an arbitrary (vec_id, qemb) table — the
     raw-embedding path and the residual (IVFADC) path share it.
-    code_id is the DENSE rank 0..PQ_CODES-1 in hash order — the
+    code_id is the DENSE rank 0..spec.codes-1 in hash order — the
     packing positions. The row_number window sorts only the
-    PQ_CODES-row limit result."""
+    spec.codes-row limit result."""
     h = ((F.col("vec_id") % _H_P) * _H_A + _H_C) % _H_M
     seeds = (
-        qdf.select("vec_id", "qemb").orderBy(h.alias("h"), "vec_id").limit(PQ_CODES)
+        qdf.select("vec_id", "qemb").orderBy(h.alias("h"), "vec_id").limit(spec.codes)
     )
     w = Window.orderBy(
         (((F.col("vec_id") % _H_P) * _H_A + _H_C) % _H_M), "vec_id"
@@ -1698,8 +1757,8 @@ def _pq_seed_codebooks(qdf: DataFrame) -> DataFrame:
     )
     slices = F.array(
         *[
-            F.slice("qemb", s * PQ_DIMS + 1, PQ_DIMS)
-            for s in range(PQ_SUBS)
+            F.slice("qemb", s * spec.dims + 1, spec.dims)
+            for s in range(spec.subs)
         ]
     )
     return seeds.select(
@@ -1708,15 +1767,23 @@ def _pq_seed_codebooks(qdf: DataFrame) -> DataFrame:
 
 
 def _pq_encode(
-    vecs: DataFrame, cb: DataFrame, with_dist: bool = False
+    vecs: DataFrame,
+    cb: DataFrame,
+    with_dist: bool = False,
+    spec: PQSpec = PQ4,
 ) -> DataFrame:
-    """Appends ``pqcode`` (the packed PQ code word) to every input row
-    in ONE corpus pass: a cogrouped-pandas kernel computes all PQ_SUBS
-    argmins per vector from a reshaped (subs, codes, dims) codebook
-    tensor — the `_assign_blas` discipline (corpus never shuffles; the
-    tiny codebook replicates to every slice). Distances are exact
-    integers in float64; np.argmin's first-minimum over code_id-sorted
-    codewords reproduces the (dist, code_id) tie-break.
+    """Appends the packed PQ code word columns (``spec.cols``) to every
+    input row in ONE corpus pass: a cogrouped-pandas kernel computes
+    all spec.subs argmins per vector from a reshaped (subs, codes,
+    dims) codebook tensor — the `_assign_blas` discipline (corpus never
+    shuffles; the tiny codebook replicates to every slice). Distances
+    are exact integers in float64; np.argmin's first-minimum over
+    code_id-sorted codewords reproduces the (dist, code_id) tie-break.
+
+    Packing accumulates in uint64 and reinterprets as int64: a
+    multi-word spec's top byte can set the sign bit, and the uint64
+    view wraps two's-complement exactly like the oracle's HUGEINT
+    modular reduction (`_pq_cte`); the shift/mask unpack is sign-safe.
 
     ``with_dist`` also emits ``pqdist`` — the exact integer
     quantization distortion ||x - reconstruction(x)||^2 (the sum of
@@ -1728,17 +1795,30 @@ def _pq_encode(
     import pandas as pd
 
     n_parts = 64
+    # Destructure the spec to plain ints/strings BEFORE the closure:
+    # a PQSpec instance in the closure would pickle its class by
+    # reference, which workers driven from a sys.path-injected repo
+    # cannot import (the verify-skill cloudpickle gotcha).
+    n_subs, n_dims = spec.subs, spec.dims
+    n_bits, n_per, word_cols = spec.bits, spec.per_word, list(spec.cols)
     out_cols = [f.name for f in vecs.schema.fields]
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in vecs.schema.fields
-    ) + ", pqcode bigint"
+    out_schema = (
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in vecs.schema.fields
+        )
+        + ", "
+        + ", ".join(f"{c} bigint" for c in word_cols)
+    )
     if with_dist:
         out_schema += ", pqdist bigint"
 
     def encode(key, vpdf, cpdf):
         vpdf = vpdf[out_cols]
         if len(vpdf) == 0:
-            out = vpdf.assign(pqcode=pd.Series([], dtype="int64"))
+            out = vpdf.assign(
+                **{c: pd.Series([], dtype="int64") for c in word_cols}
+            )
             if with_dist:
                 out = out.assign(pqdist=pd.Series([], dtype="int64"))
             return out
@@ -1752,20 +1832,26 @@ def _pq_encode(
         # the codebook per sub instead of one uniform reshape.
         cpdf = cpdf.sort_values(["sub", "code_id"], kind="stable")
         X = np.array(vpdf["qemb"].tolist(), dtype=np.float64).reshape(
-            len(vpdf), PQ_SUBS, PQ_DIMS
+            len(vpdf), n_subs, n_dims
         )
-        pq = np.zeros(len(vpdf), dtype=np.int64)
+        words = np.zeros((len(word_cols), len(vpdf)), dtype=np.uint64)
         dist = np.zeros(len(vpdf), dtype=np.int64)
-        for s in range(PQ_SUBS):
+        for s in range(n_subs):
             cs = cpdf[cpdf["sub"] == s]
-            cid = cs["code_id"].to_numpy(dtype=np.int64)
+            cid = cs["code_id"].to_numpy(dtype=np.uint64)
             C = np.array(cs["cw"].tolist(), dtype=np.float64)
             d = ((X[:, s, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             # first min = lowest code_id (cid ascends within the sub)
-            pq += cid[np.argmin(d, axis=1)] << (4 * s)
+            chosen = cid[np.argmin(d, axis=1)]
+            words[s // n_per] += chosen << np.uint64(n_bits * (s % n_per))
             if with_dist:
                 dist += d.min(axis=1).astype(np.int64)
-        out = vpdf.assign(pqcode=pq)
+        out = vpdf.assign(
+            **{
+                c: words[w].view(np.int64)
+                for w, c in enumerate(word_cols)
+            }
+        )
         if with_dist:
             out = out.assign(pqdist=dist)
         return out
@@ -1785,20 +1871,27 @@ def _pq_encode(
 PQ_TRAIN_ROUNDS = 3  # d50 containment knee at sf0.1 (0.33 -> 0.60)
 
 
-def _pq_unpack(pqcode_col):
-    """array<long> of the PQ_SUBS 4-bit codes packed in ``pqcode`` —
-    the shift/mask inverse of the kernel's packing."""
+def _pq_unpack(word_cols, spec: PQSpec = PQ4):
+    """array<long> of the spec.subs codes packed in the word columns —
+    the shift/mask inverse of the kernel's packing. Sign-safe: an
+    arithmetic shiftright of a negative word followed by AND mask
+    still extracts the original byte."""
     return F.array(
         *[
-            F.shiftright(pqcode_col, 4 * s)
-            .bitwiseAND(F.lit(15))
+            F.shiftright(
+                word_cols[s // spec.per_word],
+                spec.bits * (s % spec.per_word),
+            )
+            .bitwiseAND(F.lit(spec.codes - 1))
             .cast("long")
-            for s in range(PQ_SUBS)
+            for s in range(spec.subs)
         ]
     )
 
 
-def _pq_lloyd_round(qemb_df: DataFrame, cb: DataFrame) -> DataFrame:
+def _pq_lloyd_round(
+    qemb_df: DataFrame, cb: DataFrame, spec: PQSpec = PQ4
+) -> DataFrame:
     """One Lloyd re-centering of the PQ codebooks, ALL subspaces in a
     single corpus pass: encode under the current codebooks (the same
     kernel serving uses), unpack the packed codes back to (sub, code)
@@ -1806,16 +1899,19 @@ def _pq_lloyd_round(qemb_df: DataFrame, cb: DataFrame) -> DataFrame:
     floor-quantized member mean — `_lloyd_round`'s exact semantics
     (FLOOR(sum/n) per dimension, dropped cells simply not re-emitted),
     applied per subspace. The subspace is DATA here, not a loop bound:
-    training cost per round is one encode pass + one PQ_DIMS-column
-    aggregation, independent of PQ_SUBS."""
-    enc = _pq_encode(qemb_df.select("vec_id", "qemb"), cb)
-    sv = F.slice(F.col("qemb"), F.col("sub") * PQ_DIMS + 1, PQ_DIMS)
+    training cost per round is one encode pass + one spec.dims-column
+    aggregation, independent of spec.subs."""
+    enc = _pq_encode(qemb_df.select("vec_id", "qemb"), cb, spec=spec)
+    sv = F.slice(F.col("qemb"), F.col("sub") * spec.dims + 1, spec.dims)
     ex = enc.select(
-        "qemb", F.posexplode(_pq_unpack(F.col("pqcode"))).alias("sub", "code_id")
+        "qemb",
+        F.posexplode(
+            _pq_unpack([F.col(c) for c in spec.cols], spec)
+        ).alias("sub", "code_id"),
     ).select("sub", "code_id", sv.alias("sv"))
     sums = ex.groupBy("sub", "code_id").agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.col("sv")[d]).alias(f"s{d}") for d in range(PQ_DIMS)],
+        *[F.sum(F.col("sv")[d]).alias(f"s{d}") for d in range(spec.dims)],
     )
     return sums.select(
         "sub",
@@ -1823,19 +1919,21 @@ def _pq_lloyd_round(qemb_df: DataFrame, cb: DataFrame) -> DataFrame:
         F.array(
             *[
                 F.floor(F.col(f"s{d}") / F.col("n")).cast("long")
-                for d in range(PQ_DIMS)
+                for d in range(spec.dims)
             ]
         ).alias("cw"),
     )
 
 
-def _pq_train(qemb_df: DataFrame, cb0: DataFrame, rounds: int) -> DataFrame:
+def _pq_train(
+    qemb_df: DataFrame, cb0: DataFrame, rounds: int, spec: PQSpec = PQ4
+) -> DataFrame:
     """``rounds`` Lloyd refinements of the seeded codebooks; the
-    128-row state localCheckpoints per round (flat lineage, the
-    `lloyd_train` discipline)."""
+    codebook state (subs x codes rows) localCheckpoints per round
+    (flat lineage, the `lloyd_train` discipline)."""
     cb = cb0
     for _ in range(rounds):
-        cb = _pq_lloyd_round(qemb_df, cb).localCheckpoint(eager=True)
+        cb = _pq_lloyd_round(qemb_df, cb, spec).localCheckpoint(eager=True)
     return cb
 
 
@@ -1866,12 +1964,10 @@ def _pq_dtab(
     sample: DataFrame,
     cb: DataFrame,
     keys: tuple[str, ...] = ("query_id",),
-    n_subs: int = PQ_SUBS,
-    n_codes: int = PQ_CODES,
-    n_dims: int = PQ_DIMS,
+    spec: PQSpec = PQ4,
 ) -> DataFrame:
     """Per-query ADC distance tables: (*keys, dt) where dt is the
-    n_subs x n_codes nested array of exact integer sub-distances
+    spec.subs x spec.codes nested array of exact integer sub-distances
     from the query's subvector (column ``qq``) to every codeword.
     Built on the tiny query sample (<= 40 rows x codebook);
     broadcast downstream. The residual (IVFADC) path keys tables by
@@ -1882,14 +1978,17 @@ def _pq_dtab(
     cells), and a collect_list row of survivors would shift every
     later code's position — `_pq_adist` indexes by the packed code
     value. Each sub's row is therefore densified to exactly
-    ``n_codes`` entries via a code_id-keyed map, dropped codes padded
-    with `PQ_DROPPED_DIST` (unreachable: the encoder never assigns a
-    dropped code); the sub dimension is densified the same way."""
+    ``spec.codes`` entries via a code_id-keyed map, dropped codes
+    padded with `PQ_DROPPED_DIST` (unreachable: the encoder never
+    assigns a dropped code); the sub dimension is densified the same
+    way."""
     per = sample.crossJoin(F.broadcast(cb)).select(
         *keys,
         "sub",
         "code_id",
-        _pq_sub_dist(F.col("qq"), F.col("cw"), F.col("sub"), n_dims).alias("d"),
+        _pq_sub_dist(
+            F.col("qq"), F.col("cw"), F.col("sub"), spec.dims
+        ).alias("d"),
     )
     per_sub = (
         per.groupBy(*keys, "sub")
@@ -1902,7 +2001,10 @@ def _pq_dtab(
             *keys,
             "sub",
             F.transform(
-                F.sequence(F.lit(0).cast("long"), F.lit(n_codes - 1).cast("long")),
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.lit(spec.codes - 1).cast("long"),
+                ),
                 lambda i: F.coalesce(
                     F.element_at(F.col("m"), i),
                     F.lit(PQ_DROPPED_DIST).cast("long"),
@@ -1910,7 +2012,7 @@ def _pq_dtab(
             ).alias("row"),
         )
     )
-    pad_row = F.array_repeat(F.lit(PQ_DROPPED_DIST).cast("long"), n_codes)
+    pad_row = F.array_repeat(F.lit(PQ_DROPPED_DIST).cast("long"), spec.codes)
     return (
         per_sub.groupBy(*keys)
         .agg(
@@ -1921,7 +2023,7 @@ def _pq_dtab(
         .select(
             *keys,
             F.transform(
-                F.sequence(F.lit(0), F.lit(n_subs - 1)),
+                F.sequence(F.lit(0), F.lit(spec.subs - 1)),
                 lambda s: F.coalesce(
                     F.element_at(F.col("sm"), s), pad_row
                 ),
@@ -1930,11 +2032,12 @@ def _pq_dtab(
     )
 
 
-def _pq_adist():
-    """The ADC distance expression over (pqcode, dt) columns: unpack
-    sub s's 4-bit code with shift/mask, look up its pre-computed
-    sub-distance in the broadcast table, sum the PQ_SUBS terms — a
-    pure projection, no vector math."""
+def _pq_adist(spec: PQSpec = PQ4):
+    """The ADC distance expression over (packed word cols, dt)
+    columns: unpack sub s's code with shift/mask (sign-safe — see
+    `_pq_unpack`), look up its pre-computed sub-distance in the
+    broadcast table, sum the spec.subs terms — a pure projection, no
+    vector math."""
     import functools
     import operator
 
@@ -1942,21 +2045,26 @@ def _pq_adist():
         F.element_at(
             F.element_at(F.col("dt"), s + 1),
             (
-                F.shiftright(F.col("pqcode"), 4 * s).bitwiseAND(F.lit(15))
+                F.shiftright(
+                    F.col(spec.cols[s // spec.per_word]),
+                    spec.bits * (s % spec.per_word),
+                ).bitwiseAND(F.lit(spec.codes - 1))
             ).cast("int")
             + 1,
         )
-        for s in range(PQ_SUBS)
+        for s in range(spec.subs)
     ]
     return functools.reduce(operator.add, terms)
 
 
-def _pq_adc_cands(codes: DataFrame, dtab: DataFrame) -> DataFrame:
+def _pq_adc_cands(
+    codes: DataFrame, dtab: DataFrame, spec: PQSpec = PQ4
+) -> DataFrame:
     """(query_id, neighbor_id, adist): ADC distance of every encoded
     corpus row to every sampled query — the corpus-scale pass of PQ
-    serving. Pure projection over (pqcode x broadcast dtab). No
+    serving. Pure projection over (packed words x broadcast dtab). No
     shuffle until the top-k window."""
-    adist = _pq_adist()
+    adist = _pq_adist(spec)
     return (
         codes.crossJoin(F.broadcast(dtab))
         .select(
@@ -1968,7 +2076,12 @@ def _pq_adc_cands(codes: DataFrame, dtab: DataFrame) -> DataFrame:
     )
 
 
-def _pq_parts(spark: SparkSession, sf_dir: str, train_rounds: int = 0):
+def _pq_parts(
+    spark: SparkSession,
+    sf_dir: str,
+    train_rounds: int = 0,
+    spec: PQSpec = PQ4,
+):
     """Shared build: (qemb, cb, codes, sample) — codebooks from the
     hash seeds (Lloyd-refined when ``train_rounds`` > 0), the one-pass
     packed encode, and the fixed query sample carrying raw + quantized
@@ -1979,11 +2092,11 @@ def _pq_parts(spark: SparkSession, sf_dir: str, train_rounds: int = 0):
         "embedding",
         quantize_embedding(F.col("embedding")).alias("qemb"),
     )
-    cb = _pq_codebooks(emb)
+    cb = _pq_codebooks(emb, spec)
     if train_rounds:
-        cb = _pq_train(qemb, cb, train_rounds)
-    codes = _pq_encode(qemb.select("vec_id", "qemb"), cb).select(
-        "vec_id", "pqcode"
+        cb = _pq_train(qemb, cb, train_rounds, spec)
+    codes = _pq_encode(qemb.select("vec_id", "qemb"), cb, spec=spec).select(
+        "vec_id", *spec.cols
     )
     sample = _sample_filter(qemb).select(
         F.col("vec_id").alias("query_id"),
@@ -1994,7 +2107,10 @@ def _pq_parts(spark: SparkSession, sf_dir: str, train_rounds: int = 0):
 
 
 def _pq_cte(
-    prefix: str = "", train_rounds: int = 0, src: str | None = None
+    prefix: str = "",
+    train_rounds: int = 0,
+    src: str | None = None,
+    spec: PQSpec = PQ4,
 ) -> str:
     """DuckDB twin of the PQ build: hash-seeded codebooks (dense
     code_id = rank in hash order), ``train_rounds`` unrolled Lloyd
@@ -2008,6 +2124,7 @@ def _pq_cte(
     the embeddings table — the residual (IVFADC) path feeds
     pre-computed residual vectors through the same chain."""
     p = prefix
+    d_, c_, s_ = spec.dims, spec.codes, spec.subs
     rounds = []
     for r in range(1, train_rounds + 1):
         rounds.append(f"""{p}pa{r} AS MATERIALIZED (
@@ -2015,7 +2132,7 @@ def _pq_cte(
         SELECT v.vec_id, c.sub, c.code_id,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id, c.sub
                  ORDER BY CAST(list_sum(list_transform(
-                            v.qemb[c.sub * {PQ_DIMS} + 1 : (c.sub + 1) * {PQ_DIMS}],
+                            v.qemb[c.sub * {d_} + 1 : (c.sub + 1) * {d_}],
                             (x, i) -> (x - c.cw[i]) * (x - c.cw[i])))
                           AS BIGINT), c.code_id) AS rn
         FROM {p}pqv v, {p}cb{r - 1} c)
@@ -2023,11 +2140,11 @@ def _pq_cte(
     ), {p}cb{r} AS MATERIALIZED (
       SELECT sub, code_id, list(x ORDER BY d) AS cw FROM (
         SELECT a.sub, a.code_id, t.d,
-               CAST(FLOOR(CAST(SUM(v.qemb[a.sub * {PQ_DIMS} + t.d + 1]) AS DOUBLE)
+               CAST(FLOOR(CAST(SUM(v.qemb[a.sub * {d_} + t.d + 1]) AS DOUBLE)
                           / COUNT(*)) AS BIGINT) AS x
         FROM {p}pa{r} a
         JOIN {p}pqv v ON v.vec_id = a.vec_id
-        CROSS JOIN range({PQ_DIMS}) t(d)
+        CROSS JOIN range({d_}) t(d)
         GROUP BY a.sub, a.code_id, t.d)
       GROUP BY sub, code_id
     )""")
@@ -2040,23 +2157,50 @@ def _pq_cte(
                             x -> CAST(FLOOR(x::DOUBLE * 1000.0) AS BIGINT)) AS qemb
       FROM embeddings"""
     )
+    if spec.bits == 4:
+        # single word, sign bit unreachable (8 subs x 4 bits = 32)
+        packed_sql = f"""{p}packed AS (
+      SELECT vec_id,
+             CAST(SUM(code_id * (CAST(1 AS BIGINT) << (4 * sub))) AS BIGINT) AS pqcode
+      FROM {p}codes GROUP BY vec_id
+    )"""
+    else:
+        # Multi-word packing: the top byte of each word can set the
+        # sign bit, and DuckDB BIGINT arithmetic ERRORS on overflow —
+        # accumulate in HUGEINT and wrap two's-complement explicitly,
+        # matching the kernel's uint64 view (see _pq_encode).
+        word_cols = ", ".join(
+            f"""CAST(CASE WHEN h{w} >= 9223372036854775808 THEN h{w} - 18446744073709551616
+                  ELSE h{w} END AS BIGINT) AS {c}"""
+            for w, c in enumerate(spec.cols)
+        )
+        word_sums = ", ".join(
+            f"""SUM(CASE WHEN sub // {spec.per_word} = {w}
+                 THEN CAST(code_id AS HUGEINT) * (CAST(1 AS HUGEINT) << ({spec.bits} * (sub % {spec.per_word})))
+                 ELSE CAST(0 AS HUGEINT) END) AS h{w}"""
+            for w in range(spec.words)
+        )
+        packed_sql = f"""{p}packed AS (
+      SELECT vec_id, {word_cols}
+      FROM (SELECT vec_id, {word_sums} FROM {p}codes GROUP BY vec_id)
+    )"""
     return f"""{p}pqv AS (
       {pqv_body}
     ), {p}seeds AS (
       SELECT vec_id, qemb,
              CAST(ROW_NUMBER() OVER (ORDER BY {_CENT_HASH_SQL}, vec_id) AS BIGINT) - 1 AS code_id
       FROM {p}pqv
-      QUALIFY code_id < {PQ_CODES}
+      QUALIFY code_id < {c_}
     ), {p}cb0 AS (
       SELECT t.sub, s.code_id,
-             s.qemb[t.sub * {PQ_DIMS} + 1 : (t.sub + 1) * {PQ_DIMS}] AS cw
-      FROM {p}seeds s, range({PQ_SUBS}) t(sub)
+             s.qemb[t.sub * {d_} + 1 : (t.sub + 1) * {d_}] AS cw
+      FROM {p}seeds s, range({s_}) t(sub)
     ){rounds_sql}, {p}cb AS (
       SELECT sub, code_id, cw FROM {p}cb{train_rounds}
     ), {p}ed AS (
       SELECT v.vec_id, c.sub, c.code_id,
              CAST(list_sum(list_transform(
-                    v.qemb[c.sub * {PQ_DIMS} + 1 : (c.sub + 1) * {PQ_DIMS}],
+                    v.qemb[c.sub * {d_} + 1 : (c.sub + 1) * {d_}],
                     (x, i) -> (x - c.cw[i]) * (x - c.cw[i]))) AS BIGINT) AS d
       FROM {p}pqv v, {p}cb c
     ), {p}codes AS (
@@ -2066,35 +2210,34 @@ def _pq_cte(
                                       ORDER BY d, code_id) AS rn
             FROM {p}ed)
       WHERE rn = 1
-    ), {p}packed AS (
-      SELECT vec_id,
-             CAST(SUM(code_id * (CAST(1 AS BIGINT) << (4 * sub))) AS BIGINT) AS pqcode
-      FROM {p}codes GROUP BY vec_id
-    )"""
+    ), {packed_sql}"""
 
 
-def _pq_query_sql(prefix: str = "") -> str:
+def _pq_query_sql(prefix: str = "", spec: PQSpec = PQ4) -> str:
     """CTE fragment over `_pq_cte` (same ``prefix``): the fixed query
     sample and its per-query ADC distance tables — shared by the
     flat-scan serving (`_pq_adc_sql`) and the celled IVF-PQ probe."""
     p = prefix
+    d_ = spec.dims
     return f"""{p}qs AS (
       SELECT vec_id AS query_id, embedding AS qe, qemb AS qq
       FROM {p}pqv WHERE {_QUERY_SAMPLE_SQL}
     ), {p}dt AS (
       SELECT q.query_id, c.sub, c.code_id,
              CAST(list_sum(list_transform(
-                    q.qq[c.sub * {PQ_DIMS} + 1 : (c.sub + 1) * {PQ_DIMS}],
+                    q.qq[c.sub * {d_} + 1 : (c.sub + 1) * {d_}],
                     (x, i) -> (x - c.cw[i]) * (x - c.cw[i]))) AS BIGINT) AS d
       FROM {p}qs q, {p}cb c
     )"""
 
 
-def _pq_adc_sql(prefix: str = "") -> str:
+def _pq_adc_sql(prefix: str = "", spec: PQSpec = PQ4) -> str:
     """CTE tail over `_pq_cte`: the summed lookup distance per
-    (query, corpus row) — the un-celled full ADC scan."""
+    (query, corpus row) — the un-celled full ADC scan. The codes join
+    keys on (sub, code_id), so the fragment is width-agnostic given
+    the matching `spec` for the query fragment."""
     p = prefix
-    return _pq_query_sql(prefix) + f""", {p}ad AS (
+    return _pq_query_sql(prefix, spec) + f""", {p}ad AS (
       SELECT dt.query_id, c.vec_id AS neighbor_id,
              CAST(SUM(dt.d) AS BIGINT) AS adist
       FROM {p}codes c JOIN {p}dt dt ON c.sub = dt.sub AND c.code_id = dt.code_id
@@ -2183,14 +2326,25 @@ def _pq_exact_rerank(
 
 
 def _pq_rerank_plan(
-    spark: SparkSession, sf_dir: str, train_rounds: int, depth: int
+    spark: SparkSession,
+    sf_dir: str,
+    train_rounds: int,
+    depth: int,
+    spec: PQSpec = PQ4,
+    parts=None,
 ) -> DataFrame:
     """Shared two-stage PQ serving plan: ADC shortlist of ``depth``
     from codebooks trained ``train_rounds`` rounds, exact cosine
-    re-rank to top-3."""
+    re-rank to top-3. ``parts`` lets the recall report pass one shared
+    (qemb, cb, codes, sample) build instead of re-training per
+    method."""
     emb = table(spark, sf_dir, "embeddings")
-    _, cb, codes, sample = _pq_parts(spark, sf_dir, train_rounds)
-    cands = _pq_adc_cands(codes, _pq_dtab(sample, cb))
+    _, cb, codes, sample = (
+        parts
+        if parts is not None
+        else _pq_parts(spark, sf_dir, train_rounds, spec)
+    )
+    cands = _pq_adc_cands(codes, _pq_dtab(sample, cb, spec=spec), spec)
     short = _pq_topk(cands, depth).select("query_id", "neighbor_id")
     return _pq_exact_rerank(emb, short, sample)
 
@@ -3136,4 +3290,80 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _pq_exact_rerank(
         emb, short, raw_sample.select(F.col("vec_id").alias("query_id"), "qe")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-size-aware code width — the BYTES production dial. The 4-bit
+# 8-byte code above is constant entropy: its recall@3 decays
+# 0.600 -> 0.250 -> 0.150 across sf0.1 -> 1 -> 10 (SCALE.md) while the
+# corpus grows. The 8-bit family (16 subspaces x 256 codewords,
+# 16 bytes/vector packed as two BIGINTs) is the next step of the dial;
+# `pq_spec_for(corpus_rows)` derives the width from the parquet footer
+# rowcount the way `derived_k` derives the cell count. Serving cost is
+# unchanged in shape: per query a subs x codes integer table
+# broadcasts and each candidate costs spec.subs shift/mask lookups.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_pq8_encode",
+    oracle="WITH "
+    + _pq_cte(spec=PQ8)
+    + """
+    SELECT vec_id, pqcode, pqcode2 FROM packed ORDER BY vec_id
+    """,
+    tags=("similarity", "pq", "ann", "pq8"),
+)
+def sim_pq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 16-byte packed PQ index: every 64-dim vector compressed to
+    TWO BIGINTs (16 subspace codes x 8 bits, subs 0-7 in `pqcode`,
+    8-15 in `pqcode2`). Same one-pass cogrouped-Arrow build as the
+    8-byte index; the top byte of each word can set the sign bit, so
+    packing wraps two's-complement identically in both engines (numpy
+    uint64 view / DuckDB HUGEINT wrap — see `_pq_encode`/`_pq_cte`).
+    This is the scale half of the width dial: 10^9 vectors index in
+    ~16 GB with 65536x the code entropy of the 4-bit index
+    (256^16 vs 16^8 reconstruction points)."""
+    _, _, codes, _ = _pq_parts(spark, sf_dir, spec=PQ8)
+    return codes.orderBy("vec_id")
+
+
+@query(
+    "sim_pq8_rerank_topk",
+    oracle="WITH "
+    + _pq_cte(spec=PQ8)
+    + ", "
+    + _pq_adc_sql(spec=PQ8)
+    + _pq_rerank_sql(10),
+    tags=("similarity", "pq", "ann", "pq8"),
+)
+def sim_pq8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ serving over the 16-byte codes (seeded codebooks,
+    ADC shortlist 10, exact re-rank to top-3) — schema- and
+    depth-identical to sim_pq_rerank_topk so the recall report
+    isolates exactly what the second word of code buys."""
+    return _pq_rerank_plan(spark, sf_dir, train_rounds=0, depth=10, spec=PQ8)
+
+
+@query(
+    "sim_pq8_trained_rerank_topk",
+    oracle="WITH "
+    + _pq_cte(train_rounds=PQ_TRAIN_ROUNDS, spec=PQ8)
+    + ", "
+    + _pq_adc_sql(spec=PQ8)
+    + _pq_rerank_sql(50),
+    tags=("similarity", "pq", "ann", "pq8", "kmeans"),
+)
+def sim_pq8_trained_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production 16-byte serving shape: {PQ_TRAIN_ROUNDS} Lloyd
+    rounds over the 16x256 codebooks (same one-corpus-pass-per-round
+    trainer — the subspace is data), ADC shortlist 50, exact re-rank.
+    Depth-identical to sim_pq_trained_rerank_topk: the recall report's
+    pq8_trained vs pq_trained rows measure the width dial at equal
+    rows and equal training, isolating bytes-per-vector as the only
+    variable. SCALE.md round-10 table: the 16-byte code holds recall
+    across sf0.1 -> 10 where the 8-byte code decays."""
+    return _pq_rerank_plan(
+        spark, sf_dir, train_rounds=PQ_TRAIN_ROUNDS, depth=50, spec=PQ8
     )
