@@ -3142,9 +3142,11 @@ def sim_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_plan(spark, sf_dir, trained=True)
 
 
-@query(
-    "sim_ivfpq_residual_topk",
-    oracle="WITH "
+def _ivfpq_residual_oracle(nprobe: int) -> str:
+    """DuckDB twin of the residual IVFADC serve at probe depth
+    ``nprobe`` — the only nprobe dependence is the tr_frk rank cut, so
+    the np2 text is byte-identical to the round-9 registered oracle."""
+    return ("WITH "
     + _lloyd_trained_fragment(TRAINED_DERIVED_ROUNDS, prefix="tr_")
     + f""", rsrc AS (
       SELECT q.vec_id, q.embedding,
@@ -3160,7 +3162,7 @@ def sim_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE i.cent_rank = 1
     ), rprobes AS (
       SELECT vec_id AS query_id, cent_id AS pcell
-      FROM tr_frk WHERE rn <= {_IVFPQ_NPROBE} AND {_QUERY_SAMPLE_SQL}
+      FROM tr_frk WHERE rn <= {nprobe} AND {_QUERY_SAMPLE_SQL}
     ), rqres AS (
       SELECT p.query_id, p.pcell,
              list_transform(q.qemb, (x, j) -> x - c.cemb[j]) AS qq
@@ -3207,32 +3209,25 @@ def sim_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN rqs q ON q.query_id = s.query_id)
     WHERE rn <= 3
     ORDER BY query_id, rn
-    """,
-    tags=("similarity", "pq", "ivf", "ann", "derived-k", "kmeans", "residual"),
-)
-def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """True IVFADC (Jegou et al. 2011 §IV): PQ codebooks trained on
-    the RESIDUALS (x − trained-cell centroid) instead of raw vectors —
-    residuals concentrate near zero, so the same 16-codeword budget
-    spends its resolution where the vectors actually are, closing the
-    global-codebook simplification sim_ivfpq_topk documents. Each
-    vector indexes once (its nearest trained cell) as
-    (vec_id, cent_id, pqcode-of-residual); a probe ranks the query's
-    top-{_IVFPQ_NPROBE} cells and builds a PER-CELL ADC table from
-    the query's residual against THAT cell's centroid — the lookup
-    join keys on (query, cell, sub, code). Costs match sim_ivfpq_topk
-    (24-byte rows, ~{_IVFPQ_NPROBE}·sqrt(n) candidate rows, 10-row
-    exact re-rank) plus one broadcast-K residual subtraction per
-    corpus pass — the residual never materializes outside the
-    projection."""
+    """)
+
+
+def _residual_index(spark: SparkSession, sf_dir: str, cents=None):
+    """The residual IVFADC index build, shared across probe depths
+    (and handed a pre-trained ``cents`` by the recall report): trained
+    derived-K cells, per-vector residuals against the OWNING cell,
+    residual-trained PQ codebooks, and the 24-byte
+    (vec_id, cent_id, pqcode) index. Returns (emb, cents, cb,
+    rindex)."""
     emb = table(spark, sf_dir, "embeddings")
-    k = derived_k(corpus_rows(sf_dir, "embeddings"))
     qemb = emb.select(
         "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
     )
-    cents, _ = lloyd_train(
-        qemb, _centroids(emb, k), max_rounds=TRAINED_DERIVED_ROUNDS, tol=0
-    )
+    if cents is None:
+        k = derived_k(corpus_rows(sf_dir, "embeddings"))
+        cents, _ = lloyd_train(
+            qemb, _centroids(emb, k), max_rounds=TRAINED_DERIVED_ROUNDS, tol=0
+        )
     a1 = _assign_blas(qemb, cents, top_m=1)
     rv = a1.join(F.broadcast(cents), "cent_id").select(
         "vec_id",
@@ -3243,7 +3238,25 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rv.select("vec_id", "qemb"), _pq_seed_codebooks(rv), PQ_TRAIN_ROUNDS
     )
     rindex = _pq_encode(rv, cb).select("vec_id", "cent_id", "pqcode")
+    return emb, cents, cb, rindex
 
+
+def _ivfpq_residual_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = _IVFPQ_NPROBE,
+    idx=None,
+) -> DataFrame:
+    """Serve top-3 from the residual IVFADC index at probe depth
+    ``nprobe``: rank the query sample against the K trained centroids,
+    build one PER-CELL ADC table from the query's residual against
+    each probed cell's centroid, scan only the probed cells' 24-byte
+    rows, re-rank the 10-row shortlist exactly. ``idx`` lets the
+    recall report share one `_residual_index` build across probe
+    depths."""
+    emb, cents, cb, rindex = (
+        idx if idx is not None else _residual_index(spark, sf_dir)
+    )
     raw_sample = _sample_filter(
         emb.select(
             "vec_id",
@@ -3252,7 +3265,7 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     probes = _assign_blas(
-        raw_sample.select("vec_id", "qemb"), cents, top_m=_IVFPQ_NPROBE
+        raw_sample.select("vec_id", "qemb"), cents, top_m=nprobe
     ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("pcell"))
     qres = (
         probes.join(
@@ -3282,6 +3295,10 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc = cands.join(F.broadcast(dtab), ["query_id", "pcell"]).select(
         "query_id", "neighbor_id", _pq_adist().alias("adist")
     )
+    # A neighbor indexed near a cell boundary still appears ONCE (each
+    # vector indexes in exactly its rank-1 cell), but deeper probes can
+    # hit it through at most one probed cell, so no DISTINCT is needed:
+    # (query_id, neighbor_id) pairs are unique by construction.
     w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     short = (
         adc.withColumn("rn", F.row_number().over(w))
@@ -3291,6 +3308,29 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_exact_rerank(
         emb, short, raw_sample.select(F.col("vec_id").alias("query_id"), "qe")
     )
+
+
+@query(
+    "sim_ivfpq_residual_topk",
+    oracle=_ivfpq_residual_oracle(_IVFPQ_NPROBE),
+    tags=("similarity", "pq", "ivf", "ann", "derived-k", "kmeans", "residual"),
+)
+def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True IVFADC (Jegou et al. 2011 §IV): PQ codebooks trained on
+    the RESIDUALS (x − trained-cell centroid) instead of raw vectors —
+    residuals concentrate near zero, so the same 16-codeword budget
+    spends its resolution where the vectors actually are, closing the
+    global-codebook simplification sim_ivfpq_topk documents. Each
+    vector indexes once (its nearest trained cell) as
+    (vec_id, cent_id, pqcode-of-residual); a probe ranks the query's
+    top-{_IVFPQ_NPROBE} cells and builds a PER-CELL ADC table from
+    the query's residual against THAT cell's centroid — the lookup
+    join keys on (query, cell, sub, code). Costs match sim_ivfpq_topk
+    (24-byte rows, ~{_IVFPQ_NPROBE}·sqrt(n) candidate rows, 10-row
+    exact re-rank) plus one broadcast-K residual subtraction per
+    corpus pass — the residual never materializes outside the
+    projection."""
+    return _ivfpq_residual_plan(spark, sf_dir, nprobe=_IVFPQ_NPROBE)
 
 
 # ---------------------------------------------------------------------------
@@ -3367,3 +3407,26 @@ def sim_pq8_trained_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_rerank_plan(
         spark, sf_dir, train_rounds=PQ_TRAIN_ROUNDS, depth=50, spec=PQ8
     )
+
+
+@query(
+    "sim_ivfpq_residual_np4_topk",
+    oracle=_ivfpq_residual_oracle(4),
+    tags=(
+        "similarity", "pq", "ivf", "ann", "derived-k", "kmeans",
+        "residual", "multiprobe",
+    ),
+)
+def sim_ivfpq_residual_np4_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe dial composed with COMPRESSED serving: the residual
+    IVFADC index (sim_ivfpq_residual_topk) probed at the query's FOUR
+    nearest trained cells instead of two. Round 9 proved the dial on
+    raw vectors (ivf_trained_np4 recall@3 0.450 at sf1); this is the
+    same ~nprobe·sqrt(n)-row budget paying 24 bytes/row instead of
+    ~270 — candidates stay bounded by the probed cells, each probed
+    cell gets its own residual ADC table (keyed (query, cell, sub,
+    code)), and raw-vector IO stays confined to the 10-row shortlist.
+    Each vector indexes once (its rank-1 cell), so (query, neighbor)
+    pairs stay unique across probes — no dedup stage. Audited as
+    ivfpq_residual_np4 in sim_recall_report."""
+    return _ivfpq_residual_plan(spark, sf_dir, nprobe=4)
