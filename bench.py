@@ -77,6 +77,11 @@ HEADLINE = [
     # IVF-PQ composition (celled rows x compressed bytes):
     "sim_pq_trained_rerank_topk",
     "sim_ivfpq_topk",
+    # round-10 additions: the 16-byte width dial (trained 8-bit PQ —
+    # scale-stable recall where the 8-byte code decays) and the probe
+    # dial composed with compressed residual serving:
+    "sim_pq8_trained_rerank_topk",
+    "sim_ivfpq_residual_np4_topk",
 ]
 
 

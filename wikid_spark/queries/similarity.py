@@ -2978,6 +2978,43 @@ def _ivfpq_plan(
         JOIN qs q ON q.query_id = s.query_id)
       WHERE rn <= 3
     ),
+    {_pq_cte(prefix="w8_", train_rounds=PQ_TRAIN_ROUNDS, src="zzrsrc", spec=PQ8)},
+    w8index AS (
+      SELECT i.vec_id, i.cent_id, p.pqcode, p.pqcode2
+      FROM tr_index i JOIN w8_packed p ON p.vec_id = i.vec_id
+      WHERE i.cent_rank = 1
+    ), w8dt AS (
+      SELECT r.query_id, r.pcell, c.sub, c.code_id,
+             CAST(list_sum(list_transform(
+                    r.qq[c.sub * {PQ8.dims} + 1 : (c.sub + 1) * {PQ8.dims}],
+                    (x, i) -> (x - c.cw[i]) * (x - c.cw[i]))) AS BIGINT) AS d
+      FROM z4qres r, w8_cb c
+    ), w8adc AS (
+      SELECT c.query_id, c.neighbor_id, CAST(SUM(dt.d) AS BIGINT) AS adist
+      FROM (SELECT p.query_id, p.pcell, a.vec_id AS neighbor_id
+            FROM z4probes p JOIN w8index a ON a.cent_id = p.pcell
+            WHERE a.vec_id <> p.query_id) c
+      JOIN w8_codes k ON k.vec_id = c.neighbor_id
+      JOIN w8dt dt ON dt.query_id = c.query_id AND dt.pcell = c.pcell
+            AND dt.sub = k.sub AND dt.code_id = k.code_id
+      GROUP BY c.query_id, c.neighbor_id
+    ), w8short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adist, neighbor_id) AS rn
+        FROM w8adc)
+      WHERE rn <= 10
+    ), w83 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                 ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) DESC,
+                          s.neighbor_id) AS rn
+        FROM w8short s
+        JOIN embeddings e ON e.vec_id = s.neighbor_id
+        JOIN qs q ON q.query_id = s.query_id)
+      WHERE rn <= 3
+    ),
     {_pq_cte(prefix="p8_", spec=PQ8)}, {_pq_adc_sql("p8_", PQ8)},
     p8short AS (
       SELECT query_id, neighbor_id FROM (
@@ -3032,6 +3069,7 @@ def _ivfpq_plan(
       UNION ALL SELECT 'ivfpq_residual_np4', query_id, neighbor_id FROM z43
       UNION ALL SELECT 'pq8_rerank', query_id, neighbor_id FROM p83
       UNION ALL SELECT 'pq8_trained', query_id, neighbor_id FROM t83
+      UNION ALL SELECT 'ivfpq8_residual_np4', query_id, neighbor_id FROM w83
     ), hits AS (
       SELECT m.method, COUNT(b.neighbor_id) AS n_hits
       FROM methods m
@@ -3050,7 +3088,7 @@ def _ivfpq_plan(
 def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@3 of every approximate ANN path against the brute-force
     baseline on the shared query sample (vec_id % 50 = 0 AND
-    vec_id < 2000) — 17 methods. Composes the SAME plan builders the
+    vec_id < 2000) — 18 methods. Composes the SAME plan builders the
     registered method queries call (`_trained_probe_topk`,
     `_pq_rerank_plan`, `_ivfpq_plan`, `_ivfpq_residual_plan`), so the
     report cannot drift from what the methods return; each trained
@@ -3103,6 +3141,10 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts8t = _ckpt_codes(_pq_parts(spark, sf_dir, PQ_TRAIN_ROUNDS, PQ8))
     emb_r, cents_r, cb_r, rindex = _residual_index(spark, sf_dir, cents=tcents)
     residx = (emb_r, cents_r, cb_r, rindex.localCheckpoint(eager=False))
+    emb_8, cents_8, cb_8, rindex8 = _residual_index(
+        spark, sf_dir, cents=tcents, spec=PQ8
+    )
+    residx8 = (emb_8, cents_8, cb_8, rindex8.localCheckpoint(eager=False))
     for name, df in (
         (
             "pq_rerank",
@@ -3136,6 +3178,12 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             "ivfpq_residual_np4",
             _ivfpq_residual_plan(spark, sf_dir, nprobe=4, idx=residx),
+        ),
+        (
+            "ivfpq8_residual_np4",
+            _ivfpq_residual_plan(
+                spark, sf_dir, nprobe=4, idx=residx8, spec=PQ8
+            ),
         ),
     ):
         part = df.select(
@@ -3284,10 +3332,11 @@ def sim_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_plan(spark, sf_dir, trained=True)
 
 
-def _ivfpq_residual_oracle(nprobe: int) -> str:
+def _ivfpq_residual_oracle(nprobe: int, spec: PQSpec = PQ4) -> str:
     """DuckDB twin of the residual IVFADC serve at probe depth
-    ``nprobe`` — the only nprobe dependence is the tr_frk rank cut, so
-    the np2 text is byte-identical to the round-9 registered oracle."""
+    ``nprobe`` and residual-code width ``spec`` — the only nprobe
+    dependence is the tr_frk rank cut, so the np2/PQ4 text is
+    byte-identical to the round-9 registered oracle."""
     return ("WITH "
     + _lloyd_trained_fragment(TRAINED_DERIVED_ROUNDS, prefix="tr_")
     + f""", rsrc AS (
@@ -3297,9 +3346,9 @@ def _ivfpq_residual_oracle(nprobe: int) -> str:
       JOIN tr_index i ON i.vec_id = q.vec_id AND i.cent_rank = 1
       JOIN tr_c{TRAINED_DERIVED_ROUNDS} c ON c.cent_id = i.cent_id
     ), """
-    + _pq_cte(prefix="rq_", train_rounds=PQ_TRAIN_ROUNDS, src="rsrc")
+    + _pq_cte(prefix="rq_", train_rounds=PQ_TRAIN_ROUNDS, src="rsrc", spec=spec)
     + f""", rindex AS (
-      SELECT i.vec_id, i.cent_id, p.pqcode
+      SELECT i.vec_id, i.cent_id, {", ".join(f"p.{c}" for c in spec.cols)}
       FROM tr_index i JOIN rq_packed p ON p.vec_id = i.vec_id
       WHERE i.cent_rank = 1
     ), rprobes AS (
@@ -3314,7 +3363,7 @@ def _ivfpq_residual_oracle(nprobe: int) -> str:
     ), rdt AS (
       SELECT r.query_id, r.pcell, c.sub, c.code_id,
              CAST(list_sum(list_transform(
-                    r.qq[c.sub * {PQ_DIMS} + 1 : (c.sub + 1) * {PQ_DIMS}],
+                    r.qq[c.sub * {spec.dims} + 1 : (c.sub + 1) * {spec.dims}],
                     (x, i) -> (x - c.cw[i]) * (x - c.cw[i]))) AS BIGINT) AS d
       FROM rqres r, rq_cb c
     ), rcands AS (
@@ -3354,7 +3403,9 @@ def _ivfpq_residual_oracle(nprobe: int) -> str:
     """)
 
 
-def _residual_index(spark: SparkSession, sf_dir: str, cents=None):
+def _residual_index(
+    spark: SparkSession, sf_dir: str, cents=None, spec: PQSpec = PQ4
+):
     """The residual IVFADC index build, shared across probe depths
     (and handed a pre-trained ``cents`` by the recall report): trained
     derived-K cells, per-vector residuals against the OWNING cell,
@@ -3377,9 +3428,14 @@ def _residual_index(spark: SparkSession, sf_dir: str, cents=None):
         F.zip_with("qemb", "cemb", lambda a, b: a - b).alias("qemb"),
     )
     cb = _pq_train(
-        rv.select("vec_id", "qemb"), _pq_seed_codebooks(rv), PQ_TRAIN_ROUNDS
+        rv.select("vec_id", "qemb"),
+        _pq_seed_codebooks(rv, spec),
+        PQ_TRAIN_ROUNDS,
+        spec,
     )
-    rindex = _pq_encode(rv, cb).select("vec_id", "cent_id", "pqcode")
+    rindex = _pq_encode(rv, cb, spec=spec).select(
+        "vec_id", "cent_id", *spec.cols
+    )
     return emb, cents, cb, rindex
 
 
@@ -3388,6 +3444,7 @@ def _ivfpq_residual_plan(
     sf_dir: str,
     nprobe: int = _IVFPQ_NPROBE,
     idx=None,
+    spec: PQSpec = PQ4,
 ) -> DataFrame:
     """Serve top-3 from the residual IVFADC index at probe depth
     ``nprobe``: rank the query sample against the K trained centroids,
@@ -3397,7 +3454,7 @@ def _ivfpq_residual_plan(
     recall report share one `_residual_index` build across probe
     depths."""
     emb, cents, cb, rindex = (
-        idx if idx is not None else _residual_index(spark, sf_dir)
+        idx if idx is not None else _residual_index(spark, sf_dir, spec=spec)
     )
     raw_sample = _sample_filter(
         emb.select(
@@ -3425,17 +3482,20 @@ def _ivfpq_residual_plan(
             F.zip_with("qemb", "cemb", lambda a, b: a - b).alias("qq"),
         )
     )
-    dtab = _pq_dtab(qres, cb, keys=("query_id", "pcell"))
+    dtab = _pq_dtab(qres, cb, keys=("query_id", "pcell"), spec=spec)
 
     cands = (
         rindex.join(F.broadcast(probes), F.col("cent_id") == F.col("pcell"))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
-            "query_id", "pcell", F.col("vec_id").alias("neighbor_id"), "pqcode"
+            "query_id",
+            "pcell",
+            F.col("vec_id").alias("neighbor_id"),
+            *spec.cols,
         )
     )
     adc = cands.join(F.broadcast(dtab), ["query_id", "pcell"]).select(
-        "query_id", "neighbor_id", _pq_adist().alias("adist")
+        "query_id", "neighbor_id", _pq_adist(spec).alias("adist")
     )
     # A neighbor indexed near a cell boundary still appears ONCE (each
     # vector indexes in exactly its rank-1 cell), but deeper probes can
@@ -3572,3 +3632,28 @@ def sim_ivfpq_residual_np4_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs stay unique across probes — no dedup stage. Audited as
     ivfpq_residual_np4 in sim_recall_report."""
     return _ivfpq_residual_plan(spark, sf_dir, nprobe=4)
+
+
+@query(
+    "sim_ivfpq8_residual_np4_topk",
+    oracle=_ivfpq_residual_oracle(4, PQ8),
+    tags=(
+        "similarity", "pq", "ivf", "ann", "derived-k", "kmeans",
+        "residual", "multiprobe", "pq8",
+    ),
+)
+def sim_ivfpq8_residual_np4_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ALL three production dials composed: residual-trained IVFADC
+    cells (rows bounded by the 4 probed ~sqrt(n) cells), 16-byte 8-bit
+    residual codes (bytes bounded, entropy that holds at scale —
+    SCALE.md round 10), nprobe=4 (the recall dial). This exists
+    because the round-10 scale audit showed the dials are NOT
+    independent: composing nprobe=4 with the 4-bit residual code
+    bought nothing (0.075 vs np2's 0.083 at sf10 — the coarse ADC
+    ranking polluted the wider candidate set), while the same probe
+    budget over 8-bit codes ranks it correctly. The 32-byte index row
+    (vec_id, cent_id, 2 words) still reads ~10x less IO per candidate
+    than raw vectors, and the exact pass stays shortlist-bounded."""
+    return _ivfpq_residual_plan(spark, sf_dir, nprobe=4, spec=PQ8)
