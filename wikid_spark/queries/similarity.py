@@ -3657,3 +3657,33 @@ def sim_ivfpq8_residual_np4_topk(
     (vec_id, cent_id, 2 words) still reads ~10x less IO per candidate
     than raw vectors, and the exact pass stays shortlist-bounded."""
     return _ivfpq_residual_plan(spark, sf_dir, nprobe=4, spec=PQ8)
+
+
+@query(
+    "sim_pq_auto_rerank_topk",
+    # The driver's correctness scale (sf0.01, 500 vectors) sits below
+    # PQ_WIDTH_THRESHOLD, so the derivation resolves to PQ4 there and
+    # the oracle is the PQ4 text; the Spark side genuinely derives the
+    # spec from the footer rowcount, so at sf>=1 (>=20k rows) the same
+    # query serves from 16-byte codes (SCALE.md round-10 matrix).
+    oracle="WITH "
+    + _pq_cte(train_rounds=PQ_TRAIN_ROUNDS)
+    + ", "
+    + _pq_adc_sql()
+    + _pq_rerank_sql(50),
+    tags=("similarity", "pq", "ann", "kmeans", "auto-width"),
+)
+def sim_pq_auto_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production serving entry with the width dial ON AUTO:
+    `pq_spec_for(corpus_rows)` picks the code width from the parquet
+    footer rowcount (no count() scan) the way `derived_k` picks the
+    cell count — 8-byte 4-bit codes below 20k rows, 16-byte 8-bit
+    codes at scale, where the fixed-width family's recall decays
+    (SCALE.md round-10: 0.60→0.15 at 8 bytes vs 0.99→0.91 at 16).
+    Same trained two-stage shape as sim_pq_trained_rerank_topk /
+    sim_pq8_trained_rerank_topk; this query is the one a pipeline
+    calls when it doesn't want to think about width."""
+    spec = pq_spec_for(corpus_rows(sf_dir, "embeddings"))
+    return _pq_rerank_plan(
+        spark, sf_dir, train_rounds=PQ_TRAIN_ROUNDS, depth=50, spec=spec
+    )
