@@ -143,7 +143,12 @@ def test_celled_pq_plans_have_no_sortmergejoin(spark):
     a SortMergeJoin anywhere means a corpus-scale shuffle crept in."""
     from wikid_spark.registry import all_queries
 
-    for name in ("sim_ivfpq_topk", "sim_ivfpq_residual_topk"):
+    for name in (
+        "sim_ivfpq_topk",
+        "sim_ivfpq_residual_topk",
+        "sim_ivfpq_residual_np4_topk",
+        "sim_ivfpq8_residual_np4_topk",
+    ):
         df = all_queries()[name].fn(spark, SF_DIR_SMALL)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" not in plan, name
