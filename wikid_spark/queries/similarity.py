@@ -3687,3 +3687,67 @@ def sim_pq_auto_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_rerank_plan(
         spark, sf_dir, train_rounds=PQ_TRAIN_ROUNDS, depth=50, spec=spec
     )
+
+
+@query(
+    "sim_pq8_index_stats",
+    oracle="WITH "
+    + _pq_cte(spec=PQ8)
+    + ", "
+    + _pq_cte(prefix="t8_", train_rounds=PQ_TRAIN_ROUNDS, spec=PQ8)
+    + """
+    , sd AS (
+      SELECT vec_id, CAST(SUM(md) AS BIGINT) AS pqdist FROM (
+        SELECT vec_id, sub, MIN(d) AS md FROM ed GROUP BY vec_id, sub)
+      GROUP BY vec_id
+    ), tsd AS (
+      SELECT vec_id, CAST(SUM(md) AS BIGINT) AS pqdist FROM (
+        SELECT vec_id, sub, MIN(d) AS md FROM t8_ed GROUP BY vec_id, sub)
+      GROUP BY vec_id
+    )
+    SELECT * FROM (
+      SELECT 'seeded' AS variant, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             CAST(SUM(pqdist) AS BIGINT) AS total_distortion,
+             ROUND(SUM(pqdist) * 1.0 / COUNT(*), 4) AS mean_distortion
+      FROM sd
+      UNION ALL
+      SELECT 'trained', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(pqdist) AS BIGINT),
+             ROUND(SUM(pqdist) * 1.0 / COUNT(*), 4)
+      FROM tsd)
+    ORDER BY variant
+    """,
+    tags=("similarity", "pq", "ann", "pq8", "kmeans"),
+)
+def sim_pq8_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-health audit at 16 bytes/vector: seeded vs trained
+    quantization distortion for the 8-bit codebooks — the width twin
+    of sim_pq_index_stats, closing the nightly-metric story for the
+    production (auto-width) index. The SCALE.md round-10 table reads
+    the two audits together: distortion at 16 bytes sits far below the
+    8-byte floor (finer subspaces AND 16x the codewords), which is
+    WHY pq8_trained recall holds ~0.91 at sf10 where the 8-byte code
+    fell to 0.15."""
+    emb = table(spark, sf_dir, "embeddings")
+    qemb = emb.select(
+        "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
+    )
+    cb0 = _pq_codebooks(emb, PQ8)
+    out = None
+    for variant, cb in (
+        ("seeded", cb0),
+        ("trained", _pq_train(qemb, cb0, PQ_TRAIN_ROUNDS, PQ8)),
+    ):
+        stats = (
+            _pq_encode(qemb, cb, with_dist=True, spec=PQ8)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_vectors"),
+                F.sum("pqdist").cast("long").alias("total_distortion"),
+                F.round(
+                    F.sum("pqdist") / F.count(F.lit(1)), 4
+                ).alias("mean_distortion"),
+            )
+            .select(F.lit(variant).alias("variant"), "*")
+        )
+        out = stats if out is None else out.unionAll(stats)
+    return out.orderBy("variant")
