@@ -324,3 +324,46 @@ def test_pq_spec_for_width_dial():
         assert spec.index_bytes == 8 * spec.words
     assert PQ4.cols == ("pqcode",) and PQ8.cols == ("pqcode", "pqcode2")
     assert PQ4.index_bytes == 8 and PQ8.index_bytes == 16
+
+
+def test_pq8_packing_parity_numpy_vs_duckdb_exhaustive_top_byte():
+    """The sign-wrap contract behind the 16-byte index: packing eight
+    8-bit codes into a BIGINT must produce the SAME int64 in the
+    kernel (numpy uint64 accumulate, int64 view) and the oracle
+    (DuckDB HUGEINT accumulate, explicit two's-complement wrap) for
+    EVERY top-byte value 0..255 — including all 128 that set the sign
+    bit — and for random full code arrays. No Spark needed: this pins
+    the arithmetic identity both engines rely on."""
+    import duckdb
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    arrays = [
+        [0, 0, 0, 0, 0, 0, 0, t] for t in range(256)
+    ] + [rng.randint(0, 256, size=8).tolist() for _ in range(50)]
+
+    def np_pack(codes):
+        acc = np.uint64(0)
+        for s, c in enumerate(codes):
+            acc += np.uint64(c) << np.uint64(8 * s)
+        return int(acc.view(np.int64) if hasattr(acc, "view") else acc)
+
+    con = duckdb.connect()
+    for codes in arrays:
+        want = int(np.array([np_pack(codes)], dtype=np.uint64).view(np.int64)[0])
+        rows = ", ".join(f"({s}, {c})" for s, c in enumerate(codes))
+        got = con.execute(
+            f"""
+            SELECT CAST(CASE WHEN h >= 9223372036854775808
+                             THEN h - 18446744073709551616
+                             ELSE h END AS BIGINT)
+            FROM (SELECT SUM(CAST(code_id AS HUGEINT)
+                             * (CAST(1 AS HUGEINT) << (8 * sub))) AS h
+                  FROM (VALUES {rows}) t(sub, code_id))
+            """
+        ).fetchone()[0]
+        assert got == want, codes
+        # and the sign-safe unpack recovers every byte from the int64
+        for s, c in enumerate(codes):
+            assert ((want >> (8 * s)) & 255) == c, (codes, s)
+    con.close()
