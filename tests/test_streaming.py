@@ -1031,14 +1031,15 @@ def test_delta_create_branch_is_replay_idempotent(
 
     def fake_write(self):
         """Stand-in for partials.write on the Delta format: applies the
-        rows to the store and records — like real Delta — whatever
-        userMetadata stamp the session conf carries at save() time. The
-        stamp itself is set by the REAL _delta_create_table, which runs
-        unpatched; test_delta_create_table_sets_userMetadata_stamp pins
-        its conf handling in isolation."""
+        rows to the store and records — like real Delta — the
+        userMetadata stamp carried by the PER-WRITE option (the create
+        path no longer touches the session conf; see
+        test_delta_create_table_sets_userMetadata_stamp)."""
         df = self
 
         class _W:
+            _opts = {}
+
             def format(self, f):
                 return self
 
@@ -1046,16 +1047,14 @@ def test_delta_create_branch_is_replay_idempotent(
                 return self
 
             def option(self, k, v):
+                self._opts[k] = v
                 return self
 
             def save(self, path):
-                stamp = df.sparkSession.conf.get(
-                    "spark.databricks.delta.commitInfo.userMetadata", None
-                )
                 for r in df.collect():
                     k = (r["alias"], r["entity_id"])
                     store.rows[k] = store.rows.get(k, 0) + r["count"]
-                store.commits.append(stamp)
+                store.commits.append(self._opts.get("userMetadata"))
                 store.exists = True
 
         return _W()
@@ -1086,10 +1085,12 @@ def test_delta_create_branch_is_replay_idempotent(
 
 
 def test_delta_create_table_sets_userMetadata_stamp(spark, monkeypatch):
-    """Unit pin on the production _delta_create_table: the session
-    conf carries batch=<id> for the duration of the write and is
-    cleaned up afterwards."""
+    """Unit pin on the production _delta_create_table: the batch stamp
+    rides the PER-WRITE userMetadata option (race-free across writers
+    sharing the session) and the session conf is never touched — a
+    pre-existing user-set session stamp survives the create."""
     seen = {}
+    meta_key = "spark.databricks.delta.commitInfo.userMetadata"
 
     class _FakeWriter:
         def __init__(self, df):
@@ -1106,8 +1107,8 @@ def test_delta_create_table_sets_userMetadata_stamp(spark, monkeypatch):
             return self
 
         def save(self, path):
-            seen["stamp_at_save"] = self._df.sparkSession.conf.get(
-                "spark.databricks.delta.commitInfo.userMetadata", None
+            seen["conf_at_save"] = self._df.sparkSession.conf.get(
+                meta_key, None
             )
 
     df = spark.createDataFrame(
@@ -1117,15 +1118,17 @@ def test_delta_create_table_sets_userMetadata_stamp(spark, monkeypatch):
     monkeypatch.setattr(
         type(df), "write", property(lambda self: _FakeWriter(self))
     )
-    ingest._delta_create_table(df, "/tmp/nowhere", "w9", 4)
-    assert seen["stamp_at_save"] == "batch=4"
+    spark.conf.set(meta_key, "user-set-stamp")
+    try:
+        ingest._delta_create_table(df, "/tmp/nowhere", "w9", 4)
+    finally:
+        user_stamp_after = spark.conf.get(meta_key, None)
+        spark.conf.unset(meta_key)
+    assert seen["userMetadata"] == "batch=4"
     assert seen["txnAppId"] == "w9" and seen["txnVersion"] == 4
-    assert (
-        spark.conf.get(
-            "spark.databricks.delta.commitInfo.userMetadata", None
-        )
-        is None
-    )
+    # the session conf is not the stamp channel on the create path
+    assert seen["conf_at_save"] == "user-set-stamp"
+    assert user_stamp_after == "user-set-stamp"
 
 
 def test_delta_refuses_to_create_over_parquet_state(spark, tmp_path):
@@ -1212,3 +1215,189 @@ def test_delta_history_scan_is_bounded(spark, tmp_path):
     store.commits = [f"batch={i}" for i in range(500)]
     writer(b, 499)  # within window → deduped
     assert len(store.commits) == 500
+
+
+def test_delta_create_recovers_from_crashed_first_commit(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10: the Delta create itself writes partitionBy('pk')
+    data files BEFORE the first _delta_log commit, so a crash in that
+    window leaves bare pk=* dirs with no ledger markers. On replay
+    isDeltaTable is still false; the protocol guard must treat that as
+    recoverable (Delta's create only consults its log) instead of
+    raising forever and wedging the stream. Parquet-protocol state is
+    identified by its ledger markers, which always coexist with any
+    pk= bucket the protocol promotes."""
+    import os
+
+    created = {}
+    monkeypatch.setattr(
+        ingest,
+        "_delta_create_table",
+        lambda partials, target_dir, writer_id, batch_id: created.update(
+            batch_id=batch_id
+        ),
+    )
+
+    class _NeverDelta:
+        @classmethod
+        def isDeltaTable(cls, spark, path):
+            return False
+
+    target = str(tmp_path / "crashed_delta_create")
+    os.makedirs(os.path.join(target, "pk=3"))  # debris, no markers
+    writer = ingest.merge_upsert_batch_writer(
+        spark, target, writer_id="w5", delta_table_cls=_NeverDelta
+    )
+    b = spark.createDataFrame(
+        [("a", "1", 1)], "alias string, entity_id string, count bigint"
+    )
+    writer(b, 0)  # replay of the crashed create: recovers, no raise
+    assert created == {"batch_id": 0}
+
+    # …but a staging ledger marker WITHOUT pk= dirs still refuses:
+    # that is parquet-protocol state mid-flight.
+    import pytest
+
+    target2 = str(tmp_path / "staged_parquet_state")
+    os.makedirs(os.path.join(target2, "_staging_batch_0"))
+    writer2 = ingest.merge_upsert_batch_writer(
+        spark, target2, writer_id="w6", delta_table_cls=_NeverDelta
+    )
+    with pytest.raises(RuntimeError, match="parquet merge-protocol state"):
+        writer2(b, 0)
+
+
+def test_protocol_guard_lists_file_uri_via_hadoop_fs(spark, tmp_path):
+    """ADVICE r10: the guard lists the target through the Hadoop
+    FileSystem API, so it works on URIs a driver-local os.listdir
+    cannot see (file:, s3a:, abfss:, …) — exercised here with the
+    file: scheme, which FileNotFoundError'd the old os.listdir path."""
+    import os
+
+    import pytest
+
+    target = str(tmp_path / "uri_target")
+    os.makedirs(target)
+    open(os.path.join(target, "_merged_batch_0"), "w").close()
+    with pytest.raises(RuntimeError, match="parquet merge-protocol state"):
+        ingest._refuse_parquet_protocol_state(f"file:{target}", spark)
+    # absent target (any scheme) is silently fine
+    ingest._refuse_parquet_protocol_state(
+        f"file:{tmp_path}/does_not_exist", spark
+    )
+
+
+def test_delta_merge_restores_prior_session_stamp(spark, tmp_path):
+    """ADVICE r10: the MERGE path must save-and-restore any
+    pre-existing user-set userMetadata conf value instead of
+    unconditionally unsetting it."""
+    meta_key = "spark.databricks.delta.commitInfo.userMetadata"
+    store = _FakeDeltaStore()
+    writer = ingest.merge_upsert_batch_writer(
+        spark,
+        str(tmp_path / "restore_stamp"),
+        writer_id="w7",
+        delta_table_cls=_make_fake_delta(store),
+    )
+    b = spark.createDataFrame(
+        [("a", "1", 1)], "alias string, entity_id string, count bigint"
+    )
+    spark.conf.set(meta_key, "user-session-stamp")
+    try:
+        writer(b, 0)
+        assert store.commits == ["batch=0"]
+        assert spark.conf.get(meta_key, None) == "user-session-stamp"
+    finally:
+        spark.conf.unset(meta_key)
+
+
+def test_delta_stamp_interleaved_writers_both_stamped(spark, tmp_path):
+    """Round-10 verdict finding: two MERGE sinks for DIFFERENT targets
+    sharing one SparkSession (one driver process, two foreachBatch
+    threads — the per-target lease does not serialize across tables)
+    must not interleave the session-global userMetadata stamp window.
+    Writer A blocks mid-execute (where real Delta reads the stamp, at
+    commit time); writer B attempts its own merge concurrently. With
+    the stamp lock, B waits until A's commit completes and BOTH commits
+    carry their own batch id; against the unlocked code, B runs through
+    A's window and A's commit lands unstamped (B's finally restores
+    first) — an unstamped commit re-applies on replay (double-count)."""
+    import threading
+
+    meta_key = "spark.databricks.delta.commitInfo.userMetadata"
+    a_mid, a_go = threading.Event(), threading.Event()
+    commits_a, commits_b = [], []
+
+    def make_fake(commits, mid=None, go=None):
+        class _Builder:
+            def whenMatchedUpdate(self, set):
+                return self
+
+            def whenNotMatchedInsertAll(self):
+                return self
+
+            def execute(self):
+                if mid is not None:
+                    mid.set()
+                    assert go.wait(timeout=30)
+                # real Delta reads the stamp at COMMIT time — the end
+                # of execute(), after any concurrent writer interleaved
+                commits.append(spark.conf.get(meta_key, None))
+
+        class _Fake:
+            @classmethod
+            def isDeltaTable(cls, s, path):
+                return True
+
+            @classmethod
+            def forPath(cls, s, path):
+                return cls()
+
+            def history(self, limit=None):
+                class _H:
+                    def select(_self, col):
+                        return _self
+
+                    def collect(_self):
+                        return []
+
+                return _H()
+
+            def alias(self, a):
+                return self
+
+            def merge(self, src, cond):
+                return _Builder()
+
+        return _Fake
+
+    writer_a = ingest.merge_upsert_batch_writer(
+        spark,
+        str(tmp_path / "tgt_a"),
+        writer_id="wA",
+        delta_table_cls=make_fake(commits_a, a_mid, a_go),
+    )
+    writer_b = ingest.merge_upsert_batch_writer(
+        spark,
+        str(tmp_path / "tgt_b"),
+        writer_id="wB",
+        delta_table_cls=make_fake(commits_b),
+    )
+    b = spark.createDataFrame(
+        [("a", "1", 1)], "alias string, entity_id string, count bigint"
+    )
+    ta = threading.Thread(target=writer_a, args=(b, 3))
+    ta.start()
+    assert a_mid.wait(timeout=30)
+    tb = threading.Thread(target=writer_b, args=(b, 7))
+    tb.start()
+    tb.join(timeout=2.0)
+    # B is serialized behind A's stamp window, not interleaved into it
+    assert tb.is_alive(), "writer B ran inside writer A's stamp window"
+    a_go.set()
+    ta.join(timeout=30)
+    tb.join(timeout=30)
+    assert commits_a == ["batch=3"]
+    assert commits_b == ["batch=7"]
+    assert spark.conf.get(meta_key, None) is None

@@ -161,22 +161,50 @@ def _import_delta():
 DELTA_HISTORY_LOOKBACK = 100
 
 
-def _refuse_parquet_protocol_state(target_dir: str) -> None:
-    """Creating a Delta table over a directory holding parquet
-    stage-and-promote state (bucket partitions, batch ledger markers,
-    staging dirs) would produce a failed or mixed tree instead of
-    resuming the ledger — fail loudly; the operator migrates the table
-    explicitly (read_alias_counts → one Delta write) instead."""
+def _list_children(target_dir: str, spark: SparkSession | None = None):
+    """Child names of ``target_dir`` (empty if absent). With a session,
+    list through the Hadoop FileSystem API so the protocol guard works
+    on any supported URI (s3a://, abfss://, hdfs://, file:) — a
+    driver-local os.listdir silently sees nothing there, exactly where
+    Delta targets usually live. Without a session, fall back to
+    os.listdir (local paths only)."""
+    if spark is not None:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(target_dir)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return []
+        return [st.getPath().getName() for st in fs.listStatus(jpath)]
     import os
 
     try:
-        children = os.listdir(target_dir)
+        return os.listdir(target_dir)
     except FileNotFoundError:
-        return
+        return []
+
+
+def _refuse_parquet_protocol_state(
+    target_dir: str, spark: SparkSession | None = None
+) -> None:
+    """Creating a Delta table over a directory holding parquet
+    stage-and-promote state would produce a failed or mixed tree
+    instead of resuming the ledger — fail loudly; the operator migrates
+    the table explicitly (read_alias_counts → one Delta write) instead.
+
+    Protocol state is identified by the LEDGER MARKERS
+    (``_merged_batch_*`` / ``_staging_batch_*``), which the parquet
+    protocol guarantees coexist with any ``pk=`` bucket it promotes
+    (staging markers precede promotion; the merged marker outlives
+    staging cleanup). Bare ``pk=`` directories WITHOUT a marker are the
+    signature of a crashed Delta first commit — the create itself
+    writes partitionBy('pk') data files before the first _delta_log
+    commit — and must stay recoverable: Delta's create only consults
+    its log, so the replayed save() resumes cleanly (ADVICE r10)."""
+    children = _list_children(target_dir, spark)
     state = [
         c
         for c in children
-        if c.startswith(("pk=", "_merged_batch_", "_staging_batch_"))
+        if c.startswith(("_merged_batch_", "_staging_batch_"))
     ]
     if state:
         raise RuntimeError(
@@ -185,6 +213,20 @@ def _refuse_parquet_protocol_state(target_dir: str) -> None:
             f"{'...' if len(state) > 3 else ''}); migrate the existing "
             "table explicitly before switching formats"
         )
+
+
+# Serializes the session-global userMetadata stamp window on the MERGE
+# path: foreachBatch bodies run on driver threads, so two sinks for
+# DIFFERENT targets sharing one SparkSession (the per-target lease does
+# not serialize across tables) could otherwise interleave set/restore —
+# stamping A's commit with B's batch id, or landing A unstamped after
+# B's finally restores first, which makes A's replay re-apply the
+# additive MERGE (double-count). DeltaTable.merge has no per-commit
+# userMetadata option (the save() path does — see _delta_create_table),
+# so the conf window is unavoidable there; the lock bounds it.
+import threading as _threading
+
+_DELTA_STAMP_LOCK = _threading.Lock()
 
 
 def _delta_create_table(
@@ -196,21 +238,19 @@ def _delta_create_table(
     so without the stamp an at-least-once replay of the table-creating
     batch would find the table existing, take the merge branch, see no
     stamp in history, and re-apply the additive MERGE — double-counting
-    every key from the first batch. Module-level so tests can intercept
-    it without a Delta runtime present."""
-    spark = partials.sparkSession
-    meta_key = "spark.databricks.delta.commitInfo.userMetadata"
-    spark.conf.set(meta_key, f"batch={batch_id}")
-    try:
-        (
-            partials.write.format("delta")
-            .partitionBy("pk")
-            .option("txnAppId", writer_id)
-            .option("txnVersion", batch_id)
-            .save(target_dir)
-        )
-    finally:
-        spark.conf.unset(meta_key)
+    every key from the first batch. The stamp rides the PER-WRITE
+    ``userMetadata`` option (not the session conf), so concurrent
+    writers in one session cannot cross-stamp or clobber a user-set
+    session value. Module-level so tests can intercept it without a
+    Delta runtime present."""
+    (
+        partials.write.format("delta")
+        .partitionBy("pk")
+        .option("txnAppId", writer_id)
+        .option("txnVersion", batch_id)
+        .option("userMetadata", f"batch={batch_id}")
+        .save(target_dir)
+    )
 
 
 def _delta_merge_batch_writer(
@@ -252,7 +292,7 @@ def _delta_merge_batch_writer(
             .withColumn("pk", _merge_bucket(F.col("alias")))
         )
         if not delta_table_cls.isDeltaTable(spark, target_dir):
-            _refuse_parquet_protocol_state(target_dir)
+            _refuse_parquet_protocol_state(target_dir, spark)
             _delta_create_table(partials, target_dir, writer_id, batch_id)
             return
         tgt = delta_table_cls.forPath(spark, target_dir)
@@ -265,21 +305,31 @@ def _delta_merge_batch_writer(
         }
         if stamp in applied:
             return
+        # MERGE has no per-commit userMetadata option, so the stamp must
+        # transit the session conf: the module lock serializes the
+        # set→execute→restore window across concurrent sinks in this
+        # session, and the prior value is RESTORED (not unset) so a
+        # user-set session stamp survives the batch.
         meta_key = "spark.databricks.delta.commitInfo.userMetadata"
-        spark.conf.set(meta_key, stamp)
-        try:
-            (
-                tgt.alias("t")
-                .merge(
-                    partials.alias("u"),
-                    "t.alias = u.alias AND t.entity_id = u.entity_id",
+        with _DELTA_STAMP_LOCK:
+            prev = spark.conf.get(meta_key, None)
+            spark.conf.set(meta_key, stamp)
+            try:
+                (
+                    tgt.alias("t")
+                    .merge(
+                        partials.alias("u"),
+                        "t.alias = u.alias AND t.entity_id = u.entity_id",
+                    )
+                    .whenMatchedUpdate(set={"count": "t.count + u.count"})
+                    .whenNotMatchedInsertAll()
+                    .execute()
                 )
-                .whenMatchedUpdate(set={"count": "t.count + u.count"})
-                .whenNotMatchedInsertAll()
-                .execute()
-            )
-        finally:
-            spark.conf.unset(meta_key)
+            finally:
+                if prev is None:
+                    spark.conf.unset(meta_key)
+                else:
+                    spark.conf.set(meta_key, prev)
 
     return write_batch
 
