@@ -1,0 +1,60 @@
+"""SLA-driven auto ANN serving (round 11): `sim_ann_auto_topk` derives
+every serving dial (code width, cell count, probe depth) from the
+corpus rowcount; `_scale_gated_oracle` makes the DuckDB twin pick the
+SAME branch from the same rowcount, so correctness runs at any scale
+diff against the width actually served (ADVICE r10)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import wikid_spark.queries.similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_auto_small_branch_equals_trained_np2(spark):
+    """Below PQ_WIDTH_THRESHOLD the auto entry serves the raw-vector
+    trained np2 plan — identical rows to its fixed-policy twin."""
+    got = sorted(tuple(r) for r in S.sim_ann_auto_topk(spark, SF).collect())
+    want = sorted(
+        tuple(r) for r in S.sim_ivf_trained_nprobe2_topk(spark, SF).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_auto_large_branch_dispatches_all_dials(spark, monkeypatch):
+    """At or above the threshold the auto entry must dispatch to the
+    all-dials composition: residual IVFADC, PQ8 codes, nprobe=4."""
+    calls = {}
+
+    def fake_plan(spark_, sf_dir_, nprobe=None, spec=None):
+        calls.update(nprobe=nprobe, spec=spec)
+        return "sentinel"
+
+    monkeypatch.setattr(S, "corpus_rows", lambda *a: S.PQ_WIDTH_THRESHOLD)
+    monkeypatch.setattr(S, "_ivfpq_residual_plan", fake_plan)
+    assert S.sim_ann_auto_topk(spark, SF) == "sentinel"
+    assert calls == {"nprobe": 4, "spec": S.PQ8}
+
+
+@pytest.mark.parametrize(
+    "n,expect", [(S.PQ_WIDTH_THRESHOLD - 1, "small"), (S.PQ_WIDTH_THRESHOLD, "large")]
+)
+def test_scale_gated_oracle_picks_branch_by_rowcount(n, expect):
+    """The gate itself, pinned cheaply: a synthetic embeddings view of
+    n rows must route the union to exactly one branch — the same one
+    `pq_spec_for(n)` picks on the Spark side."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM range({n}) t(vec_id)"
+    )
+    sql = S._scale_gated_oracle(
+        "SELECT 1 AS query_id, 1 AS neighbor_id, 0.5::DOUBLE AS sim, 1 AS rn",
+        "SELECT 2 AS query_id, 2 AS neighbor_id, 0.9::DOUBLE AS sim, 1 AS rn",
+    )
+    rows = con.execute(sql).fetchall()
+    assert rows == ([(1, 1, 0.5, 1)] if expect == "small" else [(2, 2, 0.9, 1)])
+    spark_spec = S.pq_spec_for(n)
+    assert spark_spec == (S.PQ4 if expect == "small" else S.PQ8)

@@ -3463,9 +3463,30 @@ def _ivfpq_residual_plan(
             quantize_embedding(F.col("embedding")).alias("qemb"),
         )
     )
-    probes = _assign_blas(
-        raw_sample.select("vec_id", "qemb"), cents, top_m=nprobe
-    ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("pcell"))
+    return _residual_serve(emb, cents, cb, rindex, raw_sample, nprobe, spec)
+
+
+def _residual_serve(
+    emb: DataFrame,
+    cents: DataFrame,
+    cb: DataFrame,
+    rindex: DataFrame,
+    raw_sample: DataFrame,
+    nprobe: int,
+    spec: PQSpec = PQ4,
+    probes: DataFrame | None = None,
+) -> DataFrame:
+    """The residual IVFADC serving tail over an EXPLICIT index — the
+    shared plan of the in-plan queries (`_ivfpq_residual_plan`) and the
+    persisted-index serving path (`serve_persisted_topk`, which hands a
+    partition-PRUNED ``rindex`` scan plus the probes that derived the
+    pruning so the probe assignment isn't computed twice)."""
+    if probes is None:
+        probes = _assign_blas(
+            raw_sample.select("vec_id", "qemb"), cents, top_m=nprobe
+        ).select(
+            F.col("vec_id").alias("query_id"), F.col("cent_id").alias("pcell")
+        )
     qres = (
         probes.join(
             F.broadcast(
@@ -3659,18 +3680,44 @@ def sim_ivfpq8_residual_np4_topk(
     return _ivfpq_residual_plan(spark, sf_dir, nprobe=4, spec=PQ8)
 
 
+def _scale_gated_oracle(small_sql: str, large_sql: str) -> str:
+    """Compose the two width-branch oracles into ONE scale-aware text:
+    each branch keeps its own WITH scope inside a subquery (no CTE
+    prefix collisions), and a parquet-metadata rowcount gate selects
+    exactly the branch the Spark side's `pq_spec_for` derivation picks
+    — so a correctness run at ANY scale diffs against the width the
+    query actually serves (ADVICE r10: the previous fixed-PQ4 text
+    would falsely fail at >= PQ_WIDTH_THRESHOLD rows)."""
+    return f"""
+    WITH nrows AS (SELECT COUNT(*) AS n FROM embeddings)
+    SELECT query_id, neighbor_id, sim, rn FROM (
+    {small_sql}
+    ) WHERE (SELECT n FROM nrows) < {PQ_WIDTH_THRESHOLD}
+    UNION ALL
+    SELECT query_id, neighbor_id, sim, rn FROM (
+    {large_sql}
+    ) WHERE (SELECT n FROM nrows) >= {PQ_WIDTH_THRESHOLD}
+    ORDER BY query_id, rn
+    """
+
+
 @query(
     "sim_pq_auto_rerank_topk",
-    # The driver's correctness scale (sf0.01, 500 vectors) sits below
-    # PQ_WIDTH_THRESHOLD, so the derivation resolves to PQ4 there and
-    # the oracle is the PQ4 text; the Spark side genuinely derives the
-    # spec from the footer rowcount, so at sf>=1 (>=20k rows) the same
-    # query serves from 16-byte codes (SCALE.md round-10 matrix).
-    oracle="WITH "
-    + _pq_cte(train_rounds=PQ_TRAIN_ROUNDS)
-    + ", "
-    + _pq_adc_sql()
-    + _pq_rerank_sql(50),
+    # Scale-aware oracle: the PQ4 branch binds below PQ_WIDTH_THRESHOLD
+    # (the driver's sf0.01 scale), the PQ8 branch at or above it —
+    # mirroring the Spark side's pq_spec_for derivation exactly.
+    oracle=_scale_gated_oracle(
+        "WITH "
+        + _pq_cte(train_rounds=PQ_TRAIN_ROUNDS)
+        + ", "
+        + _pq_adc_sql()
+        + _pq_rerank_sql(50),
+        "WITH "
+        + _pq_cte(train_rounds=PQ_TRAIN_ROUNDS, spec=PQ8)
+        + ", "
+        + _pq_adc_sql(spec=PQ8)
+        + _pq_rerank_sql(50),
+    ),
     tags=("similarity", "pq", "ann", "kmeans", "auto-width"),
 )
 def sim_pq_auto_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3751,3 +3798,263 @@ def sim_pq8_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = stats if out is None else out.unionAll(stats)
     return out.orderBy("variant")
+
+# ---------------------------------------------------------------------------
+# Persisted, cell-partitioned batch ANN serving (round 11). The batch
+# sim_* family above builds its index inside each query plan — correct
+# for oracle certification, but the "~nprobe·2·sqrt(n) candidate rows"
+# budget then bounds COMPUTE, not IO: the full index column is scanned
+# and filtered. Production serving builds ONCE (`persist_ann_index`),
+# writes the index cell-partitioned (directory partitioning on
+# cent_id), and every serve partition-prunes the index scan to the
+# probed cells — at 100 TB the scan reads ~nprobe·|queries| cell
+# directories (~nprobe·2·sqrt(n) rows of spec.index_bytes+16 bytes),
+# never the corpus. Same discipline the streaming side already
+# plan-tests (streaming/vector_ingest.py:146-159).
+# ---------------------------------------------------------------------------
+
+# IN-literal pushdown cap for the probed-cell partition filter: below
+# it the probed cent_ids inline as literals (Catalyst folds them into
+# PartitionFilters — directory-level pruning, zero non-probed bytes
+# read); above it a broadcast semi-join bounds plan size instead (same
+# discipline as streaming/dedup_ingest.CAND_PUSHDOWN_MAX_IDS; the cap
+# differs because a partition-filter literal list lives in the plan
+# tree, not a shuffle).
+ANN_CELL_PUSHDOWN_MAX_IDS = 10_000
+
+_INDEX_OK = "_INDEX_OK"
+
+
+def persist_ann_index(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    spec: PQSpec | None = None,
+) -> PQSpec:
+    """Build the residual IVFADC index ONCE and persist it for
+    partition-pruned serving: trained derived-K centroids
+    (``centroids/``, K rows), residual-trained PQ codebooks
+    (``codebooks/``, spec.subs x spec.codes rows), and the packed code
+    index (``rindex/``) written PARTITIONED BY cent_id so a probe's
+    scan directory-prunes to its cells. ``spec`` defaults to the
+    corpus-size-derived width (`pq_spec_for` — footer rowcount, no
+    count() scan). The ``_INDEX_OK`` marker commits the build (written
+    last); spec parameters ride ``spec.json`` so serving needs no
+    caller coordination. Deterministic: same corpus → byte-identical
+    index, so rebuilding after loss (or racing builders) converges.
+
+    All integer artifacts (quantized centroids, codewords, packed
+    codes) round-trip parquet exactly — persisted serving is
+    output-identical to the in-plan twin (`sim_ivfpq8_residual_np4_topk`),
+    which the shared oracle certifies."""
+    import json
+    import os
+
+    if spec is None:
+        spec = pq_spec_for(corpus_rows(sf_dir, "embeddings"))
+    emb = table(spark, sf_dir, "embeddings")
+    qemb = emb.select(
+        "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
+    )
+    k = derived_k(corpus_rows(sf_dir, "embeddings"))
+    cents, _ = lloyd_train(
+        qemb, _centroids(emb, k), max_rounds=TRAINED_DERIVED_ROUNDS, tol=0
+    )
+    # Each stage builds from the CHECKPOINTED predecessor so training
+    # runs once per artifact, not once per downstream consumer.
+    cents = cents.localCheckpoint(eager=True)
+    cents.write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    rv = _residual_vectors(spark, sf_dir, cents)
+    cb = _pq_train(
+        rv.select("vec_id", "qemb"), _pq_seed_codebooks(rv, spec),
+        PQ_TRAIN_ROUNDS, spec,
+    ).localCheckpoint(eager=True)
+    cb.write.mode("overwrite").parquet(f"{out_dir}/codebooks")
+    rindex = _pq_encode(rv, cb, spec=spec).select(
+        "vec_id", "cent_id", *spec.cols
+    )
+    (
+        rindex.write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(f"{out_dir}/rindex")
+    )
+    with open(os.path.join(out_dir, "spec.json"), "w") as fh:
+        json.dump(spec._asdict(), fh)
+    open(os.path.join(out_dir, _INDEX_OK), "w").close()
+    return spec
+
+
+def _residual_vectors(
+    spark: SparkSession, sf_dir: str, cents: DataFrame
+) -> DataFrame:
+    """(vec_id, cent_id, qemb): each corpus vector's quantized residual
+    against its nearest (rank-1) centroid — the encode input of the
+    residual index, against an EXPLICIT centroid table."""
+    emb = table(spark, sf_dir, "embeddings")
+    qemb = emb.select(
+        "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
+    )
+    a1 = _assign_blas(qemb, cents, top_m=1)
+    return a1.join(F.broadcast(cents), "cent_id").select(
+        "vec_id",
+        "cent_id",
+        F.zip_with("qemb", "cemb", lambda a, b: a - b).alias("qemb"),
+    )
+
+
+def load_ann_index_spec(index_dir: str) -> PQSpec:
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "spec.json")) as fh:
+        return PQSpec(**json.load(fh))
+
+
+def serve_persisted_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    nprobe: int = 4,
+    spec: PQSpec | None = None,
+) -> DataFrame:
+    """Top-3 serving from a `persist_ann_index` build, with the index
+    scan PARTITION-PRUNED to the probed cells: the query sample ranks
+    against the persisted K-row centroid table (one tiny job,
+    localCheckpointed so assignment runs once), the probed cent_ids
+    collect driver-side (≤ |queries|·nprobe values — batch-bounded,
+    corpus-independent), and below `ANN_CELL_PUSHDOWN_MAX_IDS` they
+    inline as an IN-literal the parquet source turns into
+    PartitionFilters (plan-tested); above it a broadcast semi-join
+    takes over. Everything downstream is the exact serving tail the
+    in-plan queries run (`_residual_serve`), so results are identical —
+    only the scan's IO changes, from the full index to
+    ~nprobe·|queries| cell directories."""
+    if spec is None:
+        spec = load_ann_index_spec(index_dir)
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    cb = spark.read.parquet(f"{index_dir}/codebooks")
+    rindex = spark.read.parquet(f"{index_dir}/rindex")
+    emb = table(spark, sf_dir, "embeddings")
+    raw_sample = _sample_filter(
+        emb.select(
+            "vec_id",
+            F.col("embedding").alias("qe"),
+            quantize_embedding(F.col("embedding")).alias("qemb"),
+        )
+    )
+    probes = (
+        _assign_blas(raw_sample.select("vec_id", "qemb"), cents, top_m=nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cent_id").alias("pcell"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    touched = probes.select("pcell").distinct()
+    cells = [r[0] for r in touched.limit(ANN_CELL_PUSHDOWN_MAX_IDS + 1).collect()]
+    if len(cells) <= ANN_CELL_PUSHDOWN_MAX_IDS:
+        rindex = rindex.filter(F.col("cent_id").isin(cells))
+    else:
+        rindex = rindex.join(
+            F.broadcast(touched.withColumnRenamed("pcell", "cent_id")),
+            "cent_id",
+            "left_semi",
+        )
+    return _residual_serve(
+        emb, cents, cb, rindex, raw_sample, nprobe, spec, probes=probes
+    )
+
+
+def _ensure_persisted_index(
+    spark: SparkSession, sf_dir: str, spec: PQSpec
+) -> str:
+    """Idempotent cached build keyed by (corpus path, rowcount, spec):
+    build into a private temp dir, then one atomic rename into the
+    cache slot — a racing builder loses the rename and discards its
+    (byte-identical, deterministic) copy. The registered query uses
+    this so the driver's repeated runs serve from one build, the shape
+    production serving has (build nightly, serve all day)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    n = corpus_rows(sf_dir, "embeddings")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{n}|{spec.subs}x{spec.codes}".encode()
+    ).hexdigest()[:16]
+    cache_root = os.path.join(tempfile.gettempdir(), "wikid_ann_index")
+    dest = os.path.join(cache_root, key)
+    if os.path.exists(os.path.join(dest, _INDEX_OK)):
+        return dest
+    os.makedirs(cache_root, exist_ok=True)
+    build = os.path.join(cache_root, f".build_{key}_{os.getpid()}")
+    shutil.rmtree(build, ignore_errors=True)
+    persist_ann_index(spark, sf_dir, build, spec)
+    try:
+        os.rename(build, dest)
+    except OSError:
+        if not os.path.exists(os.path.join(dest, _INDEX_OK)):
+            raise
+        shutil.rmtree(build, ignore_errors=True)  # lost the race: reuse
+    return dest
+
+
+@query(
+    "sim_ivfpq8_serve_persisted",
+    oracle=_ivfpq_residual_oracle(4, PQ8),
+    tags=(
+        "similarity", "pq", "ivf", "ann", "derived-k", "kmeans",
+        "residual", "multiprobe", "pq8", "persisted",
+    ),
+)
+def sim_ivfpq8_serve_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production serving SHAPE of the all-dials-composed query
+    (`sim_ivfpq8_residual_np4_topk` — identical results, identical
+    oracle): the residual IVFPQ8 index is built ONCE and persisted
+    cell-partitioned (`persist_ann_index`), and this serve
+    partition-prunes the index scan to the ~nprobe·|queries| probed
+    cells (plan-tested PartitionFilters). This closes the gap the
+    round-10 scale audit named: the in-plan family's probe budget
+    bounds compute; the persisted form makes it bound IO — at 100 TB
+    the serve reads ~nprobe·2·sqrt(n) rows of 32-byte index instead of
+    scanning the full index column."""
+    index_dir = _ensure_persisted_index(spark, sf_dir, PQ8)
+    return serve_persisted_topk(spark, sf_dir, index_dir, nprobe=4, spec=PQ8)
+
+
+@query(
+    "sim_ann_auto_topk",
+    # Scale-aware oracle (see _scale_gated_oracle): below the width
+    # threshold the raw-vector trained np2 branch binds; at or above
+    # it the residual IVFPQ8 np4 branch does — each the exact text of
+    # the registered fixed-policy twin.
+    oracle=_scale_gated_oracle(
+        _lloyd_derived_oracle(TRAINED_DERIVED_ROUNDS, nprobe=2),
+        _ivfpq_residual_oracle(4, PQ8),
+    ),
+    tags=("similarity", "ann", "ivf", "pq", "kmeans", "auto-width", "auto"),
+)
+def sim_ann_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production serving entry — every dial on auto, derived from
+    the parquet-footer rowcount the way `derived_k` / `pq_spec_for`
+    derive their own: a 100 TB operator calls this one query and the
+    serving-budget matrix (SCALE.md) picks the cell.
+
+    * below PQ_WIDTH_THRESHOLD rows (compression buys nothing — the
+      whole raw corpus is a few MB): trained derived-K cells served
+      from RAW vectors at nprobe=2 (`sim_ivf_trained_nprobe2_topk`'s
+      exact plan) — recall ~0.95+ at trivial absolute cost;
+    * at or above it: the all-dials composition — residual-trained
+      IVFADC cells, 16-byte 8-bit residual codes, nprobe=4
+      (`sim_ivfpq8_residual_np4_topk`'s exact plan) — the round-10
+      matrix's best recall-per-byte at sub-linear rows (probe rows
+      ~nprobe·2·sqrt(n), candidate IO 32 B/row, exact pass bounded by
+      the 10-row shortlist).
+
+    Both branches were individually certified (their fixed-policy
+    twins are registered queries); this entry pins the DERIVATION."""
+    n = corpus_rows(sf_dir, "embeddings")
+    if n < PQ_WIDTH_THRESHOLD:
+        return _trained_probe_topk(*_trained_index(spark, sf_dir), nprobe=2)
+    return _ivfpq_residual_plan(spark, sf_dir, nprobe=4, spec=PQ8)
