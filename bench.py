@@ -82,7 +82,42 @@ HEADLINE = [
     # dial composed with compressed residual serving:
     "sim_pq8_trained_rerank_topk",
     "sim_ivfpq_residual_np4_topk",
+    # round-11 additions: the persisted cell-partitioned serving shape
+    # (probe budget bounds scan IO, not just compute) and the all-dials
+    # auto entry (width/K/nprobe derived from the corpus rowcount):
+    "sim_ivfpq8_serve_persisted",
+    "sim_ann_auto_topk",
 ]
+
+
+def calibrate(spark) -> dict:
+    """Fixed host-calibration workload recorded in every bench artifact
+    (round-11): cross-round wall-clock comparisons kept reading
+    host-speed variance as code regressions (the per-round VMs differ
+    by ~±20-40% on identical code+input — SCALE.md "ETL throughput
+    variance"). Two pinned yardsticks, both corpus-independent:
+
+    * ``cpu_s`` — one thread hashing 512 MB in 64 KB chunks (pure
+      CPU+memory, no Spark, no disk; ~0.4 s — large enough that timer
+      jitter is <1%);
+    * ``spark_s`` — a fixed 200M-row range aggregation through
+      whole-stage codegen (JVM + scheduler + all cores).
+
+    Cross-round ratios divide by the calibration ratio to normalize:
+    r11_query/r10_query vs r11_calib/r10_calib."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    chunk = b"\xa5" * 65536
+    for _ in range(8192):  # 512 MB
+        h.update(chunk)
+    cpu_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr("sum(id % 7) AS s").collect()
+    spark_s = time.perf_counter() - t0
+    return {"cpu_s": round(cpu_s, 4), "spark_s": round(spark_s, 3)}
 
 
 def run_etl(spark) -> dict:
@@ -183,6 +218,7 @@ def run_etl(spark) -> dict:
         "stages_s": {k: round(v, 2) for k, v in stages.items()},
         "rows": n_rows,
         "cpus": spark.sparkContext.defaultParallelism,
+        "calib": calibrate(spark),
     }
 
 
@@ -304,6 +340,7 @@ def main() -> None:
         "repeat": repeat,
         "excluded": excluded,
         "sf": sf,
+        "calib": calibrate(spark),
     }
     detail = dict(payload, p95=p95s, build=builds)
     _emit(payload, detail)

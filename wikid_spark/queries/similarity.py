@@ -1587,6 +1587,58 @@ def _trained_probe_topk(qemb, cents, a2, nprobe: int) -> DataFrame:
     )
 
 
+def _trained_probe_topk_multi(
+    qemb: DataFrame, cents: DataFrame, a2: DataFrame, nprobes=(1, 2, 4)
+) -> dict[int, DataFrame]:
+    """All probe depths served from ONE shared corpus candidate pass
+    (round-11 recall-report cost bound): the sample ranks once against
+    the K centroids at max(nprobes) with its probe RANK kept, the
+    corpus-side join + exact cosine computes once (localCheckpointed —
+    three union branches would otherwise re-run the corpus join per
+    depth), and each depth is a rank filter over the materialized
+    candidates. Output-identical to `_trained_probe_topk` per depth:
+    depth np's candidate set is exactly the prank <= np rows (same
+    assignment, same tie-breaks), sims are the same rounded doubles,
+    and the nprobe=1 branch skips the cross-probe DISTINCT exactly as
+    the single-depth plan does. Only the recall report calls this —
+    the registered per-depth queries keep their own certified plans."""
+    probes = _assign_blas(
+        _sample_filter(qemb), cents, top_m=max(nprobes)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cent_id").alias("pcell"),
+        F.col("cent_rank").alias("prank"),
+    )
+    cands = (
+        a2.join(F.broadcast(probes), F.col("cent_id") == F.col("pcell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "prank",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qe")), 4
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    out = {}
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+    for np_ in nprobes:
+        c = cands.filter(F.col("prank") <= np_).drop("prank")
+        if np_ > 1:
+            c = c.distinct()
+        out[np_] = (
+            c.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .orderBy("query_id", "rn")
+        )
+    return out
+
+
 @query(
     "sim_ivf_trained_derived_topk",
     oracle=_lloyd_derived_oracle(TRAINED_DERIVED_ROUNDS),
@@ -3115,8 +3167,11 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         methods = part if methods is None else methods.unionAll(part)
     trained = _trained_index(spark, sf_dir)
-    for np_ in (1, 2, 4):
-        part = _trained_probe_topk(*trained, nprobe=np_).select(
+    # One shared corpus candidate pass serves all three probe depths
+    # (round-11: the serving passes are the report's cost now that
+    # builds are shared — output-identical, see the multi helpers).
+    for np_, df in _trained_probe_topk_multi(*trained).items():
+        part = df.select(
             F.lit(f"ivf_trained_np{np_}").alias("method"),
             "query_id",
             "neighbor_id",
@@ -3171,13 +3226,12 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ivfpq_trained",
             _ivfpq_plan(spark, sf_dir, trained=True, cents=tcents, cb=parts4t[1]),
         ),
-        (
-            "ivfpq_residual",
-            _ivfpq_residual_plan(spark, sf_dir, nprobe=2, idx=residx),
-        ),
-        (
-            "ivfpq_residual_np4",
-            _ivfpq_residual_plan(spark, sf_dir, nprobe=4, idx=residx),
+        # np2 and np4 over the PQ4 residual index share one ADC pass
+        *(
+            (f"ivfpq_residual{'_np4' if np_ == 4 else ''}", df)
+            for np_, df in _residual_serve_multi(
+                spark, sf_dir, residx, nprobes=(2, 4)
+            ).items()
         ),
         (
             "ivfpq8_residual_np4",
@@ -3531,6 +3585,93 @@ def _residual_serve(
     return _pq_exact_rerank(
         emb, short, raw_sample.select(F.col("vec_id").alias("query_id"), "qe")
     )
+
+
+def _residual_serve_multi(
+    spark: SparkSession,
+    sf_dir: str,
+    idx,
+    nprobes=(2, 4),
+    spec: PQSpec = PQ4,
+) -> dict[int, DataFrame]:
+    """All residual-IVFADC probe depths served from ONE shared ADC
+    candidate pass (round-11 recall-report cost bound): probe
+    assignment runs once at max(nprobes) keeping the probe RANK,
+    per-(query, cell) residual distance tables build once for the
+    union of probed cells, the probed-cell candidate scan + ADC lookup
+    computes once (localCheckpointed), and each depth is a prank
+    filter before its own shortlist window + exact re-rank.
+    Output-identical per depth to `_ivfpq_residual_plan`: each vector
+    indexes in exactly its rank-1 cell, so depth np's (query, neighbor)
+    pairs are exactly the prank <= np rows with the same keyed-ADC
+    distances. Only the recall report calls this."""
+    emb, cents, cb, rindex = idx
+    raw_sample = _sample_filter(
+        emb.select(
+            "vec_id",
+            F.col("embedding").alias("qe"),
+            quantize_embedding(F.col("embedding")).alias("qemb"),
+        )
+    )
+    probes = _assign_blas(
+        raw_sample.select("vec_id", "qemb"), cents, top_m=max(nprobes)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cent_id").alias("pcell"),
+        F.col("cent_rank").alias("prank"),
+    )
+    qres = (
+        probes.join(
+            F.broadcast(
+                raw_sample.select(F.col("vec_id").alias("query_id"), "qemb")
+            ),
+            "query_id",
+        )
+        .join(
+            F.broadcast(cents.withColumnRenamed("cent_id", "pcell")), "pcell"
+        )
+        .select(
+            "query_id",
+            "pcell",
+            F.zip_with("qemb", "cemb", lambda a, b: a - b).alias("qq"),
+        )
+    )
+    dtab = _pq_dtab(qres, cb, keys=("query_id", "pcell"), spec=spec)
+    cands = (
+        rindex.join(
+            F.broadcast(probes), F.col("cent_id") == F.col("pcell")
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "pcell",
+            "prank",
+            F.col("vec_id").alias("neighbor_id"),
+            *spec.cols,
+        )
+    )
+    adc = (
+        cands.join(F.broadcast(dtab), ["query_id", "pcell"])
+        .select(
+            "query_id", "prank", "neighbor_id", _pq_adist(spec).alias("adist")
+        )
+        .localCheckpoint(eager=False)
+    )
+    out = {}
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    for np_ in nprobes:
+        short = (
+            adc.filter(F.col("prank") <= np_)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("query_id", "neighbor_id")
+        )
+        out[np_] = _pq_exact_rerank(
+            emb,
+            short,
+            raw_sample.select(F.col("vec_id").alias("query_id"), "qe"),
+        )
+    return out
 
 
 @query(
