@@ -39,6 +39,36 @@ def test_auto_large_branch_dispatches_all_dials(spark, monkeypatch):
     assert calls == {"nprobe": 4, "spec": S.PQ8}
 
 
+def test_auto_high_small_branch_is_exact_brute(spark):
+    got = sorted(
+        tuple(r) for r in S.sim_ann_auto_high_topk(spark, SF).collect()
+    )
+    want = sorted(tuple(r) for r in S.sim_ann_brute_topk(spark, SF).collect())
+    assert got == want and len(got) > 0
+
+
+def test_auto_high_large_branch_dispatches_pq8_flat(spark, monkeypatch):
+    calls = {}
+
+    def fake_plan(spark_, sf_dir_, train_rounds=None, depth=None, spec=None):
+        calls.update(train_rounds=train_rounds, depth=depth, spec=spec)
+        return "sentinel"
+
+    monkeypatch.setattr(S, "corpus_rows", lambda *a: S.PQ_WIDTH_THRESHOLD)
+    monkeypatch.setattr(S, "_pq_rerank_plan", fake_plan)
+    assert S.sim_ann_auto_high_topk(spark, SF) == "sentinel"
+    assert calls == {
+        "train_rounds": S.PQ_TRAIN_ROUNDS,
+        "depth": 50,
+        "spec": S.PQ8,
+    }
+
+
+def test_auto_unknown_tier_raises(spark):
+    with pytest.raises(ValueError, match="recall tier"):
+        S.ann_auto_topk(spark, SF, tier="nope")
+
+
 @pytest.mark.parametrize(
     "n,expect", [(S.PQ_WIDTH_THRESHOLD - 1, "small"), (S.PQ_WIDTH_THRESHOLD, "large")]
 )

@@ -4177,25 +4177,91 @@ def sim_ivfpq8_serve_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann", "ivf", "pq", "kmeans", "auto-width", "auto"),
 )
 def sim_ann_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE production serving entry — every dial on auto, derived from
-    the parquet-footer rowcount the way `derived_k` / `pq_spec_for`
-    derive their own: a 100 TB operator calls this one query and the
-    serving-budget matrix (SCALE.md) picks the cell.
+    """The production serving entry at the BUDGET tier — see
+    `ann_auto_topk` for the tier contract. Every dial derives from the
+    parquet-footer rowcount the way `derived_k` / `pq_spec_for` derive
+    their own; a 100 TB operator calls one entry and the
+    serving-budget matrix (SCALE.md round-11) picks the cell. Both
+    branches are individually certified (their fixed-policy twins are
+    registered queries); this entry pins the DERIVATION."""
+    return ann_auto_topk(spark, sf_dir, tier="budget")
 
-    * below PQ_WIDTH_THRESHOLD rows (compression buys nothing — the
-      whole raw corpus is a few MB): trained derived-K cells served
-      from RAW vectors at nprobe=2 (`sim_ivf_trained_nprobe2_topk`'s
-      exact plan) — recall ~0.95+ at trivial absolute cost;
-    * at or above it: the all-dials composition — residual-trained
-      IVFADC cells, 16-byte 8-bit residual codes, nprobe=4
-      (`sim_ivfpq8_residual_np4_topk`'s exact plan) — the round-10
-      matrix's best recall-per-byte at sub-linear rows (probe rows
-      ~nprobe·2·sqrt(n), candidate IO 32 B/row, exact pass bounded by
-      the 10-row shortlist).
 
-    Both branches were individually certified (their fixed-policy
-    twins are registered queries); this entry pins the DERIVATION."""
+def ann_auto_topk(
+    spark: SparkSession, sf_dir: str, tier: str = "budget"
+) -> DataFrame:
+    """SLA-driven auto ANN serving: (code width, cell count, probe
+    depth, serving shape) all derived from the corpus rowcount plus a
+    target RECALL TIER — the composition of the three dials the
+    round-8/9/10 measurements priced (SCALE.md serving-budget matrix).
+
+    * ``budget`` — sub-linear candidate rows first, recall second:
+      below PQ_WIDTH_THRESHOLD rows the trained derived-K index serves
+      RAW vectors at nprobe=2 (compression buys nothing at a few MB of
+      corpus; `sim_ivf_trained_nprobe2_topk`'s exact plan); at scale
+      the all-dials composition — residual IVFADC cells, 16-byte
+      residual codes, nprobe=4 (`sim_ivfpq8_residual_np4_topk`) —
+      probe rows ~nprobe·2·sqrt(n) at 32 B/row.
+    * ``high`` — recall first, IO bounded by code width: below the
+      threshold exact brute force (recall 1.0; n·|queries| cosines is
+      trivial there); at scale the trained 16-byte flat ADC scan
+      (`sim_pq8_trained_rerank_topk`) — candidate rows are linear by
+      contract but 16 B each, and recall holds 0.99→0.91 across
+      sf0.1→10 where every sub-linear-rows cell decays (round-10
+      matrix).
+
+    Both tiers' branches are registered fixed-policy queries; the two
+    auto entries (`sim_ann_auto_topk`, `sim_ann_auto_high_topk`) pin
+    the derivations with scale-gated oracles."""
     n = corpus_rows(sf_dir, "embeddings")
-    if n < PQ_WIDTH_THRESHOLD:
-        return _trained_probe_topk(*_trained_index(spark, sf_dir), nprobe=2)
-    return _ivfpq_residual_plan(spark, sf_dir, nprobe=4, spec=PQ8)
+    if tier == "budget":
+        if n < PQ_WIDTH_THRESHOLD:
+            return _trained_probe_topk(
+                *_trained_index(spark, sf_dir), nprobe=2
+            )
+        return _ivfpq_residual_plan(spark, sf_dir, nprobe=4, spec=PQ8)
+    if tier == "high":
+        if n < PQ_WIDTH_THRESHOLD:
+            return sim_ann_brute_topk(spark, sf_dir)
+        return _pq_rerank_plan(
+            spark, sf_dir, train_rounds=PQ_TRAIN_ROUNDS, depth=50, spec=PQ8
+        )
+    raise ValueError(f"unknown recall tier {tier!r}: use 'budget' or 'high'")
+
+
+@query(
+    "sim_ann_auto_high_topk",
+    oracle=_scale_gated_oracle(
+        # small branch: exact brute force (sim_ann_brute_topk's text)
+        """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000),
+    sims AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, sim, rn
+    FROM ranked WHERE rn <= 3
+    ORDER BY query_id, rn
+    """,
+        # large branch: trained 16-byte flat ADC scan
+        "WITH "
+        + _pq_cte(train_rounds=PQ_TRAIN_ROUNDS, spec=PQ8)
+        + ", "
+        + _pq_adc_sql(spec=PQ8)
+        + _pq_rerank_sql(50),
+    ),
+    tags=("similarity", "ann", "pq", "kmeans", "auto-width", "auto"),
+)
+def sim_ann_auto_high_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HIGH recall tier of `ann_auto_topk`: exact brute force below
+    the width threshold, the scale-stable trained 16-byte flat ADC
+    scan at or above it (recall 0.99→0.91 across sf0.1→10 at 16
+    bytes/row of candidate IO — the round-10 matrix's near-exact
+    row). The tier trades linear candidate ROWS for bounded BYTES and
+    stable recall; `sim_ann_auto_topk` is the sub-linear-rows tier."""
+    return ann_auto_topk(spark, sf_dir, tier="high")

@@ -71,15 +71,29 @@ def read_wikidata_dump(
     """
     lines = spark.read.text(path)
     # Array-wrapper cleanup: drop '['/']' lines, strip trailing commas
-    # (wikidata.py:106-108).
+    # (wikidata.py:106-108 — the reference rstrips ALL trailing commas;
+    # TRIM(TRAILING ...) matches that and is a char scan where the
+    # anchored regexp cost ~2x the raw scan at the bench scale).
     body = lines.filter(F.length(F.trim("value")) > 1).select(
-        F.regexp_replace(F.trim("value"), ",$", "").alias("raw")
+        F.expr("TRIM(TRAILING ',' FROM trim(value))").alias("raw")
     )
     if raw_filter_terms:
         terms = F.array(*[F.lit(t.lower()) for t in raw_filter_terms])
         body = body.filter(
             F.exists(terms, lambda t: F.contains(F.lower("raw"), t))
         )
+    # Parse-once barrier (round-11 per-core profile): `from_json` is a
+    # CodegenFallback expression, so whole-stage codegen's subexpression
+    # elimination does NOT cover it — downstream filters pushed below
+    # the projection (F1's type filter, F2's claims predicates, F4's
+    # sitelink gate) each re-evaluated the FULL parse per reference,
+    # tripling stage-1 wall (8.1 s -> 3.5 s at the 400k-line bench
+    # scale). Explode-of-1-element-array is a Generate node: predicates
+    # on its OUTPUT cannot push below it and projections cannot inline
+    # through it, so every row is parsed exactly once no matter how
+    # many columns/predicates consume it. Output rows are identical
+    # (a PERMISSIVE null struct explodes to one all-null row, exactly
+    # what the un-barriered plan produced).
     return body.select(
-        F.from_json("raw", WIKIDATA_SCHEMA).alias("e")
+        F.explode(F.array(F.from_json("raw", WIKIDATA_SCHEMA))).alias("e")
     ).select("e.*")
