@@ -103,7 +103,7 @@ def test_persisted_serve_scan_is_partition_pruned(spark, tmp_path):
 
     # ≤10 literals render as IN (…), larger lists as INSET …
     m = re.search(
-        r"PartitionFilters: \[cent_id#\d+ IN(?:SET)? \(?([0-9, ]+)", plan
+        r"PartitionFilters: \[cent_id#\d+L? IN(?:SET)? \(?([0-9, ]+)", plan
     )
     assert m, plan[:4000]
     filtered_cells = {int(x) for x in m.group(1).split(",")}

@@ -4074,7 +4074,15 @@ def serve_persisted_topk(
         spec = load_ann_index_spec(index_dir)
     cents = spark.read.parquet(f"{index_dir}/centroids")
     cb = spark.read.parquet(f"{index_dir}/codebooks")
-    rindex = spark.read.parquet(f"{index_dir}/rindex")
+    # Explicit schema: a DEGENERATE (empty) corpus partitionBy-writes
+    # zero data files, and schema inference over an empty directory
+    # fails; the index schema is fully determined by the spec anyway.
+    rindex_schema = ", ".join(
+        ["vec_id bigint"]
+        + [f"{c} bigint" for c in spec.cols]
+        + ["cent_id bigint"]
+    )
+    rindex = spark.read.schema(rindex_schema).parquet(f"{index_dir}/rindex")
     emb = table(spark, sf_dir, "embeddings")
     raw_sample = _sample_filter(
         emb.select(
@@ -4092,7 +4100,7 @@ def serve_persisted_topk(
         .localCheckpoint(eager=True)
     )
     touched = probes.select("pcell").distinct()
-    cells = [r[0] for r in touched.limit(ANN_CELL_PUSHDOWN_MAX_IDS + 1).collect()]
+    cells = [r[0] for r in touched.limit(ANN_CELL_PUSHDOWN_MAX_IDS + 1).collect()]  # k-bounded collect
     if len(cells) <= ANN_CELL_PUSHDOWN_MAX_IDS:
         rindex = rindex.filter(F.col("cent_id").isin(cells))
     else:
