@@ -4014,8 +4014,15 @@ def persist_ann_index(
     rindex = _pq_encode(rv, cb, spec=spec).select(
         "vec_id", "cent_id", *spec.cols
     )
+    # One file per cell: without the repartition every encode task
+    # writes its own fragment into every cell directory (measured 30
+    # files/cell at sf10 — the serve scan then pays per-file open
+    # cost instead of one footer per probed cell). Cells are ~2·√n
+    # rows of ≤32 B, so a single file per cell stays ~1-2 MB even at
+    # 10^9 vectors (K=⌈√n⌉ grows with the corpus).
     (
-        rindex.write.mode("overwrite")
+        rindex.repartition("cent_id")
+        .write.mode("overwrite")
         .partitionBy("cent_id")
         .parquet(f"{out_dir}/rindex")
     )
@@ -4129,8 +4136,9 @@ def _ensure_persisted_index(
     import tempfile
 
     n = corpus_rows(sf_dir, "embeddings")
+    # v2: one-file-per-cell layout (repartition before partitionBy)
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{n}|{spec.subs}x{spec.codes}".encode()
+        f"{os.path.abspath(sf_dir)}|{n}|{spec.subs}x{spec.codes}|v2".encode()
     ).hexdigest()[:16]
     cache_root = os.path.join(tempfile.gettempdir(), "wikid_ann_index")
     dest = os.path.join(cache_root, key)
