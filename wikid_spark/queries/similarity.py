@@ -3596,9 +3596,8 @@ def _residual_serve(
     )
     if rerank_pushdown:
         short = short.localCheckpoint(eager=True)
-        ids = [
-            r[0] for r in short.select("neighbor_id").distinct().collect()
-        ]  # k-bounded collect
+        sids = short.select("neighbor_id").distinct()
+        ids = [r[0] for r in sids.collect()]  # k-bounded collect
         emb = emb.filter(F.col("vec_id").isin(ids))
     return _pq_exact_rerank(
         emb, short, raw_sample.select(F.col("vec_id").alias("query_id"), "qe")
