@@ -104,8 +104,12 @@ def test_persisted_serve_scan_is_partition_pruned(spark, tmp_path):
             "vec_id bigint, pqcode bigint, pqcode2 bigint, cent_id bigint"
         ).parquet(f"{out}/rindex")
         pruned = rindex.filter(S.F.col("cent_id").isin(sorted(probed)))
+        # pushdown off: the eager shortlist checkpoint would remove the
+        # rindex scan (and its PartitionFilters) from the final
+        # executedPlan — plan pins must target the un-checkpointed tail
         tail = S._residual_serve(
-            emb, cents, cb, pruned, raw_sample, 1, S.PQ8, probes=probes
+            emb, cents, cb, pruned, raw_sample, 1, S.PQ8, probes=probes,
+            rerank_pushdown=False,
         )
         plan = tail._jdf.queryExecution().executedPlan().toString()
         # <=10 literals render as IN (...), larger lists as INSET ...
@@ -146,3 +150,70 @@ def test_ensure_persisted_index_caches_and_is_idempotent(spark):
     assert os.path.exists(os.path.join(d1, S._INDEX_OK))
     d2 = S._ensure_persisted_index(spark, SF, S.PQ8)
     assert d1 == d2
+
+
+def test_persist_commits_via_hadoop_fs_on_uri_out_dir(spark, tmp_path):
+    """ADVICE r11: spec.json and the _INDEX_OK marker must land on the
+    SAME filesystem as the parquet artifacts. Exercised with the file:
+    scheme — a driver-local open() writes a literal './file:...' path
+    (or errors) instead of committing next to the index."""
+    out = f"file:{tmp_path}/uri_index"
+    spec = S.persist_ann_index(spark, SF, out, spec=S.PQ8)
+    local = str(tmp_path / "uri_index")
+    assert os.path.exists(os.path.join(local, S._INDEX_OK))
+    assert S.load_ann_index_spec(out, spark) == spec == S.PQ8
+    # serving from the URI path round-trips the spec through the FS too
+    got = sorted(
+        tuple(r)
+        for r in S.serve_persisted_topk(spark, SF, out, nprobe=4).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in S.serve_persisted_topk(
+            spark, SF, local, nprobe=4, spec=S.PQ8
+        ).collect()
+    )
+    assert got == want
+
+
+def test_ensure_persisted_index_invalidates_on_content_change(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11: the cache key must change when the corpus CONTENT
+    changes even if the rowcount doesn't — a regenerated embeddings
+    file with the same rows must not serve the stale index."""
+    import shutil
+
+    sf2 = tmp_path / "sf_copy"
+    sf2.mkdir()
+    for t in ("embeddings", "documents"):
+        src = os.path.join(SF, f"{t}.parquet")
+        shutil.copy(src, sf2 / f"{t}.parquet")
+    d1 = S._ensure_persisted_index(spark, str(sf2), S.PQ8)
+    # same rowcount, same path — but touched content (new mtime)
+    os.utime(sf2 / "embeddings.parquet")
+    d2 = S._ensure_persisted_index(spark, str(sf2), S.PQ8)
+    assert d1 != d2
+
+
+def test_load_ann_index_handle_is_session_cached(spark, tmp_path):
+    """Round 12 (per-serve listing kill): load_ann_index returns the
+    SAME handle — and therefore the same resolved FileIndex, which
+    lists the cell directories once — for repeated loads in one
+    session, and serves from the handle are result-identical to a
+    fresh load."""
+    out, _ = _build(spark, tmp_path)
+    h1 = S.load_ann_index(spark, out)
+    h2 = S.load_ann_index(spark, out)
+    assert h1 is h2
+    assert h1.rindex is h2.rindex  # shared FileIndex → one listing
+    assert h1.spec == S.PQ8
+    got1 = sorted(
+        tuple(r)
+        for r in S.serve_persisted_topk(spark, SF, out, nprobe=4).collect()
+    )
+    got2 = sorted(
+        tuple(r)
+        for r in S.serve_persisted_topk(spark, SF, out, nprobe=4).collect()
+    )
+    assert got1 == got2

@@ -367,3 +367,40 @@ def test_pq8_packing_parity_numpy_vs_duckdb_exhaustive_top_byte():
         for s, c in enumerate(codes):
             assert ((want >> (8 * s)) & 255) == c, (codes, s)
     con.close()
+
+
+def test_flat_adc_rerank_pushdown_plan_and_identity(spark):
+    """Round 12: the shortlist-id pushdown extends from the persisted
+    path to the in-plan flat-ADC rerank family — the raw-vector rerank
+    scan carries In(vec_id …) PushedFilters (row-group skipping), and
+    results are byte-identical to the un-pushed tail."""
+    import re
+
+    from wikid_spark.queries import similarity as S
+
+    df = S._pq_rerank_plan(spark, SF_DIR_SMALL, train_rounds=0, depth=10)
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    scans = [
+        line
+        for line in plan.splitlines()
+        if "embeddings.parquet" in line and "vec_id" in line
+    ]
+    assert any(
+        re.search(r"PushedFilters: \[.*In\(vec_id", line) for line in scans
+    ), plan[:4000]
+
+    # identity with the un-pushed tail (full raw-vector scan)
+    emb = table(spark, SF_DIR_SMALL, "embeddings")
+    _, cb, codes, sample = _pq_parts(spark, SF_DIR_SMALL, 0, S.PQ4)
+    cands = _pq_adc_cands(codes, _pq_dtab(sample, cb, spec=S.PQ4), S.PQ4)
+    short = S._pq_topk(cands, 10).select("query_id", "neighbor_id")
+    want = sorted(
+        tuple(r) for r in S._pq_exact_rerank(emb, short, sample).collect()
+    )
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == want

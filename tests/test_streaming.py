@@ -1268,6 +1268,53 @@ def test_delta_create_recovers_from_crashed_first_commit(
         writer2(b, 0)
 
 
+def test_protocol_guard_refuses_committed_merge_alias_counts(
+    spark, tmp_path
+):
+    """ADVICE r11: merge_alias_counts writes bare pk=* buckets with no
+    ledger markers — at the filesystem level indistinguishable from
+    crashed Delta-create debris with data files. The guard must refuse
+    to create a Delta table over marker-less pk= buckets that HOLD
+    data files (the existing counts would become invisible to Delta
+    readers → silent undercount) unless the operator explicitly passes
+    reclaim_bare_buckets=True; EMPTY pk= dirs (nothing to lose) stay
+    auto-recoverable."""
+    import os
+
+    import pytest
+
+    # end-to-end: a real merge_alias_counts table (pk= buckets with
+    # committed data files, no markers) refuses by default…
+    target = str(tmp_path / "alias_counts_table")
+    updates = spark.createDataFrame(
+        [("a", "1", 2)], "alias string, entity_id string, count bigint"
+    )
+    ingest.merge_alias_counts(spark, target, updates)
+    with pytest.raises(RuntimeError, match="reclaim_bare_buckets"):
+        ingest._refuse_parquet_protocol_state(target, spark)
+    # …and the refusal reaches the writer's create path
+    class _NeverDelta:
+        @classmethod
+        def isDeltaTable(cls, spark, path):
+            return False
+
+    writer = ingest.merge_upsert_batch_writer(
+        spark, target, writer_id="wg1", delta_table_cls=_NeverDelta
+    )
+    with pytest.raises(RuntimeError, match="parquet merge-protocol state"):
+        writer(updates, 0)
+
+    # the explicit operator flag opts in to reclaiming the buckets
+    ingest._refuse_parquet_protocol_state(
+        target, spark, reclaim_bare_buckets=True
+    )
+
+    # bare pk= debris without data files stays auto-recoverable
+    target3 = str(tmp_path / "crashed_debris")
+    os.makedirs(os.path.join(target3, "pk=5"))
+    ingest._refuse_parquet_protocol_state(target3, spark)
+
+
 def test_protocol_guard_lists_file_uri_via_hadoop_fs(spark, tmp_path):
     """ADVICE r10: the guard lists the target through the Hadoop
     FileSystem API, so it works on URIs a driver-local os.listdir

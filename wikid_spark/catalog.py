@@ -73,20 +73,11 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 _ROWCOUNT_CACHE: dict = {}
 
 
-def corpus_rows(sf_dir: str, name: str) -> int:
-    """Exact row count of one table from parquet FOOTER metadata — no
-    Spark job, no data scan. derived_k-style index sizing needs only
-    the unfiltered table cardinality, which parquet already stores per
-    row group; reading footers costs O(#files), not O(bytes), so at
-    100 TB this is a driver-side metadata enumeration where a
-    DataFrame.count() is a full cluster pass (ADVICE round 8: each
-    derived-K query paid an extra corpus scan per invocation, the
-    composites two). Memoized per (file, size, mtime) so repeated
-    queries in one session don't even re-read footers. Falls back to
-    a Spark-free pyarrow dataset walk for directory-shaped tables."""
+def _table_sig(sf_dir: str, name: str):
+    """(path, [(file, size, mtime_ns), ...]) content signature of one
+    table — the same identity corpus_rows memoizes on. Cheap: a stat
+    walk, no file reads."""
     import os
-
-    import pyarrow.parquet as pq
 
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -100,9 +91,38 @@ def corpus_rows(sf_dir: str, name: str) -> int:
         )
     else:
         files = [path]
-    sig = tuple(
+    return path, tuple(
         (f, os.path.getsize(f), os.stat(f).st_mtime_ns) for f in files
     )
+
+
+def corpus_fingerprint(sf_dir: str, name: str) -> str:
+    """Short stable digest of a table's (files, sizes, mtimes)
+    signature. Cache keys that must invalidate when the table's CONTENT
+    changes — not just its rowcount — fold this in (ADVICE r11: a
+    regenerated corpus with the same rowcount must not serve a stale
+    persisted ANN index)."""
+    import hashlib
+
+    path, sig = _table_sig(sf_dir, name)
+    return hashlib.md5(repr((path, sig)).encode()).hexdigest()[:16]
+
+
+def corpus_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of one table from parquet FOOTER metadata — no
+    Spark job, no data scan. derived_k-style index sizing needs only
+    the unfiltered table cardinality, which parquet already stores per
+    row group; reading footers costs O(#files), not O(bytes), so at
+    100 TB this is a driver-side metadata enumeration where a
+    DataFrame.count() is a full cluster pass (ADVICE round 8: each
+    derived-K query paid an extra corpus scan per invocation, the
+    composites two). Memoized per (file, size, mtime) so repeated
+    queries in one session don't even re-read footers. Falls back to
+    a Spark-free pyarrow dataset walk for directory-shaped tables."""
+    import pyarrow.parquet as pq
+
+    path, sig = _table_sig(sf_dir, name)
+    files = [f for f, _, _ in sig]
     cached = _ROWCOUNT_CACHE.get(path)
     if cached is not None and cached[0] == sig:
         return cached[1]

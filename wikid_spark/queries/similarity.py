@@ -762,7 +762,9 @@ def _trained_probe_sql(nprobe: int, prefix: str = "", src: str = "") -> str:
     probes), exact-cosine top-3. Distinct ``prefix`` per probe depth
     lets several depths share ONE training chain."""
     p = prefix
-    dedup = "DISTINCT " if nprobe > 1 else ""
+    # nprobe may be a SQL expression string (the balanced tier derives
+    # it from COUNT(*) in-query); any derived depth is > 1, so DISTINCT
+    dedup = "DISTINCT " if isinstance(nprobe, str) or nprobe > 1 else ""
     return f"""{p}probes AS (
       SELECT vec_id AS query_id, embedding AS qe, cent_id AS pcell
       FROM {src}frk WHERE rn <= {nprobe} AND {_QUERY_SAMPLE_SQL}
@@ -2348,6 +2350,25 @@ def _pq_topk(cands: DataFrame, depth: int) -> DataFrame:
     )
 
 
+def _rerank_pushdown_ids(emb: DataFrame, short: DataFrame):
+    """Shortlist-id pushdown for the exact re-rank (round 12 — extends
+    the round-11 persisted-path discipline to every in-plan rerank
+    tail): the re-rank otherwise fetches its ≤|queries|·depth shortlist
+    rows by broadcast-join against a FULL raw-vector scan — the one
+    corpus-width read left in compressed serving. The shortlist
+    localCheckpoints (so the id collect and the join share one
+    computation), its neighbor ids collect driver-side (k-bounded:
+    ≤|queries|·depth ≤ ~400 values at the fixed query budget), and the
+    id list pushes into the embeddings scan as an In(vec_id …) filter
+    parquet turns into row-group skipping. The filter keeps exactly
+    the join's matching keys, so results are byte-identical and the
+    oracles are position-independent of it. Returns (pruned emb,
+    checkpointed short)."""
+    short = short.localCheckpoint(eager=True)
+    ids = [r[0] for r in short.select("neighbor_id").distinct().collect()]  # k-bounded collect
+    return emb.filter(F.col("vec_id").isin(ids)), short
+
+
 def _pq_exact_rerank(
     emb: DataFrame, short: DataFrame, queries: DataFrame
 ) -> DataFrame:
@@ -2398,6 +2419,7 @@ def _pq_rerank_plan(
     )
     cands = _pq_adc_cands(codes, _pq_dtab(sample, cb, spec=spec), spec)
     short = _pq_topk(cands, depth).select("query_id", "neighbor_id")
+    emb, short = _rerank_pushdown_ids(emb, short)
     return _pq_exact_rerank(emb, short, sample)
 
 
@@ -2661,6 +2683,7 @@ def _ivfpq_plan(
         .filter(F.col("rn") <= 10)
         .select("query_id", "neighbor_id")
     )
+    emb, short = _rerank_pushdown_ids(emb, short)
     return _pq_exact_rerank(
         emb, short, raw_sample.select(F.col("vec_id").alias("query_id"), "qe")
     )
@@ -3529,7 +3552,7 @@ def _residual_serve(
     nprobe: int,
     spec: PQSpec = PQ4,
     probes: DataFrame | None = None,
-    rerank_pushdown: bool = False,
+    rerank_pushdown: bool = True,
 ) -> DataFrame:
     """The residual IVFADC serving tail over an EXPLICIT index — the
     shared plan of the in-plan queries (`_ivfpq_residual_plan`) and the
@@ -3537,16 +3560,14 @@ def _residual_serve(
     partition-PRUNED ``rindex`` scan plus the probes that derived the
     pruning so the probe assignment isn't computed twice).
 
-    ``rerank_pushdown`` (persisted path only): the exact re-rank
-    otherwise fetches the ≤|queries|·10 shortlist rows by
-    broadcast-join against a FULL raw-vector scan — the one remaining
-    corpus-width read in compressed serving. With the flag the
-    shortlist localCheckpoints, its neighbor ids collect (k-bounded:
-    ≤|queries|·10 values), and the id list pushes into the embeddings
-    scan as an In filter (parquet row-group skipping on vec_id
-    min/max). Join semantics are unchanged — the filter keeps exactly
-    the join's matching keys — so results are identical; the certified
-    in-plan queries keep their original plans (flag off)."""
+    ``rerank_pushdown`` (default ON since round 12, in-plan and
+    persisted alike — see `_rerank_pushdown_ids` for the discipline
+    and its bounds): pushes the shortlist's neighbor ids into the
+    embeddings scan as an In(vec_id …) filter, removing the
+    corpus-width raw-vector read from the exact re-rank. Results are
+    identical either way; ``False`` exists for plan-pin tests, which
+    must target the un-checkpointed tail (an eager localCheckpoint
+    removes everything upstream from the final executedPlan)."""
     if probes is None:
         probes = _assign_blas(
             raw_sample.select("vec_id", "qemb"), cents, top_m=nprobe
@@ -3595,10 +3616,7 @@ def _residual_serve(
         .select("query_id", "neighbor_id")
     )
     if rerank_pushdown:
-        short = short.localCheckpoint(eager=True)
-        sids = short.select("neighbor_id").distinct()
-        ids = [r[0] for r in sids.collect()]  # k-bounded collect
-        emb = emb.filter(F.col("vec_id").isin(ids))
+        emb, short = _rerank_pushdown_ids(emb, short)
     return _pq_exact_rerank(
         emb, short, raw_sample.select(F.col("vec_id").alias("query_id"), "qe")
     )
@@ -3683,8 +3701,9 @@ def _residual_serve_multi(
             .filter(F.col("rn") <= 10)
             .select("query_id", "neighbor_id")
         )
+        emb_np, short = _rerank_pushdown_ids(emb, short)
         out[np_] = _pq_exact_rerank(
-            emb,
+            emb_np,
             short,
             raw_sample.select(F.col("vec_id").alias("query_id"), "qe"),
         )
@@ -3983,6 +4002,39 @@ ANN_CELL_PUSHDOWN_MAX_IDS = 10_000
 _INDEX_OK = "_INDEX_OK"
 
 
+def _fs_and_path(spark: SparkSession, path: str):
+    """(Hadoop FileSystem, Path) for any supported URI — the commit
+    marker and spec must land on the SAME filesystem as the parquet
+    artifacts (ADVICE r11: driver-local open() half-commits a build on
+    s3a://, hdfs://, … — exactly the 100 TB deployment target)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _fs_write_text(spark: SparkSession, path: str, text: str = "") -> None:
+    fs, jpath = _fs_and_path(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        if text:
+            out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str:
+    fs, jpath = _fs_and_path(spark, path)
+    stream = fs.open(jpath)
+    try:
+        # py4j copies bytearray args, so Java readFully can't fill a
+        # Python buffer — drain the stream JVM-side instead.
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
 def persist_ann_index(
     spark: SparkSession,
     sf_dir: str,
@@ -4004,9 +4056,11 @@ def persist_ann_index(
     All integer artifacts (quantized centroids, codewords, packed
     codes) round-trip parquet exactly — persisted serving is
     output-identical to the in-plan twin (`sim_ivfpq8_residual_np4_topk`),
-    which the shared oracle certifies."""
+    which the shared oracle certifies. Spec + marker are written
+    through the Hadoop FileSystem API so the build commits atomically
+    on whatever filesystem ``out_dir`` names (s3a://, hdfs://, file:,
+    bare local) — never half-commits with driver-local artifacts."""
     import json
-    import os
 
     if spec is None:
         spec = pq_spec_for(corpus_rows(sf_dir, "embeddings"))
@@ -4043,9 +4097,8 @@ def persist_ann_index(
         .partitionBy("cent_id")
         .parquet(f"{out_dir}/rindex")
     )
-    with open(os.path.join(out_dir, "spec.json"), "w") as fh:
-        json.dump(spec._asdict(), fh)
-    open(os.path.join(out_dir, _INDEX_OK), "w").close()
+    _fs_write_text(spark, f"{out_dir}/spec.json", json.dumps(spec._asdict()))
+    _fs_write_text(spark, f"{out_dir}/{_INDEX_OK}")
     return spec
 
 
@@ -4067,12 +4120,70 @@ def _residual_vectors(
     )
 
 
-def load_ann_index_spec(index_dir: str) -> PQSpec:
+def load_ann_index_spec(
+    index_dir: str, spark: SparkSession | None = None
+) -> PQSpec:
+    """Read the persisted spec. With a session, reads through the
+    Hadoop FileSystem API (any URI the cluster supports); without one,
+    driver-local paths only."""
     import json
     import os
 
+    if spark is not None:
+        return PQSpec(**json.loads(_fs_read_text(spark, f"{index_dir}/spec.json")))
     with open(os.path.join(index_dir, "spec.json")) as fh:
         return PQSpec(**json.load(fh))
+
+
+class AnnIndexHandle(NamedTuple):
+    """Hold-open serving handle over one persisted index: the loaded
+    spec plus the three artifact DataFrames. The DataFrames pin their
+    resolved FileIndex, so the parallel partition-listing job a fresh
+    ``spark.read.parquet`` pays over the >32 cell directories (one
+    task per dir — 448-task stages dominated the sf10 warm serve wall,
+    SCALE.md round 11 §2) runs ONCE at load; every serve against the
+    handle partition-prunes over the in-memory partition specs with no
+    filesystem access. Production shape: load at service start, serve
+    all day; a rebuilt index lands in a new directory (content-keyed),
+    so a handle is never stale."""
+
+    spec: PQSpec
+    cents: DataFrame
+    cb: DataFrame
+    rindex: DataFrame
+
+
+_INDEX_HANDLE_CACHE: dict = {}
+
+
+def load_ann_index(
+    spark: SparkSession, index_dir: str, spec: PQSpec | None = None
+) -> AnnIndexHandle:
+    """Load (or reuse) the hold-open handle for a committed
+    `persist_ann_index` build. Cached per (Spark application,
+    index_dir): repeated `serve_persisted_topk` calls in one session —
+    the driver's per-round reruns, a serving loop — share one listing
+    instead of paying a full-width listing stage per serve."""
+    key = (spark.sparkContext.applicationId, index_dir)
+    cached = _INDEX_HANDLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    if spec is None:
+        spec = load_ann_index_spec(index_dir, spark)
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    cb = spark.read.parquet(f"{index_dir}/codebooks")
+    # Explicit schema: a DEGENERATE (empty) corpus partitionBy-writes
+    # zero data files, and schema inference over an empty directory
+    # fails; the index schema is fully determined by the spec anyway.
+    rindex_schema = ", ".join(
+        ["vec_id bigint"]
+        + [f"{c} bigint" for c in spec.cols]
+        + ["cent_id bigint"]
+    )
+    rindex = spark.read.schema(rindex_schema).parquet(f"{index_dir}/rindex")
+    handle = AnnIndexHandle(spec, cents, cb, rindex)
+    _INDEX_HANDLE_CACHE[key] = handle
+    return handle
 
 
 def serve_persisted_topk(
@@ -4093,20 +4204,12 @@ def serve_persisted_topk(
     takes over. Everything downstream is the exact serving tail the
     in-plan queries run (`_residual_serve`), so results are identical —
     only the scan's IO changes, from the full index to
-    ~nprobe·|queries| cell directories."""
-    if spec is None:
-        spec = load_ann_index_spec(index_dir)
-    cents = spark.read.parquet(f"{index_dir}/centroids")
-    cb = spark.read.parquet(f"{index_dir}/codebooks")
-    # Explicit schema: a DEGENERATE (empty) corpus partitionBy-writes
-    # zero data files, and schema inference over an empty directory
-    # fails; the index schema is fully determined by the spec anyway.
-    rindex_schema = ", ".join(
-        ["vec_id bigint"]
-        + [f"{c} bigint" for c in spec.cols]
-        + ["cent_id bigint"]
-    )
-    rindex = spark.read.schema(rindex_schema).parquet(f"{index_dir}/rindex")
+    ~nprobe·|queries| cell directories. The index artifacts come from
+    the session-cached hold-open handle (`load_ann_index`), so the
+    per-serve partition-listing job is paid once per session, not per
+    serve (round 12)."""
+    handle = load_ann_index(spark, index_dir, spec)
+    spec, cents, cb, rindex = handle
     emb = table(spark, sf_dir, "embeddings")
     raw_sample = _sample_filter(
         emb.select(
@@ -4149,21 +4252,28 @@ def serve_persisted_topk(
 def _ensure_persisted_index(
     spark: SparkSession, sf_dir: str, spec: PQSpec
 ) -> str:
-    """Idempotent cached build keyed by (corpus path, rowcount, spec):
-    build into a private temp dir, then one atomic rename into the
-    cache slot — a racing builder loses the rename and discards its
-    (byte-identical, deterministic) copy. The registered query uses
-    this so the driver's repeated runs serve from one build, the shape
-    production serving has (build nightly, serve all day)."""
+    """Idempotent cached build keyed by (corpus path, content
+    fingerprint, spec): build into a private temp dir, then one atomic
+    rename into the cache slot — a racing builder loses the rename and
+    discards its (byte-identical, deterministic) copy. The registered
+    query uses this so the driver's repeated runs serve from one
+    build, the shape production serving has (build nightly, serve all
+    day). The key folds in the embeddings files' (size, mtime)
+    fingerprint — catalog.corpus_fingerprint, the same identity
+    corpus_rows memoizes on — so a REGENERATED corpus with the same
+    rowcount invalidates the slot instead of silently serving stale
+    neighbors (ADVICE r11)."""
     import hashlib
     import os
     import shutil
     import tempfile
 
-    n = corpus_rows(sf_dir, "embeddings")
+    from wikid_spark.catalog import corpus_fingerprint
+
+    fp = corpus_fingerprint(sf_dir, "embeddings")
     # v2: one-file-per-cell layout (repartition before partitionBy)
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{n}|{spec.subs}x{spec.codes}|v2".encode()
+        f"{os.path.abspath(sf_dir)}|{fp}|{spec.subs}x{spec.codes}|v2".encode()
     ).hexdigest()[:16]
     cache_root = os.path.join(tempfile.gettempdir(), "wikid_ann_index")
     dest = os.path.join(cache_root, key)
@@ -4228,6 +4338,31 @@ def sim_ann_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_auto_topk(spark, sf_dir, tier="budget")
 
 
+def balanced_nprobe(n: int) -> int:
+    """Footer-derived probe widening for the BALANCED tier: nprobe =
+    max(4, ceil(n^(1/4))), computed as ceil(sqrt(sqrt(n))) — two
+    correctly-rounded IEEE ops, so the double is bit-identical in
+    DuckDB's CEIL(SQRT(SQRT(n))) (the same cross-engine argument
+    `derived_k` makes; POW(n, 0.25) would NOT be correctly rounded and
+    could flip the ceil at 4th-power boundaries). With K = ceil(sqrt(n))
+    cells of ~2·sqrt(n) rows, probing n^(1/4) cells scans ~2·n^(3/4)
+    rows — still sub-linear — while the probed cell FRACTION falls
+    only as n^(-1/4) instead of the budget tier's n^(-1/2), so recall
+    decays a decade slower (SCALE.md round-12 tier matrix)."""
+    import math
+
+    return max(4, int(math.ceil(math.sqrt(math.sqrt(max(n, 0))))))
+
+
+# The same derivation as a DuckDB expression, interpolated into the
+# probe-rank cut of both branch oracles so the twin picks the identical
+# depth at ANY corpus scale.
+_BALANCED_NPROBE_SQL = (
+    "GREATEST(4, CAST(CEIL(SQRT(SQRT(CAST("
+    "(SELECT COUNT(*) FROM embeddings) AS DOUBLE)))) AS BIGINT))"
+)
+
+
 def ann_auto_topk(
     spark: SparkSession, sf_dir: str, tier: str = "budget"
 ) -> DataFrame:
@@ -4243,6 +4378,14 @@ def ann_auto_topk(
       the all-dials composition — residual IVFADC cells, 16-byte
       residual codes, nprobe=4 (`sim_ivfpq8_residual_np4_topk`) —
       probe rows ~nprobe·2·sqrt(n) at 32 B/row.
+    * ``balanced`` (round 12) — the cell between budget's
+      0.20-recall-sublinear and high's 0.91-recall-linear-rows: the
+      same shapes as budget, but the probe depth itself derives from
+      the footer rowcount (`balanced_nprobe`: nprobe = max(4,
+      ceil(n^(1/4)))). Probed rows ~2·n^(3/4) stay sub-linear while
+      the probed cell fraction falls as n^(-1/4) instead of n^(-1/2),
+      so recall decays a decade slower than budget (SCALE.md round-12
+      tier matrix prices all three).
     * ``high`` — recall first, IO bounded by code width: below the
       threshold exact brute force (recall 1.0; n·|queries| cosines is
       trivial there); at scale the trained 16-byte flat ADC scan
@@ -4251,9 +4394,10 @@ def ann_auto_topk(
       sf0.1→10 where every sub-linear-rows cell decays (round-10
       matrix).
 
-    Both tiers' branches are registered fixed-policy queries; the two
-    auto entries (`sim_ann_auto_topk`, `sim_ann_auto_high_topk`) pin
-    the derivations with scale-gated oracles."""
+    Every tier's branches are registered queries; the auto entries
+    (`sim_ann_auto_topk`, `sim_ann_auto_balanced_topk`,
+    `sim_ann_auto_high_topk`) pin the derivations with scale-gated
+    oracles."""
     n = corpus_rows(sf_dir, "embeddings")
     if tier == "budget":
         if n < PQ_WIDTH_THRESHOLD:
@@ -4261,13 +4405,22 @@ def ann_auto_topk(
                 *_trained_index(spark, sf_dir), nprobe=2
             )
         return _ivfpq_residual_plan(spark, sf_dir, nprobe=4, spec=PQ8)
+    if tier == "balanced":
+        np_ = balanced_nprobe(n)
+        if n < PQ_WIDTH_THRESHOLD:
+            return _trained_probe_topk(
+                *_trained_index(spark, sf_dir), nprobe=np_
+            )
+        return _ivfpq_residual_plan(spark, sf_dir, nprobe=np_, spec=PQ8)
     if tier == "high":
         if n < PQ_WIDTH_THRESHOLD:
             return sim_ann_brute_topk(spark, sf_dir)
         return _pq_rerank_plan(
             spark, sf_dir, train_rounds=PQ_TRAIN_ROUNDS, depth=50, spec=PQ8
         )
-    raise ValueError(f"unknown recall tier {tier!r}: use 'budget' or 'high'")
+    raise ValueError(
+        f"unknown recall tier {tier!r}: use 'budget', 'balanced' or 'high'"
+    )
 
 
 @query(
@@ -4306,3 +4459,30 @@ def sim_ann_auto_high_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     row). The tier trades linear candidate ROWS for bounded BYTES and
     stable recall; `sim_ann_auto_topk` is the sub-linear-rows tier."""
     return ann_auto_topk(spark, sf_dir, tier="high")
+
+
+@query(
+    "sim_ann_auto_balanced_topk",
+    # Scale-gated like the other tiers; additionally the probe-rank
+    # cut inside EACH branch derives nprobe from COUNT(*) with the
+    # bit-stable CEIL(SQRT(SQRT(n))) — the oracle picks the same depth
+    # the Spark side's balanced_nprobe computes from the footer, at
+    # any corpus scale.
+    oracle=_scale_gated_oracle(
+        _lloyd_derived_oracle(
+            TRAINED_DERIVED_ROUNDS, nprobe=_BALANCED_NPROBE_SQL
+        ),
+        _ivfpq_residual_oracle(_BALANCED_NPROBE_SQL, PQ8),
+    ),
+    tags=("similarity", "ann", "ivf", "pq", "kmeans", "auto-width", "auto"),
+)
+def sim_ann_auto_balanced_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The BALANCED tier of `ann_auto_topk` (round 12): budget's
+    serving shapes with a footer-DERIVED probe depth — nprobe =
+    max(4, ceil(n^(1/4))) — so the probed cell fraction falls as
+    n^(-1/4) instead of n^(-1/2). The SLA menu's middle cell: probed
+    rows ~2·n^(3/4) (sub-linear), recall between budget's fixed-depth
+    decay and high's bounded-bytes 0.91."""
+    return ann_auto_topk(spark, sf_dir, tier="balanced")

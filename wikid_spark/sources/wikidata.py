@@ -70,12 +70,22 @@ def read_wikidata_dump(
     bytes and building JSON trees for the full corpus.
     """
     lines = spark.read.text(path)
-    # Array-wrapper cleanup: drop '['/']' lines, strip trailing commas
-    # (wikidata.py:106-108 — the reference rstrips ALL trailing commas;
-    # TRIM(TRAILING ...) matches that and is a char scan where the
-    # anchored regexp cost ~2x the raw scan at the bench scale).
-    body = lines.filter(F.length(F.trim("value")) > 1).select(
-        F.expr("TRIM(TRAILING ',' FROM trim(value))").alias("raw")
+    # Array-wrapper cleanup (wikidata.py:105-109): the reference trims
+    # whitespace, removes exactly ONE trailing comma (clean_line[:-1]
+    # guarded by endswith(b',')), THEN keeps lines with len > 1. Single
+    # comma, not all: a malformed ',,' line stays malformed and parses
+    # to a null row, same as the reference's json.loads failure mode.
+    # left()/endswith are codegen'd char ops, no regexp cost.
+    body = (
+        lines.select(F.trim("value").alias("t"))
+        .select(
+            F.when(
+                F.col("t").endswith(","), F.expr("left(t, length(t) - 1)")
+            )
+            .otherwise(F.col("t"))
+            .alias("raw")
+        )
+        .filter(F.length("raw") > 1)
     )
     if raw_filter_terms:
         terms = F.array(*[F.lit(t.lower()) for t in raw_filter_terms])

@@ -184,28 +184,57 @@ def _list_children(target_dir: str, spark: SparkSession | None = None):
 
 
 def _refuse_parquet_protocol_state(
-    target_dir: str, spark: SparkSession | None = None
+    target_dir: str,
+    spark: SparkSession | None = None,
+    reclaim_bare_buckets: bool = False,
 ) -> None:
     """Creating a Delta table over a directory holding parquet
     stage-and-promote state would produce a failed or mixed tree
     instead of resuming the ledger — fail loudly; the operator migrates
     the table explicitly (read_alias_counts → one Delta write) instead.
 
-    Protocol state is identified by the LEDGER MARKERS
-    (``_merged_batch_*`` / ``_staging_batch_*``), which the parquet
-    protocol guarantees coexist with any ``pk=`` bucket it promotes
-    (staging markers precede promotion; the merged marker outlives
-    staging cleanup). Bare ``pk=`` directories WITHOUT a marker are the
-    signature of a crashed Delta first commit — the create itself
-    writes partitionBy('pk') data files before the first _delta_log
-    commit — and must stay recoverable: Delta's create only consults
-    its log, so the replayed save() resumes cleanly (ADVICE r10)."""
+    Two distinct parquet layouts are protected (ADVICE r11):
+
+    * The STAGE-AND-PROMOTE writer's state is identified by its ledger
+      markers (``_merged_batch_*`` / ``_staging_batch_*``), which that
+      protocol guarantees coexist with any ``pk=`` bucket it promotes
+      (staging markers precede promotion; the merged marker outlives
+      staging cleanup).
+    * A ``merge_alias_counts`` table is bare ``pk=`` buckets with NO
+      markers (dynamic partition overwrite leaves no root marker —
+      its _SUCCESS lands in the discarded staging dir). At the
+      filesystem level this is INDISTINGUISHABLE from a crashed Delta
+      first commit, which also leaves marker-less pk= data files (the
+      create writes partitionBy('pk') data before the first
+      _delta_log commit). So: bare pk= buckets that CONTAIN data
+      files refuse unless the operator passes
+      ``reclaim_bare_buckets=True`` after verifying no
+      merge_alias_counts table lives there — creating Delta over a
+      live counts table makes the counts invisible to Delta readers
+      (silent undercount). EMPTY pk= directories hold no counts to
+      lose and stay auto-recoverable as crashed-create debris
+      (ADVICE r10: Delta's create only consults its log, so the
+      replayed save() resumes cleanly)."""
     children = _list_children(target_dir, spark)
     state = [
         c
         for c in children
         if c.startswith(("_merged_batch_", "_staging_batch_"))
     ]
+    if not state and not reclaim_bare_buckets:
+        for c in children:
+            if c.startswith("pk=") and any(
+                not g.startswith((".", "_"))
+                for g in _list_children(f"{target_dir}/{c}", spark)
+            ):
+                state = [
+                    f"{c} holds data files with no ledger markers — a "
+                    "committed merge_alias_counts table, or crashed "
+                    "Delta-create debris; pass reclaim_bare_buckets="
+                    "True only after verifying no counts table lives "
+                    "here"
+                ]
+                break
     if state:
         raise RuntimeError(
             f"refusing to create a Delta table at {target_dir!r}: the "
@@ -259,6 +288,7 @@ def _delta_merge_batch_writer(
     delta_table_cls,
     writer_id: str,
     lease_seconds: float,
+    reclaim_bare_buckets: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch hook applying the keyed additive merge as a Delta
     ``MERGE INTO`` — what `merge_upsert_batch_writer`'s parquet
@@ -292,7 +322,9 @@ def _delta_merge_batch_writer(
             .withColumn("pk", _merge_bucket(F.col("alias")))
         )
         if not delta_table_cls.isDeltaTable(spark, target_dir):
-            _refuse_parquet_protocol_state(target_dir, spark)
+            _refuse_parquet_protocol_state(
+                target_dir, spark, reclaim_bare_buckets
+            )
             _delta_create_table(partials, target_dir, writer_id, batch_id)
             return
         tgt = delta_table_cls.forPath(spark, target_dir)
@@ -422,6 +454,7 @@ def merge_upsert_batch_writer(
     lease_seconds: float = DEFAULT_LEASE_SECONDS,
     delta_table_cls=None,
     use_delta: bool = False,
+    reclaim_bare_buckets: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch hook applying the keyed merge per micro-batch,
     idempotent under at-least-once replay INCLUDING a crash at any
@@ -493,7 +526,8 @@ def merge_upsert_batch_writer(
                 "not importable on this cluster"
             )
         return _delta_merge_batch_writer(
-            spark, target_dir, dt_cls, wid, lease_seconds
+            spark, target_dir, dt_cls, wid, lease_seconds,
+            reclaim_bare_buckets,
         )
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
