@@ -90,6 +90,74 @@ HEADLINE = [
 ]
 
 
+def _prev_artifact(kind: str) -> tuple[int, dict] | None:
+    """Latest committed per-round artifact of the given series:
+    BENCH_DETAIL_r{N}.json (headline), FULLBENCH_r{N}.json (--full) or
+    BENCH_ETL_r{N}.json (--etl). Returns (round, payload) or None."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for path in glob.glob(os.path.join(here, f"{kind}_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        if best is None or rnd > best[0]:
+            best = (rnd, path)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as f:
+            return best[0], json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _vs_prev(kind: str, queries: dict[str, float], calib: dict) -> dict | None:
+    """Raw AND host-normalized round-over-round ratio (round-12, judge
+    continuity item #3): cross-round walls on identical code moved
+    ±20-50% with host speed, so every ratio here divides by the
+    calibration ratio as well. Comparison is over the COMMON query set
+    (p50s of queries present in both rounds' detail artifacts) — the
+    headline list grows every round, so whole-total ratios conflate
+    new coverage with regressions."""
+    prev = _prev_artifact(kind)
+    if prev is None:
+        return None
+    prev_round, prev_payload = prev
+    prev_queries = prev_payload.get("queries") or {}
+    common = sorted(
+        n for n in queries if isinstance(prev_queries.get(n), (int, float))
+    )
+    if not common:
+        return None
+    cur_total = sum(queries[n] for n in common)
+    prev_total = sum(prev_queries[n] for n in common)
+    out = {
+        "round": prev_round,
+        "common_queries": len(common),
+        "common_total_s": round(cur_total, 3),
+        "prev_common_total_s": round(prev_total, 3),
+        "ratio_raw": round(cur_total / prev_total, 3) if prev_total else None,
+    }
+    prev_calib = prev_payload.get("calib") or {}
+    for yard in ("spark_s", "cpu_s"):
+        cur_y, prev_y = calib.get(yard), prev_calib.get(yard)
+        key = yard[: -2]  # spark / cpu
+        if cur_y and prev_y:
+            out[f"calib_{key}_ratio"] = round(cur_y / prev_y, 3)
+        else:
+            out[f"calib_{key}_ratio"] = None
+    if out["ratio_raw"] is not None and out["calib_spark_ratio"]:
+        # The host-independent number: how the code moved after
+        # dividing out how the HOST moved on the pinned yardstick.
+        out["ratio_host_normalized"] = round(
+            out["ratio_raw"] / out["calib_spark_ratio"], 3
+        )
+    return out
+
+
 def calibrate(spark) -> dict:
     """Fixed host-calibration workload recorded in every bench artifact
     (round-11): cross-round wall-clock comparisons kept reading
@@ -203,6 +271,28 @@ def run_etl(spark) -> dict:
     wp_lines = manifest["wikipedia_lines"]
     wd_lps = wd_lines / stages["wikidata_parse_s"]
     wp_lps = wp_lines / stages["wikipedia_priors_s"]
+    calib = calibrate(spark)
+    # Round-over-round throughput ratios, raw and host-normalized.
+    # Direction note: a 2x slower host HALVES lines/s and DOUBLES the
+    # calib yardstick seconds, so normalized throughput MULTIPLIES the
+    # raw ratio by the calib ratio (walls divide; throughputs multiply).
+    vs_prev = None
+    prev = _prev_artifact("BENCH_ETL")
+    if prev is not None:
+        prev_round, pp = prev
+        prev_calib = pp.get("calib") or {}
+        c = (
+            round(calib["spark_s"] / prev_calib["spark_s"], 3)
+            if prev_calib.get("spark_s")
+            else None
+        )
+        vs_prev = {"round": prev_round, "calib_spark_ratio": c}
+        for k in ("wikidata_lines_per_s", "wikipedia_lines_per_s"):
+            if pp.get(k):
+                raw = round((wd_lps if k.startswith("wikid") else wp_lps) / pp[k], 3)
+                vs_prev[f"{k}_ratio_raw"] = raw
+                if c:
+                    vs_prev[f"{k}_ratio_host_normalized"] = round(raw * c, 3)
     return {
         "metric": "etl_lines_per_sec",
         "value": round(wd_lps),
@@ -218,7 +308,8 @@ def run_etl(spark) -> dict:
         "stages_s": {k: round(v, 2) for k, v in stages.items()},
         "rows": n_rows,
         "cpus": spark.sparkContext.defaultParallelism,
-        "calib": calibrate(spark),
+        "calib": calib,
+        "vs_prev": vs_prev,
     }
 
 
@@ -326,10 +417,12 @@ def main() -> None:
     builds = {n: round(b, 3) for n, b in all_builds.items() if b > 0.25}
     exec_total = round(sum(timings.values()), 3)
     build_total = round(sum(all_builds.values()), 3)
+    full = "--full" in sys.argv[1:]
+    calib = calibrate(spark)
     payload = {
         "metric": (
             "full_registry_wall_seconds"
-            if "--full" in sys.argv[1:]
+            if full
             else "headline_queries_wall_seconds"
         ),
         "value": exec_total,
@@ -340,7 +433,10 @@ def main() -> None:
         "repeat": repeat,
         "excluded": excluded,
         "sf": sf,
-        "calib": calibrate(spark),
+        "calib": calib,
+        "vs_prev": _vs_prev(
+            "FULLBENCH" if full else "BENCH_DETAIL", timings, calib
+        ),
     }
     detail = dict(payload, p95=p95s, build=builds)
     _emit(payload, detail)
