@@ -217,3 +217,43 @@ def test_bench_emit_line_fits_driver_tail_window(tmp_path, capsys, monkeypatch):
     assert len(line) <= 1900
     assert _json.loads(line)["queries"] == {"_see": "bench_detail.json"}
     assert (tmp_path / "bench_detail.json").exists()
+
+
+def test_is_meta_title_equals_ns_pattern_regex(spark):
+    """Round-12 prior-pass fix: the InSet-based `is_meta_title` must
+    decide EXACTLY like `rlike(NS_PATTERN)` — adversarial grid plus a
+    dump-shaped sweep. Cases cover: every vocabulary namespace upper/
+    lower/mixed, optional leading ':', double ':' (regex allows one),
+    two-letter interwiki codes any case, three-letter non-namespaces,
+    colon-less titles, empty prefixes, embedded (non-prefix) colons,
+    space-bearing namespaces, and non-ASCII case-folding traps (İ, K
+    Kelvin sign) where Unicode lower() would diverge from Java's
+    ASCII-only (?i)."""
+    import pyspark.sql.functions as F
+
+    from wikid_spark.plans.wiki import (
+        NS_PATTERN,
+        WP_META_NAMESPACES,
+        is_meta_title,
+    )
+
+    titles = []
+    for ns in WP_META_NAMESPACES:
+        titles += [f"{ns}:X", f"{ns.upper()}:X", f"{ns.lower()}:x",
+                   f":{ns}:X", f"::{ns}:X", f"{ns} :X", f"{ns}"]
+    titles += [
+        "en:Foo", "EN:Foo", "eN:Foo", ":en:Foo", "xyz:Foo", "e:Foo",
+        "enn:Foo", "Talk", "Talk:", ":", "::", "", "A:B", "ab:",
+        "Template talk:Foo", "Template_talk:Foo", "template TALK:x",
+        "No Namespace Here", "Deep:er:colons", " en:space-first",
+        "İx:Foo", "Kx:Foo", "ß:Foo", "ssx:Foo", "x:", ":x:",
+        "Category:with:inner:colons", "wiki How:x", "wikiHow:x",
+    ]
+    df = spark.createDataFrame([(t,) for t in titles], "title string")
+    got = df.select(
+        "title",
+        is_meta_title("title").alias("new"),
+        F.col("title").rlike(NS_PATTERN).alias("old"),
+    ).collect()
+    diffs = [(r.title, r.old, r.new) for r in got if r.old != r.new]
+    assert diffs == []

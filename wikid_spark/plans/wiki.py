@@ -31,7 +31,7 @@ aggregation (keyed on entity id — near-uniform). The title→id map is a
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 
 from wikid_spark.functions.text import (
     capitalize_first,
@@ -85,6 +85,38 @@ NS_PATTERN = (
     + "|".join(":?" + ns.replace(" ", "\\ ") + ":" for ns in WP_META_NAMESPACES)
     + ")"
 )
+
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_NS_FOLDED = sorted({ns.lower() for ns in WP_META_NAMESPACES})
+
+
+def is_meta_title(col) -> Column:
+    """`NS_PATTERN` as set membership instead of regex alternation.
+
+    `rlike(NS_PATTERN)` walks a ~100-branch case-insensitive
+    alternation per row — measured 75% of the whole prior-pass counts
+    stage at the bench ETL scale (SCALE.md round-12 profile). The
+    pattern only ever inspects the title's prefix up to the first
+    ':', so the equivalent decision is: strip one optional leading
+    ':', take the text before the first ':' (a colon must exist),
+    ASCII-case-fold it, and test (a) membership in the folded
+    namespace vocabulary — Catalyst compiles the ~100-literal `isin`
+    to an O(1) InSet hash probe — or (b) the two-ASCII-letter
+    interwiki-language rule. The fold uses `translate` over exactly
+    A-Z→a-z, NOT `lower()`: Java's `(?i)` without UNICODE_CASE folds
+    US-ASCII only, and `lower()`'s Unicode mapping (İ→i̇, K→k) would
+    accept titles the regex rejects. Behavior-pinned equal to
+    `rlike(NS_PATTERN)` by the adversarial grid + dump-wide diff in
+    test_etl_bench.py."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.when(
+        c.startswith(":"), c.substr(F.lit(2), F.length(c))
+    ).otherwise(c)
+    pre = F.substring_index(stripped, ":", 1)
+    folded = F.translate(pre, _ASCII_UPPER, _ASCII_LOWER)
+    two_letter = (F.length(folded) == 2) & folded.rlike("^[a-z][a-z]$")
+    return stripped.contains(":") & (folded.isin(_NS_FOLDED) | two_letter)
 
 
 # ---------------------------------------------------------------- stage 1
@@ -227,23 +259,41 @@ def wikipedia_link_counts(
             F.trim(F.regexp_replace("raw_body", "_", " ")).alias("body")
         )
         .select(parse_link(F.col("body")).alias("lk"))
+        # Parse-once barrier (round-12 per-stage profile, same idiom as
+        # sources/wikidata.py:88): collapsed projections INLINE the
+        # (alias, entity_title) expression trees — parse_link's splits
+        # and regexps — into every consumer, so the three filter
+        # predicates and the two groupBy keys each re-ran the full link
+        # parse (+filter alone added ~4.3 s of the 5.9 s counts stage
+        # at the bench ETL scale; the predicate itself is ~0.1 s on
+        # materialized rows). Explode-of-1-element-array is a Generate
+        # node: consumers above it read the generated struct's fields,
+        # so each link body is parsed exactly once.
         .select(
-            # Simple [[link]] normalizes the alias too (anchor strip);
-            # piped links keep the alias verbatim (wikipedia.py:210-243).
-            F.when(
-                F.col("lk.alias") == F.col("lk.entity"),
-                F.trim(strip_anchor(F.col("lk.alias"))),
-            )
-            .otherwise(F.trim(F.col("lk.alias")))
-            .alias("alias"),
-            capitalize_first(
-                F.trim(strip_anchor(F.col("lk.entity")))
-            ).alias("entity_title"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        # Simple [[link]] normalizes the alias too
+                        # (anchor strip); piped links keep the alias
+                        # verbatim (wikipedia.py:210-243).
+                        F.when(
+                            F.col("lk.alias") == F.col("lk.entity"),
+                            F.trim(strip_anchor(F.col("lk.alias"))),
+                        )
+                        .otherwise(F.trim(F.col("lk.alias")))
+                        .alias("alias"),
+                        capitalize_first(
+                            F.trim(strip_anchor(F.col("lk.entity")))
+                        ).alias("entity_title"),
+                    )
+                )
+            ).alias("l")
         )
+        .select("l.alias", "l.entity_title")
         .filter(
             (F.col("alias") != "")
             & (F.col("entity_title") != "")
-            & ~F.col("entity_title").rlike(NS_PATTERN)
+            & ~is_meta_title("entity_title")
         )
     )
     counts = links.groupBy("alias", "entity_title").agg(
@@ -285,7 +335,7 @@ def wikipedia_articles(
     """
     terms = F.array(*[F.lit(t.lower()) for t in skip_terms])
     viable = (
-        pages.filter(~F.col("title").rlike(NS_PATTERN))
+        pages.filter(~is_meta_title("title"))
         .filter(
             ~F.exists(terms, lambda t: F.contains(F.lower("raw_text"), t))
         )
