@@ -18,6 +18,22 @@ from wikid_spark.catalog import TABLES
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # An IN-MEMORY DuckDB never spills: without a temp_directory the
+    # engine holds every operator's working set in RAM up to the 80%
+    # default limit — the large-branch oracle diffs at >=20k rows
+    # (round-12 certification) grew to ~90 GB and drew the OOM killer.
+    # A spill dir + an explicit cap turn that into graceful disk spill;
+    # at the sf0.01 test scale neither setting ever engages.
+    import os
+    import tempfile
+
+    con.execute(
+        f"SET temp_directory = '{tempfile.gettempdir()}/wikid_duckdb_spill'"
+    )
+    con.execute(
+        "SET memory_limit = "
+        f"'{os.environ.get('WIKID_SPARK_DUCKDB_MEM', '48GB')}'"
+    )
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
