@@ -49,15 +49,43 @@ def _brace_fixpoint_series(s: pd.Series) -> pd.Series:
 cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 
+def expression_barrier(df: DataFrame) -> DataFrame:
+    """Explode-of-1-element-array Generate barrier over every column:
+    consumers above it read materialized fields instead of inlining
+    the expression trees that produced them (collapsed projections
+    re-evaluate a referenced expression once PER REFERENCE — the
+    round-11 wikidata parse profile and the round-12 prior-pass/
+    article-pass profiles all traced their stage walls to exactly
+    this). Row-preserving: one input row → one output row, same
+    columns, same values."""
+    return df.select(
+        F.explode(F.array(F.struct(*df.columns))).alias("_b")
+    ).select("_b.*")
+
+
 def clean_deep_templates(df: DataFrame, col: str) -> DataFrame:
     """Finish brace deletion to a true fixpoint on the (rare) rows the
-    bounded unroll didn't fully clean. Filter/union split — NOT a
-    F.when over a pandas UDF, which would ship every row through
-    Python — so the hot path stays whole-stage-codegen'd."""
+    bounded unroll didn't fully clean.
+
+    Shape (round 12): one pass over an `expression_barrier` — NOT the
+    previous filter/union split, whose two branches each re-executed
+    the whole upstream subtree (scan + clean_wikitext chain) and whose
+    filters inlined the chain again per predicate (~4 chain
+    evaluations per row; measured as the bulk of the article stage
+    wall). The pandas fixpoint still only does real work on residual
+    rows: its INPUT is `when(resid, col)` — NULL for already-clean
+    rows, so the Arrow batch is a null-heavy column and the Python
+    kernel's None fast-path returns immediately — and the outer
+    `when` keeps the JVM-computed text for clean rows. One scan, one
+    chain evaluation, no union."""
     # built lazily: the decorator parses the return type against an
     # active session, which doesn't exist at import time
     fixpoint = pandas_udf(_brace_fixpoint_series, StringType())
-    resid = F.col(col).rlike(_INNER_PAIR)
-    ok = df.filter(~resid)
-    tail = df.filter(resid).withColumn(col, fixpoint(F.col(col)))
-    return ok.unionByName(tail)
+    bar = expression_barrier(
+        df.withColumn("_resid", F.col(col).rlike(_INNER_PAIR))
+    )
+    resid = F.col("_resid")
+    fixed = fixpoint(F.when(resid, F.col(col)))
+    return bar.withColumn(
+        col, F.when(resid, fixed).otherwise(F.col(col))
+    ).drop("_resid")
