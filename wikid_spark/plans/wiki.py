@@ -349,7 +349,15 @@ def wikipedia_articles(
         .filter(~F.coalesce(F.col("raw_text").startswith("#REDIRECT"), F.lit(True)))
     )
     cleaned = clean_deep_templates(
-        viable.withColumn("ctext", clean_wikitext("raw_text")), "ctext"
+        # raw_text is consumed by the ctext projection and nothing
+        # above; drop it BEFORE clean_deep_templates' expression
+        # barrier, whose explode(struct(*)) would otherwise ship the
+        # full markup column through the Generate (the optimizer does
+        # not prune struct fields through this explode — plan-checked).
+        viable.withColumn("ctext", clean_wikitext("raw_text")).drop(
+            "raw_text"
+        ),
+        "ctext",
     )
     stripped = annotate(cleaned, "ctext")
     titles = entity_texts.select("name", "entity_id")
