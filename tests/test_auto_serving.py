@@ -152,10 +152,23 @@ def test_large_branch_certification(spark):
     """Repeatable form of the round-12 certification (verdict r11 #1):
     full Spark-vs-DuckDB hash diff of all four auto entries at corpora
     where the scale-gated oracle's LARGE arm is the one returning rows —
-    n = 20,000 (exactly PQ_WIDTH_THRESHOLD, the boundary) and 40,000 —
-    plus the small arm at n = 8,000."""
+    n = 20,000 (exactly PQ_WIDTH_THRESHOLD, the boundary) — plus the
+    small arm at n = 8,000 and, if generated, n = 40,000 strictly
+    above. Regenerate corpora with tools/gen_sf.py (factors 4/10/20
+    over sf0.1); absent ones are skipped, at least one must exist.
+    Memory note (learned the hard way, SCALE.md round 12): run with
+    WIKID_SPARK_DUCKDB_MEM sized to the free RAM and nothing else
+    heavy on the host — the large-branch oracles pin tens of GB."""
+    import os
+
     from tools.certify_auto_large import certify
 
-    for sf_dir in ("/tmp/scale/sf0.4", "/tmp/scale/sf1", "/tmp/scale/sf2"):
+    dirs = [
+        d
+        for d in ("/tmp/scale/sf0.4", "/tmp/scale/sf1", "/tmp/scale/sf2")
+        if os.path.isdir(d)
+    ]
+    assert dirs, "no /tmp/scale corpora — run tools/gen_sf.py first"
+    for sf_dir in dirs:
         for name, _branch, ok, _wall, diag in certify(spark, sf_dir):
             assert ok, f"{sf_dir} {name}: {diag}"
