@@ -325,3 +325,36 @@ def test_multi_assignment_matches_declarative_ranks(spark):
         for j, s in enumerate(r["ranks"][:2], start=1):
             want[(r["vec_id"], j)] = s["cent_id"]
     assert got == want and len(got) == 2 * 320
+
+
+def test_multitable_lsh_scores_each_pair_once(spark):
+    """sim_lsh_multitable_topk (round-13 fix): the 64-dim cosine must
+    evaluate AFTER the (query_id, neighbor_id) dedup aggregate — a pair
+    colliding in 2-3 LSH tables is scored once, not per collision. In
+    the top-down optimized-plan print, every zip_with (the cosine dot
+    product) must sit ABOVE the dedup Aggregate, which sits above the
+    bucket Join."""
+    df = all_queries()["sim_lsh_multitable_topk"].fn(spark, SF)
+    lines = (
+        df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+    )
+    agg_idx = [
+        i
+        for i, ln in enumerate(lines)
+        if "Aggregate [query_id" in ln and "first(" in ln
+    ]
+    assert agg_idx, "pair-dedup Aggregate missing from plan"
+    join_idx = [i for i, ln in enumerate(lines) if "Join Inner" in ln]
+    assert join_idx and agg_idx[0] < join_idx[0], "dedup must be above join"
+    # the cosine is the only zip_with wrapped in round(); the bucket
+    # hash expressions below the join also use zip_with but never round
+    cos_idx = [
+        i
+        for i, ln in enumerate(lines)
+        if "zip_with" in ln and "round(" in ln
+    ]
+    assert cos_idx, "cosine projection missing from plan"
+    assert max(cos_idx) < agg_idx[0], (
+        "cosine evaluated below the pair dedup — scored once per "
+        "table collision instead of once per pair"
+    )

@@ -350,7 +350,12 @@ def test_pq8_packing_parity_numpy_vs_duckdb_exhaustive_top_byte():
 
     con = duckdb.connect()
     for codes in arrays:
-        want = int(np.array([np_pack(codes)], dtype=np.uint64).view(np.int64)[0])
+        # mask to the unsigned range: NumPy deprecates negative-int→uint64
+        want = int(
+            np.array(
+                [np_pack(codes) & 0xFFFFFFFFFFFFFFFF], dtype=np.uint64
+            ).view(np.int64)[0]
+        )
         rows = ", ".join(f"({s}, {c})" for s, c in enumerate(codes))
         got = con.execute(
             f"""

@@ -14,6 +14,7 @@ from wikid_spark.functions.text import (
     capitalize_first,
     clean_wikitext,
     extract_links,
+    is_valid_sentence,
     parse_link,
     strip_anchor,
     truncate_on_word,
@@ -146,6 +147,68 @@ def test_clean_wikitext_deep_nesting_fixpoint(spark):
     )
     assert got == expected
     assert "Start end" in got and "A Z" in got and "keep { this" in got
+
+
+def _reference_is_valid_sentence(sent_text: str) -> bool:
+    """The reference's predicate, verbatim semantics
+    (wikipedia.py:674-687): exclusive 10/3000 bounds on the RAW text,
+    */#-led check on the stripped text."""
+    if not 10 < len(sent_text) < 3000:
+        return False
+    if sent_text.strip().startswith("*") or sent_text.strip().startswith("#"):
+        return False
+    return True
+
+
+def test_is_valid_sentence_matches_reference(spark):
+    """Boundary grid [SURVEY F10]: every case compared against a local
+    mirror of the reference predicate — the len==10 / len==3000
+    exclusive bounds and the stripped-prefix rule are the traps."""
+    cases = [
+        "a" * 9,
+        "a" * 10,          # len == 10 → INVALID (exclusive bound)
+        "a" * 11,          # len == 11 → valid
+        "a" * 2999,        # valid
+        "a" * 3000,        # len == 3000 → INVALID (exclusive bound)
+        "a" * 3001,
+        "* enumeration item here",       # stripped starts '*' → invalid
+        "# numbered item goes here",     # stripped starts '#' → invalid
+        "  \t* indented enumeration",    # whitespace-led '*' → invalid
+        "\n# newline-led hash item",     # invalid
+        "see *bold* mid-sentence",       # '*' not leading → valid
+        "C# is a language, truly",       # '#' not leading → valid
+        "   padded but fine sentence",   # leading spaces alone → valid
+        " " * 8 + "*" + "x" * 20,        # length counts RAW incl. spaces
+        "*" + "x" * 2999,                # both rules would fire → invalid
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["v"])
+    got = [
+        r["ok"]
+        for r in df.select(
+            is_valid_sentence(F.col("v")).alias("ok")
+        ).collect()
+    ]
+    want = [_reference_is_valid_sentence(c) for c in cases]
+    assert got == want
+    # sanity: the grid actually exercises both outcomes
+    assert True in want and False in want
+
+
+def test_clean_deep_templates_preserves_null_rows(spark):
+    """Row contract pin (round-13 ADVICE): rows whose target column is
+    NULL pass through as NULL — the operator never changes the row
+    set. The pre-round-12 filter/union shape silently dropped them."""
+    from wikid_spark.operators.cleanup import clean_deep_templates
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "{{a {{b}} a}} kept"), (3, "plain")],
+        ["id", "v"],
+    )
+    out = clean_deep_templates(df, "v")
+    rows = {r["id"]: r["v"] for r in out.collect()}
+    assert set(rows) == {1, 2, 3}, "NULL-column row must be preserved"
+    assert rows[1] is None
+    assert rows[3] == "plain"
 
 
 def test_truncate_on_word(spark):

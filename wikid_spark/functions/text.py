@@ -73,6 +73,34 @@ def parse_link(body: Column) -> Column:
     return F.struct(entity.alias("entity"), alias.alias("alias"))
 
 
+# First non-whitespace character is '*' or '#' — the reference's
+# "enumeration sentence" test. Explicit ASCII class so the Spark (Java
+# regex) and DuckDB (RE2) engines agree character-for-character.
+ENUM_LEAD_PATTERN = r"^[ \t\n\x0B\f\r]*[*#]"
+
+
+def is_valid_sentence(col: Column | str) -> Column:
+    """Sentence validity gate [SURVEY F10]. Mirrors wikipedia.py:674-687
+    exactly:
+
+      - ``10 < len(sent_text) < 3000`` — both bounds EXCLUSIVE (len 10
+        and len 3000 are invalid; 11 and 2999 are valid), measured on
+        the RAW text, before any strip;
+      - the STRIPPED text must not start with ``*`` or ``#``
+        ("enumeration" sentences). Only the left strip matters for
+        startswith, so the column form is one anchored regex: first
+        non-whitespace char is */#.
+
+    Whitespace is the ASCII class [ \\t\\n\\x0B\\f\\r]; the reference's
+    str.strip() also strips Unicode whitespace — documented divergence,
+    irrelevant on ASCII corpora and keeps the Spark and DuckDB regex
+    engines identical. NULL input → NULL (filters drop it, matching the
+    reference which never sees None)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    return (n > 10) & (n < 3000) & ~c.rlike(ENUM_LEAD_PATTERN)
+
+
 def clean_wikitext(col: Column | str) -> Column:
     """Wikitext → plain text. Mirrors the cleanup chain at
     wikipedia.py:515-574: bold/italic quotes, nested {{templates}} and

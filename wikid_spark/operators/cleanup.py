@@ -77,7 +77,16 @@ def clean_deep_templates(df: DataFrame, col: str) -> DataFrame:
     rows, so the Arrow batch is a null-heavy column and the Python
     kernel's None fast-path returns immediately — and the outer
     `when` keeps the JVM-computed text for clean rows. One scan, one
-    chain evaluation, no union."""
+    chain evaluation, no union.
+
+    Row contract (round 13, pinned by test): rows where `col` IS NULL
+    are PRESERVED with NULL — `rlike` on NULL is NULL, so `_resid` is
+    falsy and the otherwise-branch passes the NULL through. The
+    pre-round-12 filter/union shape silently DROPPED such rows (both
+    NULL-predicate filters excluded them); preservation is the
+    intended semantics — a cleanup operator must not change the row
+    set. (The production caller filters null raw_text upstream, so
+    this only matters for direct operator use.)"""
     # built lazily: the decorator parses the return type against an
     # active session, which doesn't exist at import time
     fixpoint = pandas_udf(_brace_fixpoint_series, StringType())

@@ -16,6 +16,39 @@ import duckdb
 from wikid_spark.catalog import TABLES
 
 
+def _default_memory_limit() -> str:
+    """min(48GB, ~80% of physical RAM) — a cap above RAM defeats the
+    graceful-spill intent (the kernel OOM-kills before DuckDB spills)."""
+    import os
+
+    cap_gb = 48
+    try:
+        phys = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        cap_gb = min(cap_gb, max(1, int(phys * 0.8) // (1 << 30)))
+    except (ValueError, OSError, AttributeError):
+        pass
+    return f"{cap_gb}GB"
+
+
+def _fresh_spill_dir() -> str:
+    """Unique per-connection spill dir, removed at process exit.
+
+    DuckDB temp files use deterministic per-instance names, so concurrent
+    processes (tools/certify_auto_large.py shards large-branch certs)
+    sharing one fixed temp_directory can collide or delete each other's
+    spill files mid-query. mkdtemp isolates each connection; atexit
+    cleanup keeps /tmp bounded (compare() opens one connection per call,
+    so per-process dir count stays small).
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="wikid_duckdb_spill_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     # An IN-MEMORY DuckDB never spills: without a temp_directory the
@@ -25,14 +58,11 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # A spill dir + an explicit cap turn that into graceful disk spill;
     # at the sf0.01 test scale neither setting ever engages.
     import os
-    import tempfile
 
-    con.execute(
-        f"SET temp_directory = '{tempfile.gettempdir()}/wikid_duckdb_spill'"
-    )
+    con.execute(f"SET temp_directory = '{_fresh_spill_dir()}'")
     con.execute(
         "SET memory_limit = "
-        f"'{os.environ.get('WIKID_SPARK_DUCKDB_MEM', '48GB')}'"
+        f"'{os.environ.get('WIKID_SPARK_DUCKDB_MEM', _default_memory_limit())}'"
     )
     for t in TABLES:
         con.execute(

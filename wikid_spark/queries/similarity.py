@@ -972,6 +972,11 @@ def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode("_bkts").alias("qt", "qbucket"),
         )
     )
+    # Dedup the candidate pair BETWEEN the bucket join and the cosine
+    # projection (round-13 fix): scoring in the same select as the join
+    # evaluated the 64-dim cosine once per colliding table (2-3× per
+    # pair). The vectors ride through the dedup aggregate — first() on
+    # a key-determined column — so each survivor is scored exactly once.
     cands = (
         bucketed.join(
             F.broadcast(q),
@@ -979,11 +984,14 @@ def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_similarity(F.col("embedding"), F.col("qe")), 4).alias("sim"),
+            "query_id", F.col("vec_id").alias("neighbor_id"), "embedding", "qe"
         )
         .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("embedding"), F.col("qe")), 4).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (

@@ -15,6 +15,7 @@ from wikid_spark.functions.detmath import (
     det_ln_ratio_select_sql,
     with_det_ln_ratio,
 )
+from wikid_spark.functions.text import ENUM_LEAD_PATTERN, is_valid_sentence
 from wikid_spark.operators.fts import tokenize
 from wikid_spark.registry import query
 
@@ -133,6 +134,93 @@ def tx_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
         .limit(500)
+    )
+
+
+@query(
+    "tx_sentence_validity",
+    oracle=r"""
+    WITH sents AS (
+      SELECT CASE
+               WHEN doc_id % 11 = 0 THEN substr(text, 1, CAST(doc_id % 12 AS INT))
+               WHEN doc_id % 7 = 0 THEN '  * ' || text
+               WHEN doc_id % 5 = 0 THEN '#' || text
+               WHEN doc_id % 13 = 0 THEN repeat(text, 8)
+               ELSE text
+             END AS sent
+      FROM documents
+    ), flagged AS (
+      SELECT LENGTH(sent) AS n,
+             CASE WHEN LENGTH(sent) > 10 AND LENGTH(sent) < 3000
+                       AND NOT regexp_matches(sent, '^[ \t\n\x0B\f\r]*[*#]')
+                  THEN 1 ELSE 0 END AS ok,
+             CASE
+               WHEN LENGTH(sent) <= 10 THEN 'too_short'
+               WHEN LENGTH(sent) >= 3000 THEN 'too_long'
+               WHEN regexp_matches(sent, '^[ \t\n\x0B\f\r]*[*#]') THEN 'enumeration'
+               ELSE 'valid'
+             END AS reason
+      FROM sents
+    )
+    SELECT reason,
+           COUNT(*) AS n_sents,
+           CAST(SUM(ok) AS BIGINT) AS n_valid_flag,
+           MIN(n) AS min_len,
+           MAX(n) AS max_len
+    FROM flagged
+    GROUP BY reason
+    ORDER BY reason
+    """,
+    tags=("textstats", "F10"),
+)
+def tx_sentence_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-validity profile [SURVEY F10, closes the partial row]:
+    classify sentences through the reference's ``is_valid_sentence``
+    gate (wikipedia.py:674-687 — exclusive 10/3000 length bounds on the
+    raw text, stripped text must not start with */#) and count per
+    rejection reason.
+
+    The synthetic corpus has no enumeration markers or out-of-bounds
+    sentences, so the query derives discriminating variants
+    deterministically by doc_id residue — truncations whose lengths
+    sweep 0..11 (crossing the ==10 boundary exactly), whitespace-led
+    '*' and bare '#' prefixes, and an 8x repeat that straddles the 3000
+    bound — then certifies BOTH the kernel flag and an independent
+    reason decomposition against DuckDB (n_valid_flag must equal
+    n_sents exactly on the 'valid' row and 0 elsewhere, so the two
+    derivations cross-check each other)."""
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    did = F.col("doc_id")
+    sent = (
+        F.when(did % 11 == 0, F.substring(t, F.lit(1), (did % 12).cast("int")))
+        .when(did % 7 == 0, F.concat(F.lit("  * "), t))
+        .when(did % 5 == 0, F.concat(F.lit("#"), t))
+        .when(did % 13 == 0, F.repeat(t, 8))
+        .otherwise(t)
+    )
+    s = d.select(sent.alias("sent"))
+    n = F.length("sent")
+    reason = (
+        F.when(n <= 10, "too_short")
+        .when(n >= 3000, "too_long")
+        .when(F.col("sent").rlike(ENUM_LEAD_PATTERN), "enumeration")
+        .otherwise("valid")
+    )
+    flagged = s.select(
+        reason.alias("reason"),
+        is_valid_sentence("sent").cast("int").alias("ok"),
+        n.cast("long").alias("n"),
+    )
+    return (
+        flagged.groupBy("reason")
+        .agg(
+            F.count(F.lit(1)).alias("n_sents"),
+            F.sum("ok").alias("n_valid_flag"),
+            F.min("n").alias("min_len"),
+            F.max("n").alias("max_len"),
+        )
+        .orderBy("reason")
     )
 
 
