@@ -12,7 +12,10 @@ from __future__ import annotations
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from wikid_spark.operators.annotate import strip_links_one
+from wikid_spark.operators.annotate import (
+    strip_links_one,
+    strip_links_one_chunked,
+)
 from wikid_spark.plans.kb import fake_encoder
 from wikid_spark.queries.dedup import _perm_a, _perm_b, H_MOD, N_PERM, PERM_P
 
@@ -56,6 +59,33 @@ def test_text_without_links_passes_through(text):
     clean = text.replace("[", "").replace("]", "")
     out, anns = strip_links_one(clean)
     assert out == clean and anns == []
+
+
+@given(LINKY)
+@settings(max_examples=1000, deadline=None)
+def test_strip_links_chunked_equals_char_loop(text):
+    """The production chunked kernel (round-13 article-pass speedup)
+    must be output-identical — text AND annotations — to the per-char
+    reference state machine on arbitrary bracket soup, including
+    unbalanced/degenerate inputs."""
+    assert strip_links_one_chunked(text) == strip_links_one(text)
+    assert strip_links_one_chunked(None) == strip_links_one(None)
+
+
+def test_strip_links_chunked_equals_char_loop_realistic():
+    """Longer realistic articles with mixed links, tables residue, and
+    multibyte text — the shapes hypothesis's short soup misses."""
+    cases = [
+        "The [[Amber basalt 3|city]] lies on [[Cedar delta 7]] near x.",
+        "a [[File:x|[[y]]]] deep-nest special " * 50,
+        "pipes | outside [[links|stay]] and [[two|pipes|special]] z",
+        "unclosed [[entity and ]] stray ] plus [ single",
+        "[[Colon:ok|m]] [[:leading|m]] [[has#hash|m]] tail",
+        "ünïcödé [[Tëst|mëntïon]] — emoji 🎉 [[E|🎊]] end " * 20,
+        "",
+    ]
+    for text in cases:
+        assert strip_links_one_chunked(text) == strip_links_one(text)
 
 
 @given(st.integers(min_value=0, max_value=H_MOD - 1))

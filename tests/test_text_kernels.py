@@ -194,6 +194,43 @@ def test_is_valid_sentence_matches_reference(spark):
     assert True in want and False in want
 
 
+def test_clean_brace_depth2_passes_match_reference_on_soup(spark):
+    """Round 13: clean_wikitext's brace passes now delete balanced
+    regions up to depth 2 per scan (possessive alternation). Deleting
+    a balanced region == a sequence of innermost-pair deletions and
+    innermost redexes are disjoint, so any deletion order converges to
+    the reference's fixpoint — asserted here on 300 random brace soups
+    (balanced, unbalanced, interleaved with text) through the full
+    clean + fixpoint-tail chain against the reference loop."""
+    import random
+    import re
+
+    from wikid_spark.operators.cleanup import clean_deep_templates
+
+    rng = random.Random(13)
+    soups = []
+    for _ in range(300):
+        s = "".join(
+            rng.choice("{}ab {}{}") for _ in range(rng.randrange(1, 60))
+        )
+        soups.append(s)
+    # plus deterministic deep/edge shapes
+    soups += [
+        "{" * 15 + "x" + "}" * 15,
+        "{{a{{b{{c{{d{{e}}d}}c}}b}}a}}",
+        "}}}{{{",
+        "{|table|} and {{tmpl}} mix { loner",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(soups)], ["i", "v"])
+    out = clean_deep_templates(
+        df.withColumn("v", clean_wikitext(F.col("v"))), "v"
+    )
+    got = {r["i"]: r["v"] for r in out.collect()}
+    for i, s in enumerate(soups):
+        want = re.sub(" +", " ", _reference_brace_fixpoint(s)).strip()
+        assert got[i] == want, f"case {i}: {s!r} -> {got[i]!r} != {want!r}"
+
+
 def test_clean_deep_templates_preserves_null_rows(spark):
     """Row contract pin (round-13 ADVICE): rows whose target column is
     NULL pass through as NULL — the operator never changes the row

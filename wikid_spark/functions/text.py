@@ -13,10 +13,22 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
-# Max template-nesting depth unrolled by clean_wikitext. The reference
-# loops to a fixpoint (wikipedia.py:526-537); real wikitext nests a
-# handful deep, so a bounded unroll keeps the whole chain in codegen.
-TEMPLATE_UNROLL = 10
+# Brace-deletion unroll for clean_wikitext. The reference loops to a
+# fixpoint (wikipedia.py:526-537); real wikitext nests a handful deep,
+# so a bounded unroll keeps the whole chain in codegen. Round 13: each
+# pass deletes balanced regions up to TWO nesting levels in one scan
+# (possessive alternation — no backtracking), so TEMPLATE_UNROLL
+# passes cover ~2x that depth at the cost of TEMPLATE_UNROLL full-text
+# scans instead of the previous 10 single-level scans (the article
+# profile put the brace passes at the top of the clean-chain wall).
+# Deleting a balanced depth<=2 region == a sequence of innermost-pair
+# deletions, and innermost redexes are disjoint, so the rewrite is
+# confluent — any pass order reaches the reference's fixpoint, and
+# rows nested deeper than the unroll still finish in
+# operators.cleanup.clean_deep_templates' exact-fixpoint tail
+# (byte-parity pinned by test_clean_wikitext_deep_nesting_fixpoint).
+TEMPLATE_UNROLL = 4
+_BRACE_DEPTH2 = r"\{(?:[^{}]++|\{[^{}]*+\})*+\}"
 
 LINK_PATTERN = r"\[\[([^\[\]]*)\]\]"  # wikipedia.py:40
 
@@ -107,10 +119,11 @@ def clean_wikitext(col: Column | str) -> Column:
     {|tables|} to a bounded fixpoint, HTML comments, Category/File
     links, ==headings==, <ref> spans, html entities, space collapse."""
     c = F.col(col) if isinstance(col, str) else col
-    # innermost-brace deletion, unrolled: each pass removes one nesting
-    # level of {...} / {{...}} (non-greedy, no inner braces).
+    # balanced-brace deletion, unrolled: each pass removes complete
+    # {...} / {{...}} regions up to two nesting levels (see
+    # _BRACE_DEPTH2 note on TEMPLATE_UNROLL).
     for _ in range(TEMPLATE_UNROLL):
-        c = F.regexp_replace(c, r"\{[^{}]*\}", "")
+        c = F.regexp_replace(c, _BRACE_DEPTH2, "")
     c = F.regexp_replace(c, r"'''", "")
     c = F.regexp_replace(c, r"''", "")
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", "")

@@ -24,6 +24,7 @@ participates in AQE like any other.
 
 from __future__ import annotations
 
+import re
 import sys
 
 import pandas as pd
@@ -125,9 +126,81 @@ def strip_links_one(text: str):
     return "".join(out), anns
 
 
+_STRUCT_TEXT = re.compile(r"[\[\]]")
+_STRUCT_LINK = re.compile(r"[\[\]|]")
+
+
+def strip_links_one_chunked(text: str):
+    """Chunked twin of `strip_links_one`: identical state machine at
+    every structural character ('[', ']', and — inside a link — '|'),
+    but the runs BETWEEN structural characters bulk-copy via regex
+    search instead of stepping the Python interpreter per character
+    (the round-13 article-pass profile put the per-char loop at ~1/3
+    of the warm stage wall). Safe because none of the loop's post-char
+    transitions (depth>2, depth==2 entry, depth==0 close) can fire
+    inside a structural-free run — depth and state only change at
+    structural characters. Output equality with the per-char kernel is
+    property-tested on random bracket soup."""
+    if text is None:
+        return None, None
+    out: list[str] = []
+    out_len = 0
+    anns: list[tuple[str, str, int, int]] = []
+    depth = 0
+    state = _TEXT
+    entity: list[str] = []
+    mention: list[str] = []
+    special = False
+    pos = 0
+    n = len(text)
+    while pos < n:
+        pat = _STRUCT_TEXT if state == _TEXT else _STRUCT_LINK
+        m = pat.search(text, pos)
+        end = m.start() if m else n
+        if end > pos:
+            chunk = text[pos:end]
+            if state == _ENTITY:
+                entity.append(chunk)
+            elif state == _MENTION:
+                mention.append(chunk)
+            else:
+                out.append(chunk)
+                out_len += len(chunk)
+        if m is None:
+            break
+        ch = m.group()
+        pos = m.end()
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        else:  # '|' — only structural outside _TEXT
+            if state == _ENTITY:
+                state = _MENTION
+            else:
+                special = True
+        if depth > 2:
+            special = True
+        if depth == 2 and state == _TEXT:
+            state = _ENTITY
+        if depth == 0 and state != _TEXT:
+            ent = "".join(entity)
+            men = "".join(mention) or ent
+            if not special and "#" not in ent and not ent.startswith(":"):
+                if men:
+                    anns.append((men, ent, out_len, out_len + len(men)))
+                    out.append(men)
+                    out_len += len(men)
+            entity.clear()
+            mention.clear()
+            state = _TEXT
+            special = False
+    return "".join(out), anns
+
+
 @F.pandas_udf(LINKFREE)
 def strip_links(texts: pd.Series) -> pd.DataFrame:
-    rows = [strip_links_one(t) for t in texts]
+    rows = [strip_links_one_chunked(t) for t in texts]
     return pd.DataFrame(
         {"text": [r[0] for r in rows], "annotations": [r[1] for r in rows]}
     )

@@ -4090,8 +4090,14 @@ def persist_ann_index(
         PQ_TRAIN_ROUNDS, spec,
     ).localCheckpoint(eager=True)
     cb.write.mode("overwrite").parquet(f"{out_dir}/codebooks")
-    rindex = _pq_encode(rv, cb, spec=spec).select(
-        "vec_id", "cent_id", *spec.cols
+    # with_dist rides the SAME encode pass (one cogrouped kernel run,
+    # checkpointed) so the build-time distortion baseline — the
+    # refresh_ann_index retrain trigger's denominator — costs an
+    # aggregate over the checkpoint, not a second corpus encode.
+    encoded = (
+        _pq_encode(rv, cb, with_dist=True, spec=spec)
+        .select("vec_id", "cent_id", "pqdist", *spec.cols)
+        .localCheckpoint(eager=True)
     )
     # One file per cell: without the repartition every encode task
     # writes its own fragment into every cell directory (measured 30
@@ -4100,10 +4106,25 @@ def persist_ann_index(
     # rows of ≤32 B, so a single file per cell stays ~1-2 MB even at
     # 10^9 vectors (K=⌈√n⌉ grows with the corpus).
     (
-        rindex.repartition("cent_id")
+        encoded.select("vec_id", "cent_id", *spec.cols)
+        .repartition("cent_id")
         .write.mode("overwrite")
         .partitionBy("cent_id")
         .parquet(f"{out_dir}/rindex")
+    )
+    st = encoded.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("pqdist").alias("m"),
+    ).first()
+    _fs_write_text(
+        spark,
+        f"{out_dir}/stats.json",
+        json.dumps(
+            {
+                "n_vectors": st["n"],
+                "mean_distortion": float(st["m"] or 0.0),
+            }
+        ),
     )
     _fs_write_text(spark, f"{out_dir}/spec.json", json.dumps(spec._asdict()))
     _fs_write_text(spark, f"{out_dir}/{_INDEX_OK}")
@@ -4298,6 +4319,181 @@ def _ensure_persisted_index(
             raise
         shutil.rmtree(build, ignore_errors=True)  # lost the race: reuse
     return dest
+
+
+# ---------------------------------------------------------------------------
+# Persisted-index lifecycle: the retrain/compact trigger that CONSUMES
+# sim_pq_index_stats' nightly metric. A persisted index trained on
+# corpus C0 degrades as the corpus evolves — encoding today's corpus
+# with yesterday's centroids+codebooks raises mean quantization
+# distortion above the build-time baseline recorded in stats.json.
+# `refresh_ann_index` measures that drift and, past the threshold,
+# rebuilds into a stage dir and atomically swaps (the streaming
+# ingest's stage-and-promote discipline applied to a whole index
+# tree), healing any interrupted predecessor swap on entry.
+# ---------------------------------------------------------------------------
+
+# Drift threshold: mean distortion of the CURRENT corpus under the
+# persisted artifacts, over the build-time mean. 1.25 ~= "the codebooks
+# explain 25% less variance than at build" — at that point measured
+# recall curves (SCALE.md round 9/10 distortion-vs-recall tables) have
+# visibly sagged; production tunes this against its recall SLA.
+REFRESH_DISTORTION_RATIO = 1.25
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs_and_path(spark, path)
+    return fs.exists(p)
+
+
+def _fs_rename(spark: SparkSession, src: str, dst: str) -> None:
+    fs, s = _fs_and_path(spark, src)
+    _, d = _fs_and_path(spark, dst)
+    if not fs.rename(s, d):
+        raise OSError(f"rename failed: {src!r} -> {dst!r}")
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    fs, p = _fs_and_path(spark, path)
+    fs.delete(p, True)
+
+
+def _drop_index_handles(index_dir: str) -> None:
+    """Invalidate session-cached hold-open handles for index_dir: their
+    DataFrames pin the pre-swap file listing, which the swap deletes."""
+    for key in [k for k in _INDEX_HANDLE_CACHE if k[1] == index_dir]:
+        _INDEX_HANDLE_CACHE.pop(key, None)
+
+
+def load_ann_index_stats(spark: SparkSession, index_dir: str) -> dict:
+    """Build-time quality baseline written by `persist_ann_index`:
+    {n_vectors, mean_distortion} of the build corpus under the
+    just-trained artifacts."""
+    import json
+
+    return json.loads(_fs_read_text(spark, f"{index_dir}/stats.json"))
+
+
+def measure_index_distortion(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> dict:
+    """{n_vectors, mean_distortion} of the CURRENT corpus encoded with
+    the PERSISTED artifacts — residuals against the persisted
+    centroids, coded by the persisted codebooks. Same exact-integer
+    metric as the build baseline and sim_pq_index_stats, so the ratio
+    is dimensionless drift. One corpus encode pass (the nightly-audit
+    cost, same as sim_pq_index_stats per variant)."""
+    handle = load_ann_index(spark, index_dir)
+    rv = _residual_vectors(spark, sf_dir, handle.cents)
+    row = (
+        _pq_encode(rv, handle.cb, with_dist=True, spec=handle.spec)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg("pqdist").alias("m"),
+        )
+        .first()
+    )
+    return {"n_vectors": row["n"], "mean_distortion": float(row["m"] or 0.0)}
+
+
+def heal_index_swap(spark: SparkSession, index_dir: str) -> str:
+    """Complete or clean an interrupted `refresh_ann_index` swap.
+    Deterministic from on-disk state alone (the `_INDEX_OK` marker is
+    the commit record at every level):
+
+      - stage committed → finish the promotion (a crash anywhere
+        between stage commit and old-tree deletion re-runs as exactly
+        the remaining steps);
+      - stage present but uncommitted → partial build, delete it;
+      - leftover ``.old`` tree next to a committed index → delete it.
+
+    Returns 'promoted', 'cleaned', or 'clean'. Single-refresher
+    assumption as documented on refresh_ann_index."""
+    stage, old = index_dir + ".stage", index_dir + ".old"
+    if _fs_exists(spark, f"{stage}/{_INDEX_OK}"):
+        if _fs_exists(spark, f"{index_dir}/{_INDEX_OK}"):
+            _fs_delete(spark, old)
+            _fs_rename(spark, index_dir, old)
+        elif _fs_exists(spark, index_dir):
+            # half-written or mid-swap-deleted live tree: not committed,
+            # the committed stage supersedes it
+            _fs_delete(spark, index_dir)
+        _drop_index_handles(index_dir)
+        _fs_rename(spark, stage, index_dir)
+        _fs_delete(spark, old)
+        return "promoted"
+    cleaned = False
+    if _fs_exists(spark, stage):
+        _fs_delete(spark, stage)
+        cleaned = True
+    if _fs_exists(spark, old) and _fs_exists(spark, f"{index_dir}/{_INDEX_OK}"):
+        _fs_delete(spark, old)
+        cleaned = True
+    return "cleaned" if cleaned else "clean"
+
+
+def refresh_ann_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    ratio: float = REFRESH_DISTORTION_RATIO,
+    force: bool = False,
+) -> dict:
+    """Retrain/compact trigger for a `persist_ann_index` build — the
+    consumer of the distortion metric sim_pq_index_stats defines.
+    Measures the current corpus's mean distortion under the persisted
+    artifacts; past ``ratio`` x the build-time baseline (or ``force``),
+    rebuilds from scratch — fresh Lloyd centroids, fresh residual
+    codebooks, and a corpus-size-rederived spec, so a corpus that grew
+    past PQ_WIDTH_THRESHOLD widens 8->16-byte codes on the same
+    trigger — into ``<index_dir>.stage``, then promotes with two
+    renames (live -> ``.old``, stage -> live) and deletes the old tree.
+
+    Crash-safe, not lock-guarded: every step is re-runnable because
+    `heal_index_swap` runs on entry and replays an interrupted swap
+    from its on-disk state (the staged build commits via its own
+    ``_INDEX_OK`` before any rename touches the live tree). Single
+    refresher assumed — the nightly-job shape; concurrent refreshers
+    need the ingest writer lease (streaming/ingest.py) or
+    conditional-put storage. Renames go through the Hadoop FileSystem
+    API (atomic on HDFS and local fs; on object stores rename is
+    copy — production there keeps versioned index dirs behind a
+    pointer file instead, which `_ensure_persisted_index`'s
+    content-keyed layout already models).
+
+    Returns a report: {refreshed, healed, build_mean_distortion,
+    current_mean_distortion, drift_ratio, threshold, n_vectors, spec}.
+    """
+    healed = heal_index_swap(spark, index_dir)
+    built = load_ann_index_stats(spark, index_dir)
+    current = measure_index_distortion(spark, sf_dir, index_dir)
+    base, cur = built["mean_distortion"], current["mean_distortion"]
+    if base > 0:
+        drift = cur / base
+    else:
+        drift = 1.0 if cur == 0 else float("inf")
+    report = {
+        "refreshed": False,
+        "healed": healed,
+        "build_mean_distortion": base,
+        "current_mean_distortion": cur,
+        "drift_ratio": drift,
+        "threshold": ratio,
+        "n_vectors": current["n_vectors"],
+        "spec": load_ann_index_spec(index_dir, spark)._asdict(),
+    }
+    if not force and drift <= ratio:
+        return report
+    stage = index_dir + ".stage"
+    _fs_delete(spark, stage)
+    spec = persist_ann_index(spark, sf_dir, stage)  # spec rederived
+    _drop_index_handles(index_dir)
+    old = index_dir + ".old"
+    _fs_rename(spark, index_dir, old)
+    _fs_rename(spark, stage, index_dir)
+    _fs_delete(spark, old)
+    report.update(refreshed=True, spec=spec._asdict())
+    return report
 
 
 @query(
