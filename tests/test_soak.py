@@ -1,0 +1,269 @@
+"""Round-13 streaming soak (VERDICT r12 item 7).
+
+ONE long multi-batch file-source stream feeds the composed production
+surface in a single ``foreachBatch``: evolving LSH text dedup AND
+evolving vector (embedding) dedup, while a tumbling-window aggregation
+runs over the same source. Halfway through the stream a crash is
+injected mid-compaction on BOTH indexes (the between-the-two-renames
+state), healed by re-running compaction, and the stream resumes from
+its checkpoint. Final verdict state must equal the batch twin — direct
+per-batch writer calls on never-compacted parallel indexes — byte for
+byte per batch partition, and the windowed counts must equal the batch
+aggregation.
+
+What the composition certifies beyond the per-module suites:
+* text and vector dedup share one micro-batch (one source read, two
+  probes, two index appends) without interfering;
+* a mid-stream crash-heal-compact cycle changes NOTHING observable —
+  later cross-batch near-dups still resolve to pre-compaction
+  survivors (their signatures rode the fold into the base);
+* checkpoint resume continues batch numbering so the evolving
+  ``batch_id < n`` probe contract spans the restart.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyspark.sql.functions as F
+
+from wikid_spark.streaming import dedup_ingest, vector_ingest as vi
+from wikid_spark.streaming.windows import tumbling_counts
+
+# --- corpus: 12 docs, each with a disjoint 10-word text and an
+# embedding in one of three well-separated clusters (cosine < 0.4
+# across clusters, the serving threshold) ---------------------------
+
+_WORDS = [
+    "oak maple birch cedar willow pine elm ash fir spruce",
+    "red orange yellow green blue indigo violet purple pink teal",
+    "copper zinc nickel cobalt iron tungsten chromium manganese titanium vanadium",
+    "sonata concerto symphony etude nocturne prelude fugue rhapsody waltz mazurka",
+    "tundra savanna prairie steppe taiga chaparral wetland mangrove dune reef",
+    "femur tibia fibula patella humerus radius ulna sternum clavicle scapula",
+    "cumulus stratus cirrus nimbus altocumulus fog drizzle sleet hail graupel",
+    "krona dinar rupee peso zloty forint baht ringgit dirham guilder",
+    "basalt granite gneiss schist marble quartzite obsidian pumice shale slate",
+    "adagio allegro andante presto largo vivace moderato lento grave accelerando",
+    "kayak canoe sloop ketch yawl schooner dinghy catamaran trawler barge",
+    "saffron cumin coriander turmeric cardamom clove nutmeg anise fennel paprika",
+]
+
+_A = [5.0, 0.0, 1.0, 0.0, 2.0, 0.0, 0.0, 1.0]
+_B = [0.0, 4.0, 0.0, 2.0, 0.0, 1.0, 1.0, 0.0]
+_C = [1.0, 1.0, 5.0, 0.0, 0.0, 2.0, 0.0, 0.0]
+_V_N = [0.0] * 7 + [9.0]          # novel cluster, arrives in batch 0
+_V_M = [0.0] * 6 + [9.0, 0.0]     # novel cluster, arrives post-compaction
+_V_P = [0.0] * 4 + [9.0, 0.0, 0.0, 0.0]  # novel, cos(_A)≈0.36 < 0.4
+
+
+def _vec(base, eps=0.0):
+    return [float(b) + eps for b in base]
+
+
+def _corpus_rows():
+    rows = []
+    for i in range(12):
+        rows.append((i + 1, _WORDS[i], _vec((_A, _B, _C)[i // 4], eps=0.01 * (i % 4))))
+    return rows
+
+
+_T_A = "quantum entanglement allows correlated measurement outcomes across distance boundaries today"
+_T_A_NEAR = "quantum entanglement allows correlated measurement outcomes across distance boundaries tomorrow"
+_T_U = "gravel cement asphalt concrete mortar brick tile plaster stone lime"
+_T_U_NEAR = "gravel cement asphalt concrete mortar brick tile plaster stone chalk"
+_T_CORP1_NEAR = "oak maple birch cedar willow pine elm ash fir hemlock"
+_T_X = "lighthouse beacon harbor jetty breakwater quay wharf mooring buoy anchorage"
+
+# One doc per micro-batch; expectations in the comments are asserted
+# as spot checks, but the authoritative assertion is twin equality.
+_INCOMING = [
+    # (doc_id, text, embedding, ts, event_type)
+    (100, _T_A, _V_N, "2024-06-01 10:05:00", "add"),          # keep / keep
+    (101, _T_U, _vec(_A, 0.005), "2024-06-01 10:20:00", "edit"),  # keep / drop→1
+    (102, _T_A_NEAR, _vec(_V_N, 0.01), "2024-06-01 10:40:00", "add"),  # drop→100 / drop→100
+    # --- crash mid-compaction injected here ---
+    (103, _T_CORP1_NEAR, _V_M, "2024-06-01 11:05:00", "edit"),  # drop→1 / keep
+    (104, _T_X, _vec(_V_M, 0.01), "2024-06-01 11:20:00", "add"),   # keep / drop→103
+    (105, _T_U_NEAR, _V_P, "2024-06-01 11:40:00", "edit"),      # drop→101 / keep
+]
+
+_SCHEMA = (
+    "doc_id bigint, text string, embedding array<double>, "
+    "ts string, event_type string"
+)
+
+
+def _write_files(src: str, specs, start_idx: int) -> None:
+    """One json file per spec, mtimes strictly increasing across the
+    whole stream so maxFilesPerTrigger=1 admits them in order."""
+    now = time.time()
+    for k, (doc_id, text, emb, ts, et) in enumerate(specs):
+        i = start_idx + k
+        path = f"{src}/f{i}.json"
+        with open(path, "w") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "doc_id": doc_id,
+                        "text": text,
+                        "embedding": emb,
+                        "ts": ts,
+                        "event_type": et,
+                    }
+                )
+                + "\n"
+            )
+        os.utime(path, (now - 600 + 10 * i, now - 600 + 10 * i))
+
+
+def _composite_writer(spark, lsh_idx, lsh_out, vidx, vec_out):
+    lsh_w = dedup_ingest.dedup_verdict_batch_writer(spark, lsh_idx, lsh_out)
+    vec_w = vi.vector_verdict_batch_writer(spark, vidx, vec_out)
+
+    def write(batch, batch_id):
+        lsh_w(batch.select("doc_id", "text"), batch_id)
+        vec_w(
+            batch.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            batch_id,
+        )
+
+    return write
+
+
+def _drain(spark, src, ckpt, writer):
+    q = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(writer)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def _log(spark, out_dir):
+    """Full verdict log including the batch_id partition column —
+    comparing it pins the file→batch mapping, not just the verdicts."""
+    df = spark.read.option("basePath", out_dir).parquet(f"{out_dir}/batch_id=*")
+    return sorted(map(tuple, df.select(*sorted(df.columns)).collect()))
+
+
+def test_streaming_soak_composed_crash_heal(spark, tmp_path):
+    corpus = spark.createDataFrame(_corpus_rows(), _SCHEMA.split(", ts")[0])
+
+    # --- streaming path ---------------------------------------------
+    lsh_idx = str(tmp_path / "lsh_idx")
+    vidx = str(tmp_path / "vidx")
+    dedup_ingest.persist_dedup_index(corpus.select("doc_id", "text"), lsh_idx)
+    vi.persist_vector_index(
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding"), vidx
+    )
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    lsh_out = str(tmp_path / "lsh_verdicts")
+    vec_out = str(tmp_path / "vec_verdicts")
+    ckpt = str(tmp_path / "ckpt")
+    writer = _composite_writer(spark, lsh_idx, lsh_out, vidx, vec_out)
+
+    _write_files(src, _INCOMING[:3], 0)
+    _drain(spark, src, ckpt, writer)
+
+    # Crash mid-compaction on BOTH indexes: the instant between
+    # rename(live, old) and rename(tmp, live) — live gone, .old is the
+    # only complete copy. Re-running compaction must heal AND fold.
+    os.rename(f"{lsh_idx}/bands", f"{lsh_idx}/bands.old")
+    os.rename(f"{vidx}/cells", f"{vidx}/cells.old")
+    dedup_ingest.compact_dedup_index(spark, lsh_idx)
+    vi.compact_vector_index(spark, vidx)
+    for idx, part in ((lsh_idx, "bands"), (lsh_idx, "shingles"), (vidx, "cells")):
+        kids = os.listdir(f"{idx}/{part}")
+        assert [k for k in kids if k.startswith("batch_id=")] == ["batch_id=-1"]
+
+    # resume: new files, SAME checkpoint → batch ids continue 3,4,5
+    _write_files(src, _INCOMING[3:], 3)
+    _drain(spark, src, ckpt, writer)
+
+    # --- batch twin: same batches, direct writer calls, NO compaction
+    lsh_idx_t = str(tmp_path / "lsh_idx_twin")
+    vidx_t = str(tmp_path / "vidx_twin")
+    dedup_ingest.persist_dedup_index(corpus.select("doc_id", "text"), lsh_idx_t)
+    vi.persist_vector_index(
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding"), vidx_t
+    )
+    lsh_out_t = str(tmp_path / "lsh_verdicts_twin")
+    vec_out_t = str(tmp_path / "vec_verdicts_twin")
+    twin = _composite_writer(spark, lsh_idx_t, lsh_out_t, vidx_t, vec_out_t)
+    for bid, spec in enumerate(_INCOMING):
+        twin(spark.createDataFrame([spec], _SCHEMA), bid)
+
+    assert _log(spark, lsh_out) == _log(spark, lsh_out_t)
+    assert _log(spark, vec_out) == _log(spark, vec_out_t)
+
+    # --- spot checks (documented expectations, incl. the two
+    # cross-compaction-boundary resolutions) ---------------------------
+    lsh = {
+        r["doc_id"]: (r["verdict"], r["dup_of"])
+        for r in dedup_ingest.read_verdicts(spark, lsh_out).collect()
+    }
+    vec = {
+        r["vec_id"]: (r["verdict"], r["dup_of"])
+        for r in vi.read_vector_verdicts(spark, vec_out).collect()
+    }
+    assert lsh[100] == ("keep", None) and vec[100] == ("keep", None)
+    assert lsh[101] == ("keep", None) and vec[101] == ("drop", 1)
+    assert lsh[102] == ("drop", 100) and vec[102] == ("drop", 100)
+    assert lsh[103] == ("drop", 1) and vec[103] == ("keep", None)
+    # 104's vector dups 103, KEPT and appended AFTER the compaction
+    assert lsh[104] == ("keep", None) and vec[104] == ("drop", 103)
+    # 105's text dups 101, kept BEFORE the compaction → folded survivor
+    assert lsh[105] == ("drop", 101) and vec[105] == ("keep", None)
+
+    # --- windows over the same source: stream == batch twin ----------
+    stream_ev = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    q = (
+        tumbling_counts(stream_ev, window="1 hour")
+        .writeStream.format("memory")
+        .queryName("soak_windows")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got_w = sorted(map(tuple, spark.table("soak_windows").collect()))
+    batch_ev = spark.createDataFrame(_INCOMING, _SCHEMA).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    want_w = sorted(map(tuple, tumbling_counts(batch_ev, window="1 hour").collect()))
+    assert got_w == want_w and len(got_w) == 4
+
+    # --- final compaction, then fresh probes against survivors from
+    # BOTH sides of the crash boundary ---------------------------------
+    dedup_ingest.compact_dedup_index(spark, lsh_idx)
+    vi.compact_vector_index(spark, vidx)
+    probe_t = spark.createDataFrame(
+        [(900, _T_X.replace("anchorage", "berth"))], "doc_id bigint, text string"
+    )
+    got_t = {
+        r["doc_id"]: (r["verdict"], r["dup_of"])
+        for r in dedup_ingest.batch_verdicts(spark, probe_t, lsh_idx).collect()
+    }
+    assert got_t[900] == ("drop", 104)
+    probe_v = spark.createDataFrame(
+        [(901, _vec(_V_M, 0.02))], "vec_id bigint, embedding array<double>"
+    )
+    got_v = {
+        r["vec_id"]: (r["verdict"], r["dup_of"])
+        for r in vi.vector_batch_verdicts(spark, probe_v, vidx).collect()
+    }
+    assert got_v[901] == ("drop", 103)
