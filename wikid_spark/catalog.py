@@ -64,6 +64,30 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread_for_compute(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a DataFrame whose PLANNED parallelism is
+    below the session's core count, so the CPU-dense kernel downstream
+    (minhash signing, shingle explode, vector math) runs on every core.
+
+    Why: a small table scans as ONE parquet split regardless of cluster
+    size — fine for IO-bound plans, serializing for compute-bound ones
+    (the round-13 profile found the full corpus minhash pass pinned to
+    a single task at bench scale, 31 cores idle). At 100 TB any real
+    table plans thousands of splits, the condition fails, and this is a
+    NO-OP — no shuffle is ever added where the scan already
+    parallelizes. Where it does fire, the exchange moves less data than
+    one core's worth of downstream kernel work.
+
+    Call it AFTER source filters so parquet predicate pushdown stays
+    below the exchange, and only ahead of genuinely compute-bound
+    kernels — an IO-shaped filter/project never needs it."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql() queries."""
     for name in TABLES:

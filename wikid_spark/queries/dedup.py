@@ -23,7 +23,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from wikid_spark.catalog import corpus_rows, table
+from wikid_spark.catalog import corpus_rows, spread_for_compute, table
 from wikid_spark.queries.similarity import ivf_derived_cte as _sem_derived_cte
 from wikid_spark.registry import query
 
@@ -111,7 +111,15 @@ def shingles_from(docs: DataFrame) -> DataFrame:
     """(doc_id, sh) for an arbitrary (doc_id, text) DataFrame — the
     DataFrame-first variant so streaming micro-batches and persisted-
     index builders share the exact shingle semantics of the registered
-    queries."""
+    queries.
+
+    The input is spread across cores first (no-op when the scan
+    already parallelizes — `catalog.spread_for_compute`): everything
+    downstream of the explode is CPU-dense (per-shingle md5 + the
+    16-permutation min fold), and all consumers aggregate with
+    order-insensitive min/count, so the round-robin exchange cannot
+    perturb results."""
+    docs = spread_for_compute(docs)
     return docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("words")
     ).select("doc_id", F.explode(_shingles(F.col("words"))).alias("sh"))
@@ -931,7 +939,13 @@ def nd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per batch doc — (doc_id, dup_of, jaccard, verdict);
     dup_of/jaccard NULL + 'keep' when no verified near-dup exists."""
     is_new = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 5000)
-    bands = _band_table(spark, sf_dir)
+    # One corpus signature pass, materialized: both join sides below
+    # (the broadcast batch side AND the probe side) read the band
+    # table, and each reference would otherwise re-run the full
+    # minhash pass. The band table is |docs| × N_BANDS thin rows —
+    # checkpoint-sized at any SF the bench runs; the production form
+    # reads a persisted index instead (streaming/dedup_ingest).
+    bands = _band_table(spark, sf_dir).localCheckpoint(eager=True)
     nb = bands.filter(is_new).select(
         F.col("doc_id").alias("new_id"), "band", "sig"
     )
@@ -942,13 +956,30 @@ def nd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cb.join(F.broadcast(nb), ["band", "sig"])
         .select("new_id", "old_id")
         .dropDuplicates()
+        # materialized once: the pair set is tiny (bounded by batch ×
+        # bucket occupancy, already broadcast below) but its subtree
+        # holds the FULL corpus band pass — every downstream reference
+        # would re-sign the corpus without this cut
+        .localCheckpoint(eager=True)
     )
     # exact-Jaccard verify on candidates only (same funnel as
     # nd_lsh_verified_pairs: broadcast the tiny pair set into the
-    # shingle probe, semi-filter the other side)
-    sh = shingle_table(spark, sf_dir).select(
-        "doc_id", F.xxhash64("sh").alias("sh")
+    # shingle probe, semi-filter the other side). Shingles and sizes
+    # are computed ONLY for docs that appear in a candidate pair —
+    # non-candidates keep by default through the left join, so
+    # shingling the rest of the corpus would be O(corpus) exploded
+    # rows the plan never reads (the round-13 profile found this full
+    # shingle pass dominating the query).
+    relevant = (
+        cand.select(F.col("new_id").alias("doc_id"))
+        .union(cand.select(F.col("old_id").alias("doc_id")))
+        .distinct()
     )
+    sh = shingles_from(
+        table(spark, sf_dir, "documents").join(
+            F.broadcast(relevant), "doc_id", "left_semi"
+        )
+    ).select("doc_id", F.xxhash64("sh").alias("sh"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     new_sh = sh.select(F.col("doc_id").alias("new_id"), "sh").join(
         F.broadcast(cand), "new_id"
