@@ -47,6 +47,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # regardless of the CALLER's session defaults — the driver runs
     # queries with its own SparkSession, not session.get_spark().
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name in _COMPUTE_DENSE_TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        target = spark.sparkContext.defaultParallelism
+        if _est_scan_splits(sf_dir, name) < target:
+            # see spread_for_compute: unlock every core for the
+            # CPU-dense kernels these tables feed; no-op at any scale
+            # where the scan itself parallelizes. Filters still push
+            # down — Catalyst moves predicates below Repartition.
+            df = df.repartition(target)
+        return df
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -62,6 +72,33 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Tables whose consumers are compute-bound (per-row text kernels,
+# shingle/minhash signing, vector math) rather than IO-bound — the
+# catalog spreads their scans when the file layout under-parallelizes
+# (see spread_for_compute's rationale; measured 8-11x at sf1 in
+# SCALE.md round 13). Star-schema tables stay scan-shaped: their
+# consumers are joins/aggs where the shuffle provides parallelism.
+_COMPUTE_DENSE_TABLES = frozenset({"documents", "embeddings"})
+
+_SPLIT_EST_CACHE: dict = {}
+
+
+def _est_scan_splits(sf_dir: str, name: str) -> int:
+    """Estimate how many splits a parquet scan of this table plans,
+    from file stats alone (no Spark planning): one split per
+    maxPartitionBytes-sized chunk per file, at least one per file.
+    Cached on the table's content signature. The estimate errs small
+    for many-tiny-file layouts (Spark packs them), which only makes
+    the spread fire more readily — the conservative direction."""
+    sig = _table_sig(sf_dir, name)
+    got = _SPLIT_EST_CACHE.get(sig)
+    if got is None:
+        max_bytes = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes default
+        got = sum(max(1, -(-size // max_bytes)) for _, size, _ in sig[1])
+        _SPLIT_EST_CACHE[sig] = got
+    return got
 
 
 def spread_for_compute(df: DataFrame) -> DataFrame:
