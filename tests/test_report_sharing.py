@@ -34,3 +34,26 @@ def test_residual_serve_multi_matches_single_depth_plans(spark):
         )
         got = _rows(multi[np_])
         assert got == want and len(got) > 0, f"nprobe={np_}"
+
+
+def test_trained_index_memoized_per_corpus(spark, tmp_path):
+    """Round-13: `_trained_index` trains once per (application, corpus
+    fingerprint) — same session + same corpus returns the SAME frames;
+    a content change (fingerprint) retrains; results are identical
+    either way (training is deterministic)."""
+    import shutil
+
+    S._TRAINED_INDEX_CACHE.clear()
+    first = S._trained_index(spark, SF)
+    again = S._trained_index(spark, SF)
+    assert all(a is b for a, b in zip(first, again))
+
+    # identical corpus content at a DIFFERENT path/mtime -> different
+    # fingerprint -> fresh (but value-identical) training
+    alt = tmp_path / "alt_sf"
+    alt.mkdir()
+    for t in ("embeddings", "documents"):
+        shutil.copy(f"{SF}/{t}.parquet", alt / f"{t}.parquet")
+    other = S._trained_index(spark, str(alt))
+    assert other[1] is not first[1]
+    assert _rows(other[1]) == _rows(first[1])  # K-row centroids equal

@@ -1525,12 +1525,34 @@ def _sample_filter(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
     return df.filter((F.col(id_col) % 50 == 0) & (F.col(id_col) < 2000))
 
 
+_TRAINED_INDEX_CACHE: dict = {}
+
+
 def _trained_index(spark: SparkSession, sf_dir: str):
     """Build the production index ONCE: derived-K seeds,
     TRAINED_DERIVED_ROUNDS Lloyd rounds, top-2 corpus assignment.
     Returns (qemb, cents, a2) so every probe depth — and the recall
     report, which audits three depths — shares one training run
-    instead of re-training per method."""
+    instead of re-training per method.
+
+    Memoized per (Spark application, embeddings content fingerprint):
+    in a serving process every trained-family query reuses the one
+    training run — the same train-once/serve-many discipline as the
+    persisted-index handle cache, minus the disk. Only the K-row
+    centroid table is materialized (inside `lloyd_train`); the
+    corpus-wide frames (qemb, a2) stay LAZY plans, so nothing
+    corpus-sized is pinned to executor storage and each serve still
+    pays exactly its one corpus pass. A regenerated corpus changes the
+    fingerprint and retrains (the r12 cache-key discipline)."""
+    from wikid_spark.catalog import corpus_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        corpus_fingerprint(sf_dir, "embeddings"),
+    )
+    got = _TRAINED_INDEX_CACHE.get(key)
+    if got is not None:
+        return got
     emb = table(spark, sf_dir, "embeddings")
     k = derived_k(corpus_rows(sf_dir, "embeddings"))
     qemb = emb.select(
@@ -1547,6 +1569,7 @@ def _trained_index(spark: SparkSession, sf_dir: str):
     a2 = _assign_blas(qemb, cents, top_m=2).select(
         "vec_id", "embedding", "cent_id", "cent_rank"
     )
+    _TRAINED_INDEX_CACHE[key] = (qemb, cents, a2)
     return qemb, cents, a2
 
 
