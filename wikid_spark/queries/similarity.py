@@ -3511,6 +3511,9 @@ def _ivfpq_residual_oracle(nprobe: int, spec: PQSpec = PQ4) -> str:
     """)
 
 
+_RESIDUAL_INDEX_CACHE: dict = {}
+
+
 def _residual_index(
     spark: SparkSession, sf_dir: str, cents=None, spec: PQSpec = PQ4
 ):
@@ -3519,16 +3522,33 @@ def _residual_index(
     derived-K cells, per-vector residuals against the OWNING cell,
     residual-trained PQ codebooks, and the 24-byte
     (vec_id, cent_id, pqcode) index. Returns (emb, cents, cb,
-    rindex)."""
+    rindex).
+
+    The default (``cents=None``) build is memoized per (application,
+    corpus fingerprint, spec) — same discipline as `_trained_index`,
+    which also supplies its cells (identical seeds, rounds and
+    quantized inputs, so reuse ≡ retrain). Only K-row centroid and
+    subs×codes codebook checkpoints are held; the index itself stays
+    a lazy plan. Explicit-``cents`` calls (the recall report's shared
+    chain) bypass the memo."""
+    memo_key = None
+    if cents is None:
+        from wikid_spark.catalog import corpus_fingerprint
+
+        memo_key = (
+            spark.sparkContext.applicationId,
+            corpus_fingerprint(sf_dir, "embeddings"),
+            spec,
+        )
+        got = _RESIDUAL_INDEX_CACHE.get(memo_key)
+        if got is not None:
+            return got
     emb = table(spark, sf_dir, "embeddings")
     qemb = emb.select(
         "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
     )
     if cents is None:
-        k = derived_k(corpus_rows(sf_dir, "embeddings"))
-        cents, _ = lloyd_train(
-            qemb, _centroids(emb, k), max_rounds=TRAINED_DERIVED_ROUNDS, tol=0
-        )
+        cents = _trained_index(spark, sf_dir)[1]
     a1 = _assign_blas(qemb, cents, top_m=1)
     rv = a1.join(F.broadcast(cents), "cent_id").select(
         "vec_id",
@@ -3544,7 +3564,10 @@ def _residual_index(
     rindex = _pq_encode(rv, cb, spec=spec).select(
         "vec_id", "cent_id", *spec.cols
     )
-    return emb, cents, cb, rindex
+    out = (emb, cents, cb, rindex)
+    if memo_key is not None:
+        _RESIDUAL_INDEX_CACHE[memo_key] = out
+    return out
 
 
 def _ivfpq_residual_plan(
