@@ -179,3 +179,108 @@ def test_spread_for_compute_noop_when_parallel(spark):
     assert spread_for_compute(wide) is wide
     narrow = spark.range(0, 1000, 1, 1)
     assert spread_for_compute(narrow).rdd.getNumPartitions() == target
+
+
+def test_size_bytes_parser():
+    """Spark byte-string grammar: bare ints, b/k/m/g suffixes, case-
+    insensitive, bad input falls back to the default."""
+    from wikid_spark.catalog import _size_bytes
+
+    assert _size_bytes("128MB", 0) == 128 * 1024**2
+    assert _size_bytes("134217728b", 0) == 134217728
+    assert _size_bytes("1g", 0) == 1024**3
+    assert _size_bytes("4194304", 0) == 4194304
+    assert _size_bytes(None, 7) == 7
+    assert _size_bytes("nonsense", 7) == 7
+
+
+def test_est_scan_splits_honors_conf(tmp_path):
+    """A non-default maxPartitionBytes / explicit minPartitionNum
+    changes the estimate the way Spark's planner would (verdict r13
+    #5). 300 MB sparse file: default -> ceil(300/128)=3; explicit
+    minPartitionNum=64 shrinks the split to ~4.75 MB -> 64."""
+    from wikid_spark import catalog as C
+
+    p = tmp_path / "documents.parquet"
+    with open(p, "wb") as f:
+        f.truncate(300 * 1024 * 1024)  # sparse — no disk cost
+    assert C._est_scan_splits(str(tmp_path), "documents") == 3
+    assert (
+        C._est_scan_splits(str(tmp_path), "documents", max_bytes=64 * 1024**2)
+        == 5
+    )
+    assert (
+        C._est_scan_splits(str(tmp_path), "documents", min_partitions=64)
+        == 64
+    )
+
+
+def test_table_spread_decision_flips_with_session_conf(spark):
+    """table() reads the SESSION's maxPartitionBytes: tuned to 1 KB
+    splits, the sf0.001 documents scan plans ~64 splits >= 32 cores,
+    so the compute spread must NOT fire; at the default it must."""
+    from wikid_spark import catalog as C
+
+    sf = "/root/testdata/sf0.001"
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "1k")
+        plan = C.table(spark, sf, "documents")._jdf.queryExecution()
+        assert "Repartition" not in plan.logical().toString()
+        spark.conf.set(key, "128MB")
+        plan = C.table(spark, sf, "documents")._jdf.queryExecution()
+        assert "Repartition" in plan.logical().toString()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def test_spread_for_compute_runs_no_job(spark, monkeypatch):
+    """The spread decision must never touch df.rdd (ADVICE r13: under
+    AQE that finalizes the physical plan and can materialize upstream
+    stages at plan-construction time — one extra job per streaming
+    micro-batch). Pin it by making .rdd explode for the duration."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import DataFrame
+    from wikid_spark.catalog import spread_for_compute
+
+    def _boom(self):
+        raise AssertionError("spread_for_compute touched df.rdd")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(_boom))
+
+    # tier 1 — plan already exchanges: aggregate / repartition no-op
+    agg = spark.range(0, 100, 1, 1).groupBy((F.col("id") % 3).alias("g")).count()
+    assert spread_for_compute(agg) is agg
+    rep = spark.range(0, 100, 1, 1).repartition(4).selectExpr("id * 2 AS id")
+    assert spread_for_compute(rep) is rep
+    # Range tier — split count read from the logical node
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000, 1, target * 2)
+    assert spread_for_compute(wide) is wide
+    narrow = spark.range(0, 1000, 1, 1)
+    assert spread_for_compute(narrow) is not narrow
+    # tier 3 — local relation (micro-batch shaped): spread fires
+    local = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    assert spread_for_compute(local) is not local
+
+
+def test_spread_for_compute_file_backed_tiers(spark, tmp_path):
+    """File-backed frames estimate splits from file count/sizes with
+    the session conf — one tiny file spreads, >= cores files don't."""
+    from wikid_spark.catalog import spread_for_compute
+
+    target = spark.sparkContext.defaultParallelism
+    one = str(tmp_path / "one")
+    spark.range(0, 100, 1, 1).selectExpr("id AS doc_id").write.parquet(one)
+    df = spark.read.parquet(one)
+    assert spread_for_compute(df) is not df
+    many = str(tmp_path / "many")
+    spark.range(0, 1000, 1, target).selectExpr("id AS doc_id").write.parquet(
+        many
+    )
+    df = spark.read.parquet(many)
+    assert spread_for_compute(df) is df

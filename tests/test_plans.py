@@ -126,6 +126,9 @@ def test_pp_map_only_ops_have_no_exchange_before_sink(spark):
         body = plan.split("AdaptiveSparkPlan")[0]
         assert "hashpartitioning" not in body, name
         assert body.count("rangepartitioning") <= 1, name
+        # exactly the ONE deliberate catalog spread may round-robin;
+        # a second means an accidental shuffle crept in (ADVICE r13)
+        assert body.lower().count("roundrobin") <= 1, name
 
 
 def test_lsh_verified_pairs_broadcasts_candidates(spark):

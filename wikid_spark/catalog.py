@@ -50,7 +50,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name in _COMPUTE_DENSE_TABLES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         target = spark.sparkContext.defaultParallelism
-        if _est_scan_splits(sf_dir, name) < target:
+        if _est_scan_splits(sf_dir, name, *_session_split_conf(spark)) < target:
             # see spread_for_compute: unlock every core for the
             # CPU-dense kernels these tables feed; no-op at any scale
             # where the scan itself parallelizes. Filters still push
@@ -84,21 +84,91 @@ _COMPUTE_DENSE_TABLES = frozenset({"documents", "embeddings"})
 
 _SPLIT_EST_CACHE: dict = {}
 
+_SIZE_UNITS = {
+    "": 1, "b": 1,
+    "k": 1024, "kb": 1024,
+    "m": 1024**2, "mb": 1024**2,
+    "g": 1024**3, "gb": 1024**3,
+    "t": 1024**4, "tb": 1024**4,
+    "p": 1024**5, "pb": 1024**5,
+}
 
-def _est_scan_splits(sf_dir: str, name: str) -> int:
+
+def _size_bytes(value, default: int) -> int:
+    """Parse a Spark byte-string conf value ('128MB', '134217728b',
+    '1g', a bare int) to bytes — the same suffix grammar Spark's
+    JavaUtils.byteStringAsBytes accepts, minus negative values."""
+    import re as _re
+
+    if value is None:
+        return default
+    m = _re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", str(value))
+    if not m or m.group(2).lower() not in _SIZE_UNITS:
+        return default
+    return int(m.group(1)) * _SIZE_UNITS[m.group(2).lower()]
+
+
+def _session_split_conf(spark: SparkSession) -> tuple[int, int | None]:
+    """(maxPartitionBytes, explicit minPartitionNum or None) from the
+    SESSION conf, so the split estimate tracks what this session's
+    planner will actually do instead of assuming the 128 MB default
+    (ADVICE r13: a session that overrides either conf made the spread
+    decision diverge from Spark's real plan)."""
+    max_bytes = _size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", None),
+        128 * 1024 * 1024,
+    )
+    raw_min = spark.conf.get("spark.sql.files.minPartitionNum", None)
+    try:
+        min_parts = int(raw_min) if raw_min else None
+    except ValueError:
+        min_parts = None
+    return max_bytes, min_parts
+
+
+def _est_scan_splits(
+    sf_dir: str,
+    name: str,
+    max_bytes: int = 128 * 1024 * 1024,
+    min_partitions: int | None = None,
+) -> int:
     """Estimate how many splits a parquet scan of this table plans,
     from file stats alone (no Spark planning): one split per
-    maxPartitionBytes-sized chunk per file, at least one per file.
-    Cached on the table's content signature. The estimate errs small
-    for many-tiny-file layouts (Spark packs them), which only makes
-    the spread fire more readily — the conservative direction."""
+    split-size chunk per file, at least one per file. Cached on the
+    table's content signature + the conf knobs. The estimate errs
+    small for many-tiny-file layouts (Spark packs them), which only
+    makes the spread fire more readily — the conservative direction.
+
+    ``min_partitions`` models an EXPLICIT spark.sql.files.
+    minPartitionNum: Spark then shrinks the split size to
+    min(maxPartitionBytes, max(openCostInBytes, totalBytes/min)) so
+    the scan plans at least that many splits. We deliberately do NOT
+    model the implicit default (leaf parallelism shrinks splits too):
+    planned-split count overstates REAL parallelism when row groups
+    are coarse — a 500 MB single-row-group file "plans" 32 splits but
+    31 produce zero rows — and the conservative flat-maxPartitionBytes
+    estimate is what the measured 8-11x sf1 wins validated."""
     sig = _table_sig(sf_dir, name)
-    got = _SPLIT_EST_CACHE.get(sig)
+    key = (sig, max_bytes, min_partitions)
+    got = _SPLIT_EST_CACHE.get(key)
     if got is None:
-        max_bytes = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes default
-        got = sum(max(1, -(-size // max_bytes)) for _, size, _ in sig[1])
-        _SPLIT_EST_CACHE[sig] = got
+        split = max_bytes
+        if min_partitions:
+            open_cost = 4 * 1024 * 1024  # spark.sql.files.openCostInBytes
+            total = sum(size + open_cost for _, size, _ in sig[1])
+            split = min(max_bytes, max(open_cost, -(-total // min_partitions)))
+        got = sum(max(1, -(-size // split)) for _, size, _ in sig[1])
+        _SPLIT_EST_CACHE[key] = got
     return got
+
+
+# Logical-plan node names whose presence means the plan ALREADY
+# redistributes (or was already spread): repartition/aggregate/window
+# output lands on spark.sql.shuffle.partitions-many (or target-many)
+# partitions, so a further round-robin spread would be a pure-waste
+# second exchange. Substring match on the logical plan tree rendering
+# — "Repartition" also catches RepartitionByExpression/Operation.
+_EXCHANGE_NODES = ("Repartition", "Aggregate", "Window", "Deduplicate")
 
 
 def spread_for_compute(df: DataFrame) -> DataFrame:
@@ -115,13 +185,62 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     parallelizes. Where it does fire, the exchange moves less data than
     one core's worth of downstream kernel work.
 
+    The decision reads the LOGICAL layout only — never ``df.rdd``,
+    which under AQE finalizes the physical plan and can materialize
+    upstream shuffle/broadcast stages at plan-CONSTRUCTION time, an
+    extra job per call paid again on every streaming micro-batch
+    (ADVICE r13). Three tiers, no Spark job in any of them:
+
+    1. the logical plan already contains an exchange-producing node
+       (Repartition — incl. the catalog's own spread — Aggregate,
+       Window, Deduplicate): no-op;
+    2. file-backed source (``df.inputFiles()`` non-empty — a metadata
+       enumeration, not a job): estimate planned splits from file
+       count/sizes with the session's split conf; no-op when ≥ cores.
+       At 100 TB the file COUNT alone clears the bar before any stat.
+    3. otherwise (micro-batch / local relation — layout unknowable
+       without running a job): spread. Matches the old probe's
+       behavior — foreachBatch frames arrive on a handful of
+       partitions — without its per-batch planning job.
+
     Call it AFTER source filters so parquet predicate pushdown stays
     below the exchange, and only ahead of genuinely compute-bound
     kernels — an IO-shaped filter/project never needs it."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    import os as _os
+    import re as _re
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    plan = df._jdf.queryExecution().logical().toString()
+    if any(node in plan for node in _EXCHANGE_NODES):
         return df
+    # Range relations (spark.range) declare their split count in the
+    # logical node itself — no files, no job needed.
+    m = _re.search(r"Range \(.*splits=Some\((\d+)\)", plan)
+    if m:
+        return df if int(m.group(1)) >= target else df.repartition(target)
+    try:
+        files = df.inputFiles()
+    except Exception:  # streaming frames raise AnalysisException
+        files = []
+    if files:
+        if len(files) >= target:  # ≥1 split per file, no stat needed
+            return df
+        max_bytes, _ = _session_split_conf(spark)
+        est = 0
+        for f in files:
+            local = f[7:] if f.startswith("file://") else f
+            try:
+                size = _os.path.getsize(local)
+            except OSError:
+                # unstattable scheme (object store) with few files:
+                # fall through conservatively as one split per file
+                size = 0
+            est += max(1, -(-size // max_bytes))
+            if est >= target:
+                return df
+        if est >= target:
+            return df
     return df.repartition(target)
 
 
