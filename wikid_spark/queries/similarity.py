@@ -1397,7 +1397,14 @@ def lloyd_train(
         converged = n_cells == prev_k and (
             max_shift is None or max_shift <= tol
         )
+        prev_cents = cents
         cents = newc.select("cent_id", "cemb").localCheckpoint(eager=True)
+        # the round's intermediate (newc) and the superseded previous
+        # round are dead once the new checkpoint materializes — free
+        # their blocks instead of accumulating one K-row generation
+        # per round for the life of the process (round 14)
+        _unpersist_checkpoint(newc)
+        _unpersist_checkpoint(prev_cents)
         prev_k = n_cells
         if converged:
             if not pad_trace:
@@ -1498,13 +1505,16 @@ def sim_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select(
         "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
     )
-    _, trace = lloyd_train(
+    cents, trace = lloyd_train(
         vecs,
         _centroids(emb),
         LLOYD_TRACE_ROUNDS,
         tol=0,
         pad_trace=True,
     )
+    # trace rows are plain tuples — the final centroid checkpoint is
+    # unconsumed here, so release it rather than pin it per call
+    _unpersist_checkpoint(cents)
     return spark.createDataFrame(
         trace, "round int, n_cells bigint, max_shift bigint, total_shift bigint"
     ).orderBy("round")
@@ -1525,7 +1535,80 @@ def _sample_filter(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
     return df.filter((F.col(id_col) % 50 == 0) & (F.col(id_col) < 2000))
 
 
-_TRAINED_INDEX_CACHE: dict = {}
+# ---------------------------------------------------------------------------
+# Train-once / serve-many memo registry (rounds 13-14). One GROUP per
+# (owning SparkSession, sf_dir) holds the trained derived-K index and
+# every residual IVFADC build for that corpus generation; the group is
+# generation-checked on the corpus content fingerprint and the whole
+# registry is LRU-bounded. Eviction is generation-ATOMIC: the residual
+# builds lazily reference the trained build's centroid checkpoint
+# (identical seeds/rounds by design), so dropping the trained half
+# while a residual half lives would truncate lineage under it —
+# releases always unpersist the full group (verdict r13 #3).
+#
+# Keys hold the SparkSession OBJECT, not its applicationId: two
+# sessions of one application (the driver pattern catalog.py
+# documents) own distinct plan/conf state, and a frame built under one
+# must not serve the other (ADVICE r13).
+# ---------------------------------------------------------------------------
+
+_ANN_MEMO: dict = {}  # (SparkSession, sf_dir) -> group dict
+_ANN_MEMO_MAX_GROUPS = 4
+
+
+def _unpersist_checkpoint(df) -> None:
+    """Best-effort release of one eager localCheckpoint's blocks: only
+    frames whose WHOLE plan is the checkpoint (analyzed plan is a
+    LogicalRDD root) are touched — lazy plans that merely reference a
+    shared checkpoint pass through untouched, so a caller can walk a
+    mixed frame tuple without truncating lineage someone else owns."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # stopped session / already released — nothing to free
+
+
+def _ann_memo_release(grp: dict) -> None:
+    """Unpersist every checkpoint a memo group pins (K-row centroids,
+    subs x codes codebooks). The group's frames must not be served
+    after this — localCheckpoint lineage is truncated, so the blocks
+    are the only copy."""
+    frames = list(grp.get("trained") or ())
+    for tup in grp.get("residual", {}).values():
+        frames.extend(tup)
+    for df in frames:
+        _unpersist_checkpoint(df)
+
+
+def _ann_memo_group(spark: SparkSession, sf_dir: str) -> dict:
+    """The live memo group for (session, corpus): fingerprint-checked
+    (a regenerated corpus releases the superseded generation's
+    checkpoints and starts fresh), LRU-ordered (hit moves to the
+    back), bounded at _ANN_MEMO_MAX_GROUPS groups process-wide."""
+    from wikid_spark.catalog import corpus_fingerprint
+
+    fp = corpus_fingerprint(sf_dir, "embeddings")
+    key = (spark, sf_dir)
+    grp = _ANN_MEMO.pop(key, None)  # pop + reinsert = LRU move-to-back
+    if grp is not None and grp["fp"] != fp:
+        _ann_memo_release(grp)
+        grp = None
+    if grp is None:
+        grp = {"fp": fp, "trained": None, "residual": {}}
+    _ANN_MEMO[key] = grp
+    while len(_ANN_MEMO) > _ANN_MEMO_MAX_GROUPS:
+        _ann_memo_release(_ANN_MEMO.pop(next(iter(_ANN_MEMO))))
+    return grp
+
+
+def _drop_ann_memos() -> None:
+    """Release every memoized build (tests / ops seam — the in-memory
+    analogue of `_drop_index_handles`)."""
+    for grp in _ANN_MEMO.values():
+        _ann_memo_release(grp)
+    _ANN_MEMO.clear()
 
 
 def _trained_index(spark: SparkSession, sf_dir: str):
@@ -1535,7 +1618,8 @@ def _trained_index(spark: SparkSession, sf_dir: str):
     report, which audits three depths — shares one training run
     instead of re-training per method.
 
-    Memoized per (Spark application, embeddings content fingerprint):
+    Memoized through `_ann_memo_group` (session + sf_dir key,
+    fingerprint generation check, LRU bound, eviction unpersists):
     in a serving process every trained-family query reuses the one
     training run — the same train-once/serve-many discipline as the
     persisted-index handle cache, minus the disk. Only the K-row
@@ -1544,15 +1628,9 @@ def _trained_index(spark: SparkSession, sf_dir: str):
     corpus-sized is pinned to executor storage and each serve still
     pays exactly its one corpus pass. A regenerated corpus changes the
     fingerprint and retrains (the r12 cache-key discipline)."""
-    from wikid_spark.catalog import corpus_fingerprint
-
-    key = (
-        spark.sparkContext.applicationId,
-        corpus_fingerprint(sf_dir, "embeddings"),
-    )
-    got = _TRAINED_INDEX_CACHE.get(key)
-    if got is not None:
-        return got
+    grp = _ann_memo_group(spark, sf_dir)
+    if grp["trained"] is not None:
+        return grp["trained"]
     emb = table(spark, sf_dir, "embeddings")
     k = derived_k(corpus_rows(sf_dir, "embeddings"))
     qemb = emb.select(
@@ -1569,8 +1647,8 @@ def _trained_index(spark: SparkSession, sf_dir: str):
     a2 = _assign_blas(qemb, cents, top_m=2).select(
         "vec_id", "embedding", "cent_id", "cent_rank"
     )
-    _TRAINED_INDEX_CACHE[key] = (qemb, cents, a2)
-    return qemb, cents, a2
+    grp["trained"] = (qemb, cents, a2)
+    return grp["trained"]
 
 
 def _trained_probe_topk(qemb, cents, a2, nprobe: int) -> DataFrame:
@@ -2015,10 +2093,16 @@ def _pq_train(
 ) -> DataFrame:
     """``rounds`` Lloyd refinements of the seeded codebooks; the
     codebook state (subs x codes rows) localCheckpoints per round
-    (flat lineage, the `lloyd_train` discipline)."""
+    (flat lineage, the `lloyd_train` discipline); superseded rounds
+    unpersist as training advances — only the caller's seed (which it
+    may share, e.g. the recall report's untrained/trained pair) and
+    the returned codebook stay materialized."""
     cb = cb0
     for _ in range(rounds):
-        cb = _pq_lloyd_round(qemb_df, cb, spec).localCheckpoint(eager=True)
+        new = _pq_lloyd_round(qemb_df, cb, spec).localCheckpoint(eager=True)
+        if cb is not cb0:
+            _unpersist_checkpoint(cb)
+        cb = new
     return cb
 
 
@@ -3511,9 +3595,6 @@ def _ivfpq_residual_oracle(nprobe: int, spec: PQSpec = PQ4) -> str:
     """)
 
 
-_RESIDUAL_INDEX_CACHE: dict = {}
-
-
 def _residual_index(
     spark: SparkSession, sf_dir: str, cents=None, spec: PQSpec = PQ4
 ):
@@ -3524,23 +3605,18 @@ def _residual_index(
     (vec_id, cent_id, pqcode) index. Returns (emb, cents, cb,
     rindex).
 
-    The default (``cents=None``) build is memoized per (application,
-    corpus fingerprint, spec) — same discipline as `_trained_index`,
-    which also supplies its cells (identical seeds, rounds and
-    quantized inputs, so reuse ≡ retrain). Only K-row centroid and
-    subs×codes codebook checkpoints are held; the index itself stays
-    a lazy plan. Explicit-``cents`` calls (the recall report's shared
-    chain) bypass the memo."""
-    memo_key = None
+    The default (``cents=None``) build is memoized per spec in the
+    `_ann_memo_group` for (session, sf_dir) — same registry as
+    `_trained_index`, which also supplies its cells (identical seeds,
+    rounds and quantized inputs, so reuse ≡ retrain), so the two
+    halves evict together generation-atomically. Only K-row centroid
+    and subs×codes codebook checkpoints are held; the index itself
+    stays a lazy plan. Explicit-``cents`` calls (the recall report's
+    shared chain) bypass the memo."""
+    grp = None
     if cents is None:
-        from wikid_spark.catalog import corpus_fingerprint
-
-        memo_key = (
-            spark.sparkContext.applicationId,
-            corpus_fingerprint(sf_dir, "embeddings"),
-            spec,
-        )
-        got = _RESIDUAL_INDEX_CACHE.get(memo_key)
+        grp = _ann_memo_group(spark, sf_dir)
+        got = grp["residual"].get(spec)
         if got is not None:
             return got
     emb = table(spark, sf_dir, "embeddings")
@@ -3565,8 +3641,8 @@ def _residual_index(
         "vec_id", "cent_id", *spec.cols
     )
     out = (emb, cents, cb, rindex)
-    if memo_key is not None:
-        _RESIDUAL_INDEX_CACHE[memo_key] = out
+    if grp is not None:
+        grp["residual"][spec] = out
     return out
 
 
