@@ -15,6 +15,8 @@ from __future__ import annotations
 import glob
 import os
 
+import pytest
+
 import wikid_spark.queries.similarity as S
 
 SF = "/root/testdata/sf0.001"
@@ -324,3 +326,41 @@ def test_heal_discards_uncommitted_stage(spark, tmp_path):
     assert rep["healed"] == "cleaned"
     assert not os.path.exists(out + ".stage")
     assert rep["refreshed"] is False  # same corpus → no drift
+
+
+def test_refresh_is_lease_guarded(spark, tmp_path):
+    """Verdict r14 #4: two concurrent refreshers must not interleave
+    the rename pair — the ingest writer-lease protocol guards the
+    swap via the sibling <index>.refresh_lock dir. A second live
+    refresher raises ConcurrentWriterError; a crashed refresher's
+    expired lease is taken over and the successor heals + proceeds;
+    a COMPLETED refresh releases the lease."""
+    import time as _time
+
+    from wikid_spark.streaming import ingest
+
+    out = str(tmp_path / "lease_index")
+    S.persist_ann_index(spark, SF, out)
+    lock = out + ".refresh_lock"
+    # a live holder (fresh heartbeat) blocks a second refresher
+    ingest._acquire_or_renew_lease(lock, "refresh-a", 300.0)
+    with pytest.raises(ingest.ConcurrentWriterError):
+        S.refresh_ann_index(spark, SF, out, writer_id="refresh-b")
+    lease = os.path.join(lock, ingest.LEASE_FILE)
+    with open(lease) as fh:
+        assert fh.read().strip() == "refresh-a"  # intruder didn't steal
+
+    # holder crashed mid-swap: committed stage, live tree moved aside,
+    # lease aged past expiry -> successor takes over, heals, releases
+    S.persist_ann_index(spark, SF2, out + ".stage")
+    os.rename(out, out + ".old")
+    aged = _time.time() - 10_000
+    os.utime(lease, (aged, aged))
+    rep = S.refresh_ann_index(spark, SF2, out, writer_id="refresh-b")
+    assert rep["healed"] == "promoted"
+    assert not os.path.exists(lease), "completed refresh must release"
+
+    # a full forced rebuild under its own fresh lease works + releases
+    rep = S.refresh_ann_index(spark, SF2, out, force=True)
+    assert rep["refreshed"] is True
+    assert not os.path.exists(lease)

@@ -4560,6 +4560,8 @@ def refresh_ann_index(
     index_dir: str,
     ratio: float = REFRESH_DISTORTION_RATIO,
     force: bool = False,
+    writer_id: str | None = None,
+    lease_seconds: float | None = None,
 ) -> dict:
     """Retrain/compact trigger for a `persist_ann_index` build — the
     consumer of the distortion metric sim_pq_index_stats defines.
@@ -4571,51 +4573,81 @@ def refresh_ann_index(
     trigger — into ``<index_dir>.stage``, then promotes with two
     renames (live -> ``.old``, stage -> live) and deletes the old tree.
 
-    Crash-safe, not lock-guarded: every step is re-runnable because
-    `heal_index_swap` runs on entry and replays an interrupted swap
-    from its on-disk state (the staged build commits via its own
-    ``_INDEX_OK`` before any rename touches the live tree). Single
-    refresher assumed — the nightly-job shape; concurrent refreshers
-    need the ingest writer lease (streaming/ingest.py) or
-    conditional-put storage. Renames go through the Hadoop FileSystem
-    API (atomic on HDFS and local fs; on object stores rename is
-    copy — production there keeps versioned index dirs behind a
-    pointer file instead, which `_ensure_persisted_index`'s
+    Crash-safe AND lease-guarded (round 14): the ingest single-writer
+    protocol (streaming/ingest.py ``_WRITER_LEASE``) runs against a
+    sibling lock dir ``<index_dir>.refresh_lock`` — inside the live
+    tree the promotion renames would move the lock out from under its
+    holder. A second live refresher raises ``ConcurrentWriterError``
+    instead of interleaving the rename pair; a crashed refresher's
+    lease expires after ``lease_seconds`` (ingest default) and a
+    successor takes over, where `heal_index_swap` on entry replays any
+    interrupted swap from its on-disk state (the staged build commits
+    via its own ``_INDEX_OK`` before any rename touches the live
+    tree). A COMPLETED refresh releases the lease on exit so the next
+    nightly run proceeds immediately. The lease is heartbeat-renewed
+    after the stage build — the long step — so a slow build under a
+    short lease doesn't silently lose ownership before promotion; the
+    same best-effort envelope as the ingest lease applies (true mutual
+    exclusion on object stores needs conditional-put — swap
+    `_acquire_or_renew_lease` there). Renames go through the Hadoop
+    FileSystem API (atomic on HDFS and local fs; on object stores
+    rename is copy — production there keeps versioned index dirs
+    behind a pointer file instead, which `_ensure_persisted_index`'s
     content-keyed layout already models).
 
     Returns a report: {refreshed, healed, build_mean_distortion,
     current_mean_distortion, drift_ratio, threshold, n_vectors, spec}.
     """
-    healed = heal_index_swap(spark, index_dir)
-    built = load_ann_index_stats(spark, index_dir)
-    current = measure_index_distortion(spark, sf_dir, index_dir)
-    base, cur = built["mean_distortion"], current["mean_distortion"]
-    if base > 0:
-        drift = cur / base
-    else:
-        drift = 1.0 if cur == 0 else float("inf")
-    report = {
-        "refreshed": False,
-        "healed": healed,
-        "build_mean_distortion": base,
-        "current_mean_distortion": cur,
-        "drift_ratio": drift,
-        "threshold": ratio,
-        "n_vectors": current["n_vectors"],
-        "spec": load_ann_index_spec(index_dir, spark)._asdict(),
-    }
-    if not force and drift <= ratio:
+    import uuid
+
+    from wikid_spark.streaming.ingest import (
+        DEFAULT_LEASE_SECONDS,
+        _acquire_or_renew_lease,
+        _assert_lease_held,
+        _release_lease,
+    )
+
+    writer_id = writer_id or f"refresh-{uuid.uuid4().hex[:12]}"
+    lease_s = DEFAULT_LEASE_SECONDS if lease_seconds is None else lease_seconds
+    lock_dir = index_dir + ".refresh_lock"
+    _acquire_or_renew_lease(lock_dir, writer_id, lease_s)
+    try:
+        healed = heal_index_swap(spark, index_dir)
+        built = load_ann_index_stats(spark, index_dir)
+        current = measure_index_distortion(spark, sf_dir, index_dir)
+        base, cur = built["mean_distortion"], current["mean_distortion"]
+        if base > 0:
+            drift = cur / base
+        else:
+            drift = 1.0 if cur == 0 else float("inf")
+        report = {
+            "refreshed": False,
+            "healed": healed,
+            "build_mean_distortion": base,
+            "current_mean_distortion": cur,
+            "drift_ratio": drift,
+            "threshold": ratio,
+            "n_vectors": current["n_vectors"],
+            "spec": load_ann_index_spec(index_dir, spark)._asdict(),
+        }
+        if not force and drift <= ratio:
+            return report
+        stage = index_dir + ".stage"
+        _fs_delete(spark, stage)
+        spec = persist_ann_index(spark, sf_dir, stage)  # spec rederived
+        # renew the heartbeat after the long build, and prove we still
+        # own the target before the promotion renames
+        _acquire_or_renew_lease(lock_dir, writer_id, lease_s)
+        _assert_lease_held(lock_dir, writer_id)
+        _drop_index_handles(index_dir)
+        old = index_dir + ".old"
+        _fs_rename(spark, index_dir, old)
+        _fs_rename(spark, stage, index_dir)
+        _fs_delete(spark, old)
+        report.update(refreshed=True, spec=spec._asdict())
         return report
-    stage = index_dir + ".stage"
-    _fs_delete(spark, stage)
-    spec = persist_ann_index(spark, sf_dir, stage)  # spec rederived
-    _drop_index_handles(index_dir)
-    old = index_dir + ".old"
-    _fs_rename(spark, index_dir, old)
-    _fs_rename(spark, stage, index_dir)
-    _fs_delete(spark, old)
-    report.update(refreshed=True, spec=spec._asdict())
-    return report
+    finally:
+        _release_lease(lock_dir, writer_id)
 
 
 @query(

@@ -430,6 +430,27 @@ def _acquire_or_renew_lease(
         )
 
 
+def _release_lease(target_dir: str, writer_id: str) -> None:
+    """Drop the lease iff we still hold it — a finished one-shot
+    holder (e.g. a completed index refresh) releases so the NEXT
+    writer proceeds immediately instead of waiting out the heartbeat
+    expiry. A crashed holder never reaches this and its lease expires
+    normally; losing a takeover race between the read and the remove
+    deletes the usurper's fresh lease in the worst case, which only
+    makes the usurper's next heartbeat re-create it (same best-effort
+    envelope as `_acquire_or_renew_lease` on rename-only storage)."""
+    import os
+
+    path = os.path.join(target_dir, LEASE_FILE)
+    try:
+        with open(path) as f:
+            if f.read().strip() != writer_id:
+                return
+        os.remove(path)
+    except OSError:
+        pass
+
+
 def _assert_lease_held(target_dir: str, writer_id: str) -> None:
     import os
 
