@@ -364,3 +364,27 @@ def test_multitable_lsh_scores_each_pair_once(spark):
         "cosine evaluated below the pair dedup — scored once per "
         "table collision instead of once per pair"
     )
+
+
+def test_incremental_dedup_builds_without_running_jobs(spark):
+    """ADVICE r13: CONSTRUCTING nd_incremental_dedup must not execute
+    corpus signature jobs (the old eager localCheckpoints ran two full
+    passes at plan-build time — paid even by explain-only paths), and
+    the reuse cuts are lazy persists that keep lineage (executor loss
+    recomputes instead of failing on a truncated local checkpoint)."""
+    st = spark.sparkContext.statusTracker()
+    before = set(st.getJobIdsForGroup(None))
+    df = all_queries()["nd_incremental_dedup"].fn(spark, SF)
+    after = set(st.getJobIdsForGroup(None))
+    # the only jobs allowed at build are 1-task parquet footer/schema
+    # reads (inherent to spark.read.parquet); a corpus pass would show
+    # a multi-task stage
+    for j in sorted(after - before):
+        info = st.getJobInfo(j)
+        for sid in info.stageIds:
+            si = st.getStageInfo(sid)
+            assert si is None or si.numTasks <= 1, (
+                f"plan construction ran a data job: stage {sid} "
+                f"({si.name}, {si.numTasks} tasks)"
+            )
+    assert len(df.collect()) > 0  # still executes end-to-end

@@ -945,7 +945,16 @@ def nd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash pass. The band table is |docs| × N_BANDS thin rows —
     # checkpoint-sized at any SF the bench runs; the production form
     # reads a persisted index instead (streaming/dedup_ingest).
-    bands = _band_table(spark, sf_dir).localCheckpoint(eager=True)
+    # LAZY disk-backed persist, not an eager localCheckpoint (ADVICE
+    # r13): constructing this DataFrame must not run corpus signature
+    # jobs (explain-only paths, registry enumeration), and persist
+    # keeps LINEAGE — an executor lost after materialization
+    # recomputes the blocks instead of failing the query the way a
+    # truncated local checkpoint does. The CacheManager dedupes by
+    # canonicalized plan, so repeated builds share one cache entry.
+    from pyspark import StorageLevel
+
+    bands = _band_table(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
     nb = bands.filter(is_new).select(
         F.col("doc_id").alias("new_id"), "band", "sig"
     )
@@ -956,11 +965,12 @@ def nd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cb.join(F.broadcast(nb), ["band", "sig"])
         .select("new_id", "old_id")
         .dropDuplicates()
-        # materialized once: the pair set is tiny (bounded by batch ×
-        # bucket occupancy, already broadcast below) but its subtree
-        # holds the FULL corpus band pass — every downstream reference
-        # would re-sign the corpus without this cut
-        .localCheckpoint(eager=True)
+        # cached once at first action: the pair set is tiny (bounded
+        # by batch × bucket occupancy, already broadcast below) but
+        # its subtree holds the FULL corpus band pass — every
+        # downstream reference would re-sign the corpus without this
+        # cut. Lazy persist for the same reasons as `bands` above.
+        .persist(StorageLevel.DISK_ONLY)
     )
     # exact-Jaccard verify on candidates only (same funnel as
     # nd_lsh_verified_pairs: broadcast the tiny pair set into the
