@@ -4250,6 +4250,11 @@ def persist_ann_index(
     )
     _fs_write_text(spark, f"{out_dir}/spec.json", json.dumps(spec._asdict()))
     _fs_write_text(spark, f"{out_dir}/{_INDEX_OK}")
+    # the build's scaffolding checkpoints are fully consumed by the
+    # writes/stats above — free their blocks (round 14: a nightly
+    # build loop otherwise pins one generation per run)
+    for df in (cents, cb, encoded):
+        _unpersist_checkpoint(df)
     return spec
 
 
@@ -4645,6 +4650,214 @@ def refresh_ann_index(
         _fs_rename(spark, stage, index_dir)
         _fs_delete(spark, old)
         report.update(refreshed=True, spec=spec._asdict())
+        return report
+    finally:
+        _release_lease(lock_dir, writer_id)
+
+
+# ---------------------------------------------------------------------------
+# Versioned / pointer index layout (round 14): the OBJECT-STORE
+# promotion path. `refresh_ann_index`'s rename-pair promotion is
+# atomic on HDFS/local rename but a COPY on S3/GCS/ABFS — a reader can
+# observe a half-copied live tree. This layout never renames a
+# directory: every build lands in an immutable content-keyed
+# `<root>/versions/<vid>/` (committed by its own _INDEX_OK, the
+# persist_ann_index contract), and promotion is ONE single-object
+# overwrite of the `<root>/CURRENT` pointer — a whole-object PUT,
+# atomic on every major object store. Crash anywhere leaves either
+# the old pointer (safe: old version dirs are never mutated) or a
+# committed-but-unpointed version (the next refresh flips the pointer
+# without rebuilding — the ids are content-keyed, so the decision is
+# deterministic from storage alone).
+#
+# Serving: resolve_current_index() -> dir, then the normal
+# serve_persisted_topk / load_ann_index path. A version dir's content
+# never changes after commit, so hold-open handles are NEVER stale —
+# the pointer flip needs no handle invalidation, and in-flight serves
+# against the superseded version keep working until gc_index_versions
+# (keep >= 2 gives one full swap of grace).
+# ---------------------------------------------------------------------------
+
+_CURRENT_PTR = "CURRENT"
+
+
+def _fs_list_names(spark: SparkSession, path: str) -> list[str]:
+    fs, p = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return []
+    return sorted(st.getPath().getName() for st in fs.listStatus(p))
+
+
+def index_version_id(sf_dir: str, spec: PQSpec) -> str:
+    """Content-keyed version id: digest of (corpus content fingerprint,
+    spec). Identical corpus bytes + spec always map to one version
+    dir, so racing publishers converge on the same immutable artifacts
+    (persist_ann_index is deterministic) and re-publishing an
+    unchanged corpus is a pointer no-op, not a rebuild."""
+    import hashlib
+
+    from wikid_spark.catalog import corpus_fingerprint
+
+    fp = corpus_fingerprint(sf_dir, "embeddings")
+    return hashlib.md5(f"{fp}|{spec.subs}x{spec.codes}".encode()).hexdigest()[:16]
+
+
+def read_current_version(spark: SparkSession, root: str) -> str | None:
+    if not _fs_exists(spark, f"{root}/{_CURRENT_PTR}"):
+        return None
+    vid = _fs_read_text(spark, f"{root}/{_CURRENT_PTR}").strip()
+    return vid or None
+
+
+def resolve_current_index(spark: SparkSession, root: str) -> str:
+    """The live version dir the pointer names. Retries briefly: on
+    filesystems where the overwrite is create+truncate (local/HDFS)
+    a reader can catch the pointer mid-write; on object stores the
+    PUT is atomic and the first read wins."""
+    import time as _time
+
+    for _ in range(3):
+        vid = read_current_version(spark, root)
+        if vid:
+            vdir = f"{root}/versions/{vid}"
+            if _fs_exists(spark, f"{vdir}/{_INDEX_OK}"):
+                return vdir
+        _time.sleep(0.05)
+    raise FileNotFoundError(
+        f"no committed CURRENT index under {root!r} — publish one with "
+        "publish_index_version()"
+    )
+
+
+def publish_index_version(
+    spark: SparkSession, sf_dir: str, root: str, spec: PQSpec | None = None
+) -> dict:
+    """Build (if absent) the version for the corpus's CURRENT bytes and
+    flip the pointer to it. Idempotent at every step: a crashed
+    publisher leaves either an uncommitted partial (deleted and
+    rebuilt here — never GC'd blindly, see gc_index_versions) or a
+    committed-but-unpointed version (reused; only the pointer write
+    re-runs). Returns {version, dir, built, previous}."""
+    if spec is None:
+        spec = pq_spec_for(corpus_rows(sf_dir, "embeddings"))
+    vid = index_version_id(sf_dir, spec)
+    vdir = f"{root}/versions/{vid}"
+    built = False
+    if not _fs_exists(spark, f"{vdir}/{_INDEX_OK}"):
+        _fs_delete(spark, vdir)  # our own crashed partial, if any
+        persist_ann_index(spark, sf_dir, vdir, spec)
+        built = True
+    prev = read_current_version(spark, root)
+    if prev != vid:
+        _fs_write_text(spark, f"{root}/{_CURRENT_PTR}", vid)
+    return {"version": vid, "dir": vdir, "built": built, "previous": prev}
+
+
+def gc_index_versions(spark: SparkSession, root: str, keep: int = 2) -> list[str]:
+    """Delete committed versions beyond the ``keep`` most recently
+    committed (the CURRENT version is always retained regardless).
+    ``keep >= 2`` leaves the previously-current version alive for
+    in-flight serves that resolved the pointer before the last flip.
+    UNCOMMITTED dirs are left alone — one may be another publisher's
+    in-progress build; the publisher that owns a partial deletes it
+    itself on retry. Returns the deleted version ids."""
+    current = read_current_version(spark, root)
+    fs, _ = _fs_and_path(spark, root)
+    committed: list[tuple[int, str]] = []
+    for name in _fs_list_names(spark, f"{root}/versions"):
+        ok = f"{root}/versions/{name}/{_INDEX_OK}"
+        if not _fs_exists(spark, ok):
+            continue
+        _, okp = _fs_and_path(spark, ok)
+        committed.append((fs.getFileStatus(okp).getModificationTime(), name))
+    committed.sort(reverse=True)  # newest commit first
+    keep_ids = {name for _, name in committed[: max(keep, 1)]}
+    if current:
+        keep_ids.add(current)
+    dropped = []
+    for _, name in committed:
+        if name not in keep_ids:
+            _fs_delete(spark, f"{root}/versions/{name}")
+            dropped.append(name)
+    return dropped
+
+
+def refresh_ann_index_versioned(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str,
+    ratio: float = REFRESH_DISTORTION_RATIO,
+    force: bool = False,
+    writer_id: str | None = None,
+    lease_seconds: float | None = None,
+    keep: int = 2,
+) -> dict:
+    """`refresh_ann_index`'s trigger semantics on the pointer layout:
+    measure the corpus's distortion under the CURRENT version; past
+    ``ratio`` x its build-time baseline (or ``force``), publish the
+    version for the corpus's current bytes and GC old generations.
+    Same single-writer lease as the rename-pair refresh (lock dir
+    ``<root>/.refresh_lock``); the promotion itself is the atomic
+    pointer PUT, so even a lease near-miss cannot produce a
+    half-promoted tree — the loser merely re-points to the same
+    content-keyed version. Bootstraps an empty root (no CURRENT) by
+    publishing unconditionally."""
+    import uuid
+
+    from wikid_spark.streaming.ingest import (
+        DEFAULT_LEASE_SECONDS,
+        _acquire_or_renew_lease,
+        _release_lease,
+    )
+
+    writer_id = writer_id or f"refresh-{uuid.uuid4().hex[:12]}"
+    lease_s = DEFAULT_LEASE_SECONDS if lease_seconds is None else lease_seconds
+    lock_dir = root + "/.refresh_lock"
+    _acquire_or_renew_lease(lock_dir, writer_id, lease_s)
+    try:
+        current_vid = read_current_version(spark, root)
+        if current_vid is None or not _fs_exists(
+            spark, f"{root}/versions/{current_vid}/{_INDEX_OK}"
+        ):
+            pub = publish_index_version(spark, sf_dir, root)
+            return {
+                "refreshed": True,
+                "healed": "bootstrapped",
+                "version": pub["version"],
+                "previous": pub["previous"],
+                "built": pub["built"],
+                "dropped": gc_index_versions(spark, root, keep),
+            }
+        cdir = f"{root}/versions/{current_vid}"
+        built_stats = load_ann_index_stats(spark, cdir)
+        current = measure_index_distortion(spark, sf_dir, cdir)
+        base, cur = built_stats["mean_distortion"], current["mean_distortion"]
+        if base > 0:
+            drift = cur / base
+        else:
+            drift = 1.0 if cur == 0 else float("inf")
+        report = {
+            "refreshed": False,
+            "healed": "clean",
+            "version": current_vid,
+            "build_mean_distortion": base,
+            "current_mean_distortion": cur,
+            "drift_ratio": drift,
+            "threshold": ratio,
+            "n_vectors": current["n_vectors"],
+        }
+        if not force and drift <= ratio:
+            return report
+        # renew after the measurement pass, then publish + GC
+        _acquire_or_renew_lease(lock_dir, writer_id, lease_s)
+        pub = publish_index_version(spark, sf_dir, root)
+        report.update(
+            refreshed=True,
+            version=pub["version"],
+            previous=pub["previous"],
+            built=pub["built"],
+            dropped=gc_index_versions(spark, root, keep),
+        )
         return report
     finally:
         _release_lease(lock_dir, writer_id)
