@@ -945,16 +945,22 @@ def nd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash pass. The band table is |docs| × N_BANDS thin rows —
     # checkpoint-sized at any SF the bench runs; the production form
     # reads a persisted index instead (streaming/dedup_ingest).
-    # LAZY disk-backed persist, not an eager localCheckpoint (ADVICE
-    # r13): constructing this DataFrame must not run corpus signature
-    # jobs (explain-only paths, registry enumeration), and persist
-    # keeps LINEAGE — an executor lost after materialization
-    # recomputes the blocks instead of failing the query the way a
-    # truncated local checkpoint does. The CacheManager dedupes by
-    # canonicalized plan, so repeated builds share one cache entry.
-    from pyspark import StorageLevel
-
-    bands = _band_table(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
+    # Eager localCheckpoint, deliberately (ADVICE r13 proposed lazy
+    # persist/deferred cuts; measured and REJECTED in round 14): the
+    # cut exists to truncate the PLAN, not just to reuse blocks — the
+    # band subtree is referenced ~8x downstream (nb/cb, relevant x2,
+    # the broadcast probes), and with persist() Catalyst re-analyzes
+    # the exponentially duplicated tree on EVERY action: 4.1-4.2 s/run
+    # steady-state vs 1.6 s checkpointed at sf0.1, pure driver-side
+    # planning (DISK_ONLY and MEMORY_AND_DISK identical — it is not
+    # IO). localCheckpoint(eager=False) is no escape: AQE materializes
+    # every shuffle stage of the subtree while CONSTRUCTING the
+    # LogicalRDD, so the "lazy" form still runs the corpus pass at
+    # build. The build-time job is the lesser evil; the non-reliable-
+    # storage caveat (executor loss after the cut forfeits lineage)
+    # stands as documented — production ingest uses the persisted LSH
+    # index (streaming/dedup_ingest), not this self-signing form.
+    bands = _band_table(spark, sf_dir).localCheckpoint(eager=True)
     nb = bands.filter(is_new).select(
         F.col("doc_id").alias("new_id"), "band", "sig"
     )
@@ -965,12 +971,12 @@ def nd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cb.join(F.broadcast(nb), ["band", "sig"])
         .select("new_id", "old_id")
         .dropDuplicates()
-        # cached once at first action: the pair set is tiny (bounded
-        # by batch × bucket occupancy, already broadcast below) but
-        # its subtree holds the FULL corpus band pass — every
-        # downstream reference would re-sign the corpus without this
-        # cut. Lazy persist for the same reasons as `bands` above.
-        .persist(StorageLevel.DISK_ONLY)
+        # materialized once: the pair set is tiny (bounded by batch ×
+        # bucket occupancy, already broadcast below) but its subtree
+        # holds the FULL corpus band pass — every downstream reference
+        # would re-sign the corpus (and re-plan the duplicated tree,
+        # see the bands note above) without this cut
+        .localCheckpoint(eager=True)
     )
     # exact-Jaccard verify on candidates only (same funnel as
     # nd_lsh_verified_pairs: broadcast the tiny pair set into the
