@@ -87,6 +87,9 @@ HEADLINE = [
     # auto entry (width/K/nprobe derived from the corpus rowcount):
     "sim_ivfpq8_serve_persisted",
     "sim_ann_auto_topk",
+    # round-14 addition: hybrid lexical+dense retrieval fused by RRF
+    # (composes the FTS and ANN engines in one plan):
+    "fts_hybrid_rrf_topk",
 ]
 
 

@@ -381,3 +381,15 @@ def test_incremental_dedup_plan_is_cut_at_the_band_table(spark):
     # full minhash expression tree does NOT reappear downstream
     assert plan.count("LogicalRDD") >= 2
     assert "md5" not in plan  # signature kernel lives behind the cut
+
+
+def test_hybrid_rrf_topk_plan_shape(spark):
+    """Both retrieval lists must end in TakeOrderedAndProject (top-20
+    rows cross the wire, never a global sort of the candidate sets),
+    the dense side's query vector must broadcast, and the ≤20-row
+    fusion join must never shuffle corpus-scale data."""
+    plan = _plan(spark, "fts_hybrid_rrf_topk")
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -296,3 +296,150 @@ def fts_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_search(_index(spark, sf_dir), "spark", "vector", n=5).orderBy(
         "doc"
     )
+
+
+@query(
+    "fts_hybrid_rrf_topk",
+    oracle=f"""
+    WITH {_POSTINGS_CTE},
+    corpus AS (
+      SELECT COUNT(DISTINCT doc) AS n_docs,
+             AVG(doc_len) AS avgdl
+      FROM (SELECT DISTINCT doc, doc_len FROM postings)
+    ),
+    tf AS (
+      SELECT term, doc, doc_len, COUNT(*) AS tf
+      FROM postings
+      WHERE term IN ('spark', 'vector')
+      GROUP BY term, doc, doc_len
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc) AS df FROM tf GROUP BY term
+    ),
+    bm AS (
+      SELECT doc,
+             ROUND(SUM(
+               ln(1 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.doc_len / corpus.avgdl))
+             ), 4) AS score
+      FROM tf, df, corpus
+      WHERE tf.term = df.term
+      GROUP BY doc
+    ),
+    tlist AS (
+      SELECT doc, r AS text_rank FROM (
+        SELECT doc, ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS r
+        FROM bm)
+      WHERE r <= 20
+    ),
+    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    ds AS (
+      SELECT e.vec_id AS doc,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                          qv.qe::DOUBLE[]), 4) AS sim
+      FROM embeddings e, qv
+      WHERE e.vec_id <> 0
+    ),
+    vlist AS (
+      SELECT doc, r AS vec_rank FROM (
+        SELECT doc, ROW_NUMBER() OVER (ORDER BY sim DESC, doc) AS r
+        FROM ds)
+      WHERE r <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(t.doc, v.doc) AS doc,
+             ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + t.text_rank),
+                            CAST(0.0 AS DOUBLE))
+                   + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.vec_rank),
+                              CAST(0.0 AS DOUBLE)), 6) AS rrf,
+             t.text_rank, v.vec_rank
+      FROM tlist t FULL OUTER JOIN vlist v ON t.doc = v.doc
+    )
+    SELECT doc, rrf, text_rank, vec_rank
+    FROM fused ORDER BY rrf DESC, doc LIMIT 10
+    """,
+    tags=("fts", "similarity", "hybrid", "rrf"),
+)
+def fts_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical list + dense cosine list fused by
+    reciprocal-rank fusion (RRF, Cormack et al. 2009: score =
+    Σ 1/(k + rank), k = 60) — the composition a RAG/retrieval data
+    pipeline runs over exactly the two engines this repo certifies
+    separately (S4 FTS index + the ANN family). One hybrid query:
+    SEARCH_TERMS on the text side, doc 0's embedding on the dense side
+    (embeddings.vec_id IS documents.doc_id — the catalog contract).
+
+    Scale shape: the BM25 list is the certified docs-direct scoring
+    pass ending in a global top-20 via TakeOrderedAndProject (20 rows
+    cross the wire, never a global sort); the dense list is ONE corpus
+    pass against a broadcast query vector with the same top-20 shape;
+    ranks are assigned by a window over the ≤20-row survivors and the
+    fusion is a full-outer join of two ≤20-row frames — driver-scale,
+    corpus-independent. Both lists rank on ROUNDED scores with doc-id
+    tiebreaks so cross-engine float noise cannot reorder (the
+    sim_ann_brute discipline); RRF sums exactly two correctly-rounded
+    double terms, so the fused score is bit-identical in DuckDB."""
+    from pyspark.sql import Window
+
+    from wikid_spark.functions.vectors import cosine_similarity
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+
+    bm = bm25_from_docs(docs, "doc_id", "text", SEARCH_TERMS).select(
+        "doc", F.round("score", 4).alias("score")
+    )
+    top_t = bm.orderBy(F.desc("score"), "doc").limit(20)
+    wt = Window.orderBy(F.desc("score"), "doc")  # 20 rows: rank locally
+    tlist = top_t.select(
+        "doc", F.row_number().over(wt).alias("text_rank")
+    )
+
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    ds = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qe")), 4
+            ).alias("sim"),
+        )
+    )
+    top_v = ds.orderBy(F.desc("sim"), "doc").limit(20)
+    wv = Window.orderBy(F.desc("sim"), "doc")
+    vlist = top_v.select("doc", F.row_number().over(wv).alias("vec_rank"))
+
+    # fusion as union + hash-agg, not a full-outer join: Spark plans
+    # full outer as SortMergeJoin even for 20-row sides; the union agg
+    # is join-free (one ≤40-row HashAggregate). Sum order is
+    # immaterial: at most two double terms per doc, and float addition
+    # of two terms is commutative bit-for-bit.
+    one = F.lit(1.0)
+    tl = tlist.select(
+        "doc",
+        (one / (F.lit(60) + F.col("text_rank"))).alias("contrib"),
+        "text_rank",
+        F.lit(None).cast("int").alias("vec_rank"),
+    )
+    vl = vlist.select(
+        "doc",
+        (one / (F.lit(60) + F.col("vec_rank"))).alias("contrib"),
+        F.lit(None).cast("int").alias("text_rank"),
+        "vec_rank",
+    )
+    fused = (
+        tl.unionByName(vl)
+        .groupBy("doc")
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("rrf"),
+            F.max("text_rank").alias("text_rank"),
+            F.max("vec_rank").alias("vec_rank"),
+        )
+    )
+    return fused.select("doc", "rrf", "text_rank", "vec_rank").orderBy(
+        F.desc("rrf"), "doc"
+    ).limit(10)
