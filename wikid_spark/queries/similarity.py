@@ -5057,3 +5057,130 @@ def sim_ann_auto_balanced_topk(
     rows ~2·n^(3/4) (sub-linear), recall between budget's fixed-depth
     decay and high's bounded-bytes 0.91."""
     return ann_auto_topk(spark, sf_dir, tier="balanced")
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification (round 14): the retrieval post-processor a RAG /
+# training-data pipeline runs after top-k — greedy maximal marginal
+# relevance (Carbonell & Goldstein 1998): repeatedly pick the
+# candidate maximizing λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s).
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_POOL = 20
+_MMR_K = 5
+
+
+def _mmr_oracle(k: int = _MMR_K, pool: int = _MMR_POOL) -> str:
+    """Unrolled k-step greedy as MATERIALIZED CTEs (the lloyd-trace
+    oracle discipline: each step is referenced by every later step —
+    inlining would double the tree per step). All similarities are
+    ROUND(...,4) before any arithmetic, the λ-blend is pure
+    correctly-rounded double ops, so each step's argmax is
+    bit-identical to the Spark/driver greedy."""
+    L, M = "CAST(0.7 AS DOUBLE)", "CAST(0.3 AS DOUBLE)"
+    ctes = [
+        "qv AS MATERIALIZED (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)",
+        f"""cands AS MATERIALIZED (
+      SELECT doc, simq, embedding FROM (
+        SELECT e.vec_id AS doc,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            qv.qe::DOUBLE[]), 4) AS simq,
+               e.embedding
+        FROM embeddings e, qv WHERE e.vec_id <> 0
+        ORDER BY simq DESC, doc LIMIT {pool})
+    )""",
+        """pairs AS MATERIALIZED (
+      SELECT a.doc AS a, b.doc AS b,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 4) AS s
+      FROM cands a, cands b WHERE a.doc <> b.doc
+    )""",
+    ]
+    for i in range(1, k + 1):
+        prev = " UNION ALL ".join(f"SELECT doc FROM s{j}" for j in range(1, i))
+        not_in = f"WHERE c.doc NOT IN ({prev})" if prev else ""
+        max_term = (
+            f"COALESCE((SELECT MAX(p.s) FROM pairs p WHERE p.a = c.doc "
+            f"AND p.b IN ({prev})), CAST(0.0 AS DOUBLE))"
+            if prev
+            else "CAST(0.0 AS DOUBLE)"
+        )
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+      SELECT c.doc, {L} * c.simq - {M} * {max_term} AS score
+      FROM cands c {not_in}
+      ORDER BY score DESC, c.doc LIMIT 1
+    )"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS pos, doc, ROUND(score, 6) AS score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return f"WITH {', '.join(ctes)}\nSELECT pos, doc, score FROM ({selects}) ORDER BY pos"
+
+
+@query(
+    "sim_mmr_diversified_topk",
+    oracle=_mmr_oracle(),
+    tags=("similarity", "mmr", "retrieval", "iterative"),
+)
+def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR re-ranking of the top-20 cosine candidates
+    for the fixed query vector (doc 0's embedding): 5 picks at
+    λ = 0.7. Relevance and pairwise redundancy similarities
+    are both computed DISTRIBUTED and rounded to 4 decimals there; the
+    greedy loop itself runs driver-side over the collected
+    20-row pool (20² pairwise rows) — the sanctioned
+    k-bounded iterative pattern (Lloyd/BPE discipline): the collect is
+    pool-bounded and corpus-INDEPENDENT, the corpus-scale work (the
+    candidate scan) stays a TakeOrderedAndProject top-k. Tie-breaks on
+    doc id everywhere; the λ-blend is two correctly-rounded double
+    multiplies and a subtraction on 4-rounded inputs, so every pick is
+    bit-identical in the DuckDB unrolled-CTE twin."""
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qe")), 4
+            ).alias("simq"),
+            "embedding",
+        )
+        .orderBy(F.desc("simq"), "doc")
+        .limit(_MMR_POOL)
+    )
+    pool = cand.localCheckpoint(eager=True)  # pool-sized; reused 2x below
+    a = pool.select(F.col("doc").alias("a"), F.col("embedding").alias("ea"))
+    b = pool.select(F.col("doc").alias("b"), F.col("embedding").alias("eb"))
+    pair = a.join(F.broadcast(b), F.col("a") != F.col("b")).select(
+        "a",
+        "b",
+        F.round(cosine_similarity(F.col("ea"), F.col("eb")), 4).alias("s"),
+    )
+    simq = {r["doc"]: r["simq"] for r in pool.select("doc", "simq").collect()}  # k-bounded collect
+    sims = {(r["a"], r["b"]): r["s"] for r in pair.collect()}  # k-bounded collect
+    _unpersist_checkpoint(pool)
+
+    lam, mu = _MMR_LAMBDA, 1.0 - _MMR_LAMBDA
+    picked: list[tuple[int, int, float]] = []
+    selected: list[int] = []
+    for pos in range(1, _MMR_K + 1):
+        best = None
+        for doc in sorted(simq):
+            if doc in selected:
+                continue
+            mx = max((sims[(doc, s)] for s in selected), default=0.0)
+            score = lam * simq[doc] - mu * mx
+            if best is None or score > best[1]:
+                best = (doc, score)
+        picked.append((pos, best[0], round(best[1], 6)))
+        selected.append(best[0])
+    return spark.createDataFrame(
+        picked, "pos int, doc bigint, score double"
+    ).orderBy("pos")
