@@ -5184,3 +5184,73 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picked, "pos int, doc bigint, score double"
     ).orderBy("pos")
+
+
+@query(
+    "sim_hard_negatives_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+      FROM embeddings WHERE {_QUERY_SAMPLE_SQL}
+    ),
+    sims AS (
+      SELECT q.query_id, q.qlabel, e.vec_id AS negative_id,
+             e.label AS neg_label,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                          q.qe::DOUBLE[]), 4) AS sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, negative_id) AS rn
+      FROM sims
+    )
+    SELECT query_id, negative_id, qlabel, neg_label, sim, rn
+    FROM ranked WHERE rn <= 3
+    ORDER BY query_id, rn
+    """,
+    tags=("similarity", "mining", "contrastive"),
+)
+def sim_hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per
+    sampled query, the top-3 most-similar corpus vectors whose LABEL
+    differs — the nearest wrong-class examples, exactly what a
+    triplet/InfoNCE data pipeline mines per anchor. Same certified
+    shape as `sim_ann_brute_topk` (broadcast query side, one corpus
+    pass, rank on the ROUNDED sim with id tiebreaks) plus the label
+    anti-predicate evaluated IN the scan pass — at scale the
+    composition with the IVF family applies unchanged (probe cells,
+    then the label filter), since the filter is per-row and commutes
+    with any candidate generation."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = _sample_filter(emb).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("qlabel"))
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("negative_id"),
+            "qlabel",
+            F.col("label").alias("neg_label"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qe")), 4
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("negative_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "negative_id", "qlabel", "neg_label", "sim", "rn")
+        .orderBy("query_id", "rn")
+    )
