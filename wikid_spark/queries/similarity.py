@@ -1589,8 +1589,12 @@ def _ann_memo_group(spark: SparkSession, sf_dir: str) -> dict:
     back), bounded at _ANN_MEMO_MAX_GROUPS groups process-wide."""
     from wikid_spark.catalog import corpus_fingerprint
 
+    import os as _os
+
     fp = corpus_fingerprint(sf_dir, "embeddings")
-    key = (spark, sf_dir)
+    # abspath the dir so "./sf0.01" and its absolute form share one
+    # group (the _ensure_persisted_index key discipline)
+    key = (spark, _os.path.abspath(sf_dir))
     grp = _ANN_MEMO.pop(key, None)  # pop + reinsert = LRU move-to-back
     if grp is not None and grp["fp"] != fp:
         _ann_memo_release(grp)
@@ -5179,6 +5183,8 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             score = lam * simq[doc] - mu * mx
             if best is None or score > best[1]:
                 best = (doc, score)
+        if best is None:  # pool exhausted (degenerate/tiny corpus) —
+            break  # emit what exists, matching the oracle's empty CTEs
         picked.append((pos, best[0], round(best[1], 6)))
         selected.append(best[0])
     return spark.createDataFrame(
