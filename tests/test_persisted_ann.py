@@ -364,3 +364,17 @@ def test_refresh_is_lease_guarded(spark, tmp_path):
     rep = S.refresh_ann_index(spark, SF2, out, force=True)
     assert rep["refreshed"] is True
     assert not os.path.exists(lease)
+
+
+def test_handle_cache_is_session_not_application(spark, tmp_path):
+    """ADVICE r13 discipline applied to the handle cache too: two
+    sessions of ONE application get distinct hold-open handles (the
+    cached DataFrames are session-bound plans)."""
+    out = str(tmp_path / "handle_sessions")
+    S.persist_ann_index(spark, SF, out)
+    h1 = S.load_ann_index(spark, out)
+    assert S.load_ann_index(spark, out) is h1  # same session memo-hits
+    other = spark.newSession()
+    h2 = S.load_ann_index(other, out)
+    assert h2 is not h1
+    assert h2.rindex.sparkSession is other

@@ -4320,11 +4320,14 @@ def load_ann_index(
     spark: SparkSession, index_dir: str, spec: PQSpec | None = None
 ) -> AnnIndexHandle:
     """Load (or reuse) the hold-open handle for a committed
-    `persist_ann_index` build. Cached per (Spark application,
-    index_dir): repeated `serve_persisted_topk` calls in one session —
-    the driver's per-round reruns, a serving loop — share one listing
+    `persist_ann_index` build. Cached per (owning SparkSession OBJECT,
+    index_dir) — the session, not the applicationId, because the
+    handle's DataFrames are session-bound plans (the `_ann_memo_group`
+    key discipline; two sessions of one application must not share
+    them). Repeated `serve_persisted_topk` calls in one session — the
+    driver's per-round reruns, a serving loop — share one listing
     instead of paying a full-width listing stage per serve."""
-    key = (spark.sparkContext.applicationId, index_dir)
+    key = (spark, index_dir)
     cached = _INDEX_HANDLE_CACHE.get(key)
     if cached is not None:
         return cached
