@@ -166,9 +166,26 @@ def _est_scan_splits(
 # redistributes (or was already spread): repartition/aggregate/window
 # output lands on spark.sql.shuffle.partitions-many (or target-many)
 # partitions, so a further round-robin spread would be a pure-waste
-# second exchange. Substring match on the logical plan tree rendering
-# — "Repartition" also catches RepartitionByExpression/Operation.
+# second exchange. Compared against each tree node's nodeName — NOT a
+# substring probe of the rendered plan, where a string literal or
+# alias containing "Window..." would silently suppress a needed
+# spread (ADVICE r14). Prefix match so "Repartition" also catches
+# RepartitionByExpression/RepartitionOperation.
 _EXCHANGE_NODES = ("Repartition", "Aggregate", "Window", "Deduplicate")
+
+
+def _iter_plan_nodes(root):
+    """Pre-order walk of a Catalyst TreeNode via py4j: yields every
+    node object in the main tree (subquery expressions are not
+    descended — an exchange inside a scalar subquery does not
+    redistribute THIS frame's rows, so it must not veto a spread)."""
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        yield node
+        children = node.children()
+        for i in range(children.length()):
+            stack.append(children.apply(i))
 
 
 def spread_for_compute(df: DataFrame) -> DataFrame:
@@ -207,18 +224,22 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     below the exchange, and only ahead of genuinely compute-bound
     kernels — an IO-shaped filter/project never needs it."""
     import os as _os
-    import re as _re
 
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    plan = df._jdf.queryExecution().logical().toString()
-    if any(node in plan for node in _EXCHANGE_NODES):
-        return df
-    # Range relations (spark.range) declare their split count in the
-    # logical node itself — no files, no job needed.
-    m = _re.search(r"Range \(.*splits=Some\((\d+)\)", plan)
-    if m:
-        return df if int(m.group(1)) >= target else df.repartition(target)
+    range_slices = None
+    for node in _iter_plan_nodes(df._jdf.queryExecution().logical()):
+        name = node.nodeName()
+        if any(name.startswith(n) for n in _EXCHANGE_NODES):
+            return df
+        if name == "Range":
+            # Range relations (spark.range) declare their split count
+            # in the logical node itself — no files, no job needed.
+            slices = node.numSlices()
+            if slices.isDefined():
+                range_slices = int(slices.get())
+    if range_slices is not None:
+        return df if range_slices >= target else df.repartition(target)
     try:
         files = df.inputFiles()
     except Exception:  # streaming frames raise AnalysisException

@@ -1586,7 +1586,22 @@ def _ann_memo_group(spark: SparkSession, sf_dir: str) -> dict:
     """The live memo group for (session, corpus): fingerprint-checked
     (a regenerated corpus releases the superseded generation's
     checkpoints and starts fresh), LRU-ordered (hit moves to the
-    back), bounded at _ANN_MEMO_MAX_GROUPS groups process-wide."""
+    back), bounded at _ANN_MEMO_MAX_GROUPS groups process-wide.
+
+    HANDLE LIFETIME CONTRACT (ADVICE r14): eviction — LRU overflow
+    or a fingerprint-generation miss — unpersists the group's
+    localCheckpoint blocks, the ONLY copy of those frames' data, so
+    any frame previously returned by `_trained_index` /
+    `_residual_index` for the evicted (session, corpus) fails on its
+    next action. Callers must re-request frames from the memo per
+    query (every in-repo caller does — those two functions are the
+    sole entry points and each serve re-enters them) and must NOT
+    hold returned frames across corpus regenerations or across
+    touching more than _ANN_MEMO_MAX_GROUPS other corpora. Same
+    invalidation rule as a closed file handle; refcounting live
+    handles was considered and rejected — it would pin superseded
+    generations' checkpoints for as long as any stale reference
+    leaks, turning a bounded cache into an unbounded one."""
     from wikid_spark.catalog import corpus_fingerprint
 
     import os as _os
@@ -1631,7 +1646,10 @@ def _trained_index(spark: SparkSession, sf_dir: str):
     corpus-wide frames (qemb, a2) stay LAZY plans, so nothing
     corpus-sized is pinned to executor storage and each serve still
     pays exactly its one corpus pass. A regenerated corpus changes the
-    fingerprint and retrains (the r12 cache-key discipline)."""
+    fingerprint and retrains (the r12 cache-key discipline). The
+    returned frames follow `_ann_memo_group`'s handle-lifetime
+    contract: invalidated by any later memo eviction — re-request per
+    query, never hold across corpus switches."""
     grp = _ann_memo_group(spark, sf_dir)
     if grp["trained"] is not None:
         return grp["trained"]
@@ -4314,6 +4332,24 @@ class AnnIndexHandle(NamedTuple):
 
 
 _INDEX_HANDLE_CACHE: dict = {}
+# Bounded like the _ANN_MEMO registry (ADVICE r14): a long-lived
+# driver creating sessions per request (spark.newSession) must not
+# accumulate handles — and the strong SparkSession key — forever.
+# Handles hold only LAZY plans (no pinned blocks), so eviction is a
+# plain dict drop; a re-load pays one listing stage again.
+_INDEX_HANDLE_MAX = 8
+
+
+def _sweep_index_handles() -> None:
+    """Drop handles owned by STOPPED sessions (their plans are dead
+    weight: unusable, and each key strongly pins a SparkSession)."""
+    for key in list(_INDEX_HANDLE_CACHE):
+        try:
+            stopped = key[0].sparkContext._jsc is None
+        except Exception:
+            stopped = True
+        if stopped:
+            _INDEX_HANDLE_CACHE.pop(key, None)
 
 
 def load_ann_index(
@@ -4328,9 +4364,11 @@ def load_ann_index(
     driver's per-round reruns, a serving loop — share one listing
     instead of paying a full-width listing stage per serve."""
     key = (spark, index_dir)
-    cached = _INDEX_HANDLE_CACHE.get(key)
+    cached = _INDEX_HANDLE_CACHE.pop(key, None)  # pop+reinsert = LRU
     if cached is not None:
+        _INDEX_HANDLE_CACHE[key] = cached
         return cached
+    _sweep_index_handles()
     if spec is None:
         spec = load_ann_index_spec(index_dir, spark)
     cents = spark.read.parquet(f"{index_dir}/centroids")
@@ -4346,6 +4384,8 @@ def load_ann_index(
     rindex = spark.read.schema(rindex_schema).parquet(f"{index_dir}/rindex")
     handle = AnnIndexHandle(spec, cents, cb, rindex)
     _INDEX_HANDLE_CACHE[key] = handle
+    while len(_INDEX_HANDLE_CACHE) > _INDEX_HANDLE_MAX:
+        _INDEX_HANDLE_CACHE.pop(next(iter(_INDEX_HANDLE_CACHE)))
     return handle
 
 
@@ -4737,27 +4777,59 @@ def resolve_current_index(spark: SparkSession, root: str) -> str:
 
 
 def publish_index_version(
-    spark: SparkSession, sf_dir: str, root: str, spec: PQSpec | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    root: str,
+    spec: PQSpec | None = None,
+    writer_id: str | None = None,
 ) -> dict:
     """Build (if absent) the version for the corpus's CURRENT bytes and
     flip the pointer to it. Idempotent at every step: a crashed
     publisher leaves either an uncommitted partial (deleted and
     rebuilt here — never GC'd blindly, see gc_index_versions) or a
     committed-but-unpointed version (reused; only the pointer write
-    re-runs). Returns {version, dir, built, previous}."""
+    re-runs). Returns {version, dir, built, previous}.
+
+    Serialized under the same ``<root>/.refresh_lock`` single-writer
+    lease the versioned refresh holds (ADVICE r14): without it, two
+    concurrent publishers of one corpus both see the missing
+    ``_INDEX_OK``, one deletes the other's IN-PROGRESS partial (the
+    stale-partial delete below cannot tell ownership from storage),
+    and two interleaved overwrite-writes into one version dir can
+    commit a union of part files under a valid marker. Inside the
+    lease the delete really is a crashed publisher's leftover. Callers
+    that already hold the lease (``refresh_ann_index_versioned``) pass
+    their ``writer_id`` — the acquire is then a heartbeat renew, not a
+    second lock."""
+    import uuid
+
+    from wikid_spark.streaming.ingest import (
+        DEFAULT_LEASE_SECONDS,
+        _acquire_or_renew_lease,
+        _release_lease,
+    )
+
     if spec is None:
         spec = pq_spec_for(corpus_rows(sf_dir, "embeddings"))
     vid = index_version_id(sf_dir, spec)
     vdir = f"{root}/versions/{vid}"
-    built = False
-    if not _fs_exists(spark, f"{vdir}/{_INDEX_OK}"):
-        _fs_delete(spark, vdir)  # our own crashed partial, if any
-        persist_ann_index(spark, sf_dir, vdir, spec)
-        built = True
-    prev = read_current_version(spark, root)
-    if prev != vid:
-        _fs_write_text(spark, f"{root}/{_CURRENT_PTR}", vid)
-    return {"version": vid, "dir": vdir, "built": built, "previous": prev}
+    lock_dir = root + "/.refresh_lock"
+    own_lease = writer_id is None
+    writer_id = writer_id or f"publish-{uuid.uuid4().hex[:12]}"
+    _acquire_or_renew_lease(lock_dir, writer_id, DEFAULT_LEASE_SECONDS)
+    try:
+        built = False
+        if not _fs_exists(spark, f"{vdir}/{_INDEX_OK}"):
+            _fs_delete(spark, vdir)  # lease-held: provably a crashed partial
+            persist_ann_index(spark, sf_dir, vdir, spec)
+            built = True
+        prev = read_current_version(spark, root)
+        if prev != vid:
+            _fs_write_text(spark, f"{root}/{_CURRENT_PTR}", vid)
+        return {"version": vid, "dir": vdir, "built": built, "previous": prev}
+    finally:
+        if own_lease:
+            _release_lease(lock_dir, writer_id)
 
 
 def gc_index_versions(spark: SparkSession, root: str, keep: int = 2) -> list[str]:
@@ -4826,7 +4898,7 @@ def refresh_ann_index_versioned(
         if current_vid is None or not _fs_exists(
             spark, f"{root}/versions/{current_vid}/{_INDEX_OK}"
         ):
-            pub = publish_index_version(spark, sf_dir, root)
+            pub = publish_index_version(spark, sf_dir, root, writer_id=writer_id)
             return {
                 "refreshed": True,
                 "healed": "bootstrapped",
@@ -4857,7 +4929,7 @@ def refresh_ann_index_versioned(
             return report
         # renew after the measurement pass, then publish + GC
         _acquire_or_renew_lease(lock_dir, writer_id, lease_s)
-        pub = publish_index_version(spark, sf_dir, root)
+        pub = publish_index_version(spark, sf_dir, root, writer_id=writer_id)
         report.update(
             refreshed=True,
             version=pub["version"],
@@ -5074,8 +5146,27 @@ def sim_ann_auto_balanced_topk(
 # ---------------------------------------------------------------------------
 
 _MMR_LAMBDA = 0.7
+# The redundancy weight is the LITERAL 0.3, not 1.0 - _MMR_LAMBDA:
+# that expression is 0x1.3333333333334p-2, one ulp above the literal
+# 0x1.3333333333333p-2 the oracle's CAST(0.3 AS DOUBLE) denotes, and on
+# a real-arithmetic tie the 1-ulp-heavier penalty flips the argmax and
+# cascades through every later greedy step (ADVICE r14).
+_MMR_MU = 0.3
 _MMR_POOL = 20
 _MMR_K = 5
+
+
+def _round_half_up(x: float, nd: int) -> float:
+    """Driver-side twin of Spark's F.round on DoubleType: shortest-repr
+    decimalization (Scala BigDecimal.decimal semantics) then HALF_UP —
+    NOT Python round(), whose half-to-even breaks ties the other way
+    from the DuckDB oracle's half-away ROUND (ADVICE r14)."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-nd)
+    return float(
+        decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )
 
 
 def _mmr_oracle(k: int = _MMR_K, pool: int = _MMR_POOL) -> str:
@@ -5085,7 +5176,11 @@ def _mmr_oracle(k: int = _MMR_K, pool: int = _MMR_POOL) -> str:
     ROUND(...,4) before any arithmetic, the λ-blend is pure
     correctly-rounded double ops, so each step's argmax is
     bit-identical to the Spark/driver greedy."""
-    L, M = "CAST(0.7 AS DOUBLE)", "CAST(0.3 AS DOUBLE)"
+    # Emit the constants from the SAME Python doubles the driver greedy
+    # multiplies with — repr is the shortest round-trip decimal, so the
+    # oracle's CAST re-parses to the bit-identical double.
+    L = f"CAST({_MMR_LAMBDA!r} AS DOUBLE)"
+    M = f"CAST({_MMR_MU!r} AS DOUBLE)"
     ctes = [
         "qv AS MATERIALIZED (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)",
         f"""cands AS MATERIALIZED (
@@ -5143,8 +5238,11 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool-bounded and corpus-INDEPENDENT, the corpus-scale work (the
     candidate scan) stays a TakeOrderedAndProject top-k. Tie-breaks on
     doc id everywhere; the λ-blend is two correctly-rounded double
-    multiplies and a subtraction on 4-rounded inputs, so every pick is
-    bit-identical in the DuckDB unrolled-CTE twin."""
+    multiplies and a subtraction on 4-rounded inputs with BOTH weights
+    shared as shortest-repr literals (λ=0.7, μ=0.3 — not 1-λ, which is
+    1 ulp heavier) and the final round half-up (``_round_half_up``,
+    the F.round discipline), so every pick is bit-identical in the
+    DuckDB unrolled-CTE twin even on real-arithmetic ties."""
     emb = table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe")
@@ -5174,7 +5272,7 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = {(r["a"], r["b"]): r["s"] for r in pair.collect()}  # k-bounded collect
     _unpersist_checkpoint(pool)
 
-    lam, mu = _MMR_LAMBDA, 1.0 - _MMR_LAMBDA
+    lam, mu = _MMR_LAMBDA, _MMR_MU  # literal 0.3 — see _MMR_MU note
     picked: list[tuple[int, int, float]] = []
     selected: list[int] = []
     for pos in range(1, _MMR_K + 1):
@@ -5188,7 +5286,7 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 best = (doc, score)
         if best is None:  # pool exhausted (degenerate/tiny corpus) —
             break  # emit what exists, matching the oracle's empty CTEs
-        picked.append((pos, best[0], round(best[1], 6)))
+        picked.append((pos, best[0], _round_half_up(best[1], 6)))
         selected.append(best[0])
     return spark.createDataFrame(
         picked, "pos int, doc bigint, score double"
