@@ -20,7 +20,9 @@ from wikid_spark.operators.fts import (
     search_any,
     search_not,
     search_prefix,
+    tokenize,
 )
+from wikid_spark.queries.similarity import _QUERY_SAMPLE_SQL
 from wikid_spark.registry import query
 
 # DuckDB twin of operators.fts.tokenize + build_inverted_index (minus
@@ -443,3 +445,227 @@ def fts_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.select("doc", "rrf", "text_rank", "vec_rank").orderBy(
         F.desc("rrf"), "doc"
     ).limit(10)
+
+
+@query(
+    "fts_hybrid_rrf_multi",
+    oracle=f"""
+    WITH {_POSTINGS_CTE},
+    anchors AS (
+      SELECT vec_id AS query_id, embedding AS qe
+      FROM embeddings WHERE {_QUERY_SAMPLE_SQL}
+    ),
+    corpus AS (
+      SELECT COUNT(DISTINCT doc) AS n_docs,
+             AVG(doc_len) AS avgdl
+      FROM (SELECT DISTINCT doc, doc_len FROM postings)
+    ),
+    aterms AS (
+      SELECT DISTINCT a.query_id, p.term
+      FROM anchors a JOIN postings p ON p.doc = a.query_id
+    ),
+    tf AS (
+      SELECT term, doc, doc_len, COUNT(*) AS tf
+      FROM postings
+      WHERE term IN (SELECT term FROM aterms)
+      GROUP BY term, doc, doc_len
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc) AS df FROM tf GROUP BY term
+    ),
+    bm AS (
+      SELECT at.query_id, tf.doc,
+             SUM(CAST(ROUND(
+               ln(1 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.doc_len / corpus.avgdl))
+               * 1000000.0
+             ) AS BIGINT)) AS score_q6
+      FROM aterms at
+      JOIN tf ON tf.term = at.term
+      JOIN df ON df.term = at.term, corpus
+      WHERE tf.doc <> at.query_id
+      GROUP BY at.query_id, tf.doc
+    ),
+    tlist AS (
+      SELECT query_id, doc, r AS text_rank FROM (
+        SELECT query_id, doc,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score_q6 DESC, doc) AS r
+        FROM bm)
+      WHERE r <= 20
+    ),
+    ds AS (
+      SELECT a.query_id, e.vec_id AS doc,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                          a.qe::DOUBLE[]), 4) AS sim
+      FROM embeddings e, anchors a
+      WHERE e.vec_id <> a.query_id
+    ),
+    vlist AS (
+      SELECT query_id, doc, r AS vec_rank FROM (
+        SELECT query_id, doc,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, doc) AS r
+        FROM ds)
+      WHERE r <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(t.query_id, v.query_id) AS query_id,
+             COALESCE(t.doc, v.doc) AS doc,
+             ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + t.text_rank),
+                            CAST(0.0 AS DOUBLE))
+                   + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.vec_rank),
+                              CAST(0.0 AS DOUBLE)), 6) AS rrf,
+             t.text_rank, v.vec_rank
+      FROM tlist t
+      FULL OUTER JOIN vlist v
+        ON t.query_id = v.query_id AND t.doc = v.doc
+    )
+    SELECT query_id, doc, rrf, text_rank, vec_rank, rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, doc) AS rn
+      FROM fused)
+    WHERE rn <= 10
+    ORDER BY query_id, rn
+    """,
+    tags=("fts", "similarity", "hybrid", "rrf", "multi-anchor"),
+)
+def fts_hybrid_rrf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_hybrid_rrf_topk` generalized from the fixed doc-0 query to
+    the ANN family's sampled anchor set (`_QUERY_SAMPLE_SQL` — the
+    shape a real RAG / contrastive pipeline runs: a BATCH of queries,
+    not one). Per anchor: the lexical side is "more-like-this" — BM25
+    of the anchor DOCUMENT's own distinct terms against the corpus
+    (self excluded) — and the dense side is cosine against the anchor
+    embedding; the two per-anchor top-20 lists fuse by RRF (k=60) and
+    each anchor keeps its top-10.
+
+    Numeric discipline: a per-anchor BM25 sum spans ~|vocab ∩ doc|
+    terms, and float addition of >2 terms is ORDER-DEPENDENT across
+    engines — so each term's contribution is quantized to integer
+    millionths (CAST(ROUND(c*1e6) AS BIGINT), the tx_lm_perplexity
+    fixed-point exactness pattern) and summed as exact bigints; ranks
+    compare integers. The RRF sum stays plain doubles (exactly two
+    correctly-rounded terms — commutative bit-for-bit).
+
+    Scale shape: corpus stats are one map-only pass; tf/df are computed
+    ONCE over postings restricted to the anchor-term union (a
+    broadcast semi-join on ≤ anchors x vocab terms); the per-(anchor,
+    doc) candidate set is the sparse-retrieval postings-join bound
+    Σ_t df(t) — never anchors x corpus; per-anchor ranks are windows
+    partitioned by query_id (parallel across anchors); fusion is a
+    union + hash-agg over ≤ 40-row-per-anchor frames. The dense side
+    is the certified sim_ann_brute one-pass broadcast shape.
+    """
+    from pyspark.sql import Window
+
+    from wikid_spark.functions.vectors import cosine_similarity
+    from wikid_spark.queries.similarity import _sample_filter
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    k1, b = 1.2, 0.75
+
+    anchors = _sample_filter(emb).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+
+    toks = tokenize("text")
+    corpus = docs.select(F.size(toks).alias("_dl")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("_dl").alias("avgdl"),
+    )
+    postings = build_inverted_index(docs, "doc_id", "text")
+    # Anchor query terms: the anchor document's distinct tokens. Tiny
+    # (anchors x vocab) — broadcast everywhere it joins.
+    aterms = (
+        postings.join(
+            F.broadcast(anchors.select("query_id")),
+            postings["doc"] == F.col("query_id"),
+        )
+        .select("query_id", "term")
+        .distinct()
+    )
+    tf = (
+        postings.join(
+            F.broadcast(aterms.select("term").distinct()), "term", "left_semi"
+        )
+        .groupBy("term", "doc", "doc_len")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count_distinct("doc").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / F.col("avgdl"))
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    bm = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(corpus))
+        .join(F.broadcast(aterms), "term")
+        .filter(F.col("doc") != F.col("query_id"))
+        .withColumn(
+            "c_q6", F.round(contrib * F.lit(1000000.0), 0).cast("long")
+        )
+        .groupBy("query_id", "doc")
+        .agg(F.sum("c_q6").alias("score_q6"))
+    )
+    wt = Window.partitionBy("query_id").orderBy(F.desc("score_q6"), "doc")
+    tlist = (
+        bm.withColumn("text_rank", F.row_number().over(wt))
+        .filter(F.col("text_rank") <= 20)
+        .select("query_id", "doc", "text_rank")
+    )
+
+    ds = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qe")), 4
+            ).alias("sim"),
+        )
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("sim"), "doc")
+    vlist = (
+        ds.withColumn("vec_rank", F.row_number().over(wv))
+        .filter(F.col("vec_rank") <= 20)
+        .select("query_id", "doc", "vec_rank")
+    )
+
+    one = F.lit(1.0)
+    tl = tlist.select(
+        "query_id",
+        "doc",
+        (one / (F.lit(60) + F.col("text_rank"))).alias("contrib"),
+        "text_rank",
+        F.lit(None).cast("int").alias("vec_rank"),
+    )
+    vl = vlist.select(
+        "query_id",
+        "doc",
+        (one / (F.lit(60) + F.col("vec_rank"))).alias("contrib"),
+        F.lit(None).cast("int").alias("text_rank"),
+        "vec_rank",
+    )
+    fused = (
+        tl.unionByName(vl)
+        .groupBy("query_id", "doc")
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("rrf"),
+            F.max("text_rank").alias("text_rank"),
+            F.max("vec_rank").alias("vec_rank"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "doc")
+    return (
+        fused.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "doc", "rrf", "text_rank", "vec_rank", "rn")
+        .orderBy("query_id", "rn")
+    )
