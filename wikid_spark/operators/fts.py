@@ -20,7 +20,7 @@ from __future__ import annotations
 import unicodedata
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 
 # Unicode-aware token split: like \W+ but keeping non-ASCII letters
 # and digits whole, so folded Greek/Cyrillic words survive tokenization
@@ -333,3 +333,188 @@ def bm25_from_docs(
         .groupBy("doc")
         .agg(F.sum("contrib").alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted FTS serving index (round 15, VERDICT r14 #3): the postings
+# + corpus-stats tables written once and term-bucket-pruned at serve
+# time — the lexical twin of the LSH band index
+# (streaming/dedup_ingest.py) and the ANN cell index
+# (queries/similarity.py persist_ann_index). In-plan BM25
+# (`bm25_from_docs`) rebuilds tf/df/stats per query — correct, but a
+# serving process pays a full corpus tokenize per search. This layout
+# pays it ONCE at build; a probe reads only the query terms' bucket
+# directories.
+#
+# Layout <out_dir>/
+#   postings/ tbucket=<b>/...  (term, doc, pos, doc_len), term-sorted
+#   termstats/ tbucket=<b>/... (term, df)
+#   stats/                     1 row (n_docs double, avgdl double)
+#   _FTS_OK                    commit marker, written last
+#
+# The partition key is crc32(term) % N_TERM_BUCKETS — chosen over
+# xxhash64 because the SAME bucket is computable driver-side
+# (zlib.crc32) with no Spark job, so a serve plans its partition
+# filter from the query string alone. Bucket count bounds directory
+# fan-out at web-scale vocabularies (partitionBy(term) would create
+# one directory per distinct term); within a bucket the postings sort
+# by term, so parquet min/max row-group stats prune the non-matching
+# terms that share the bucket.
+# ---------------------------------------------------------------------------
+
+FTS_TERM_BUCKETS = 64
+_FTS_OK = "_FTS_OK"
+
+
+def _term_bucket_py(term: str) -> int:
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % FTS_TERM_BUCKETS
+
+
+def _term_bucket_col(col: Column) -> Column:
+    return F.pmod(
+        F.crc32(col.cast("binary")), F.lit(FTS_TERM_BUCKETS)
+    ).cast("int")
+
+
+def persist_fts_index(
+    df: DataFrame, id_col: str, text_col: str, out_dir: str
+) -> None:
+    """Build and commit the persisted FTS index for a corpus. One
+    corpus tokenize pass feeds postings, per-term df, and the corpus
+    stats (n_docs counts EVERY document, zero-token ones included —
+    the `bm25_from_docs` denominator discipline, so persisted scores
+    are bit-identical to the in-plan path). Deterministic: same corpus
+    bytes → byte-identical index. The `_FTS_OK` marker commits last
+    through the Hadoop FS API (object-store safe)."""
+    spark = df.sparkSession
+    toks = tokenize(text_col)
+    n_docs, avgdl = df.select(F.size(toks).alias("_dl")).agg(
+        F.count(F.lit(1)).cast("double"), F.avg("_dl")
+    ).first()
+    postings = build_inverted_index(df, id_col, text_col).withColumn(
+        "tbucket", _term_bucket_col(F.col("term"))
+    )
+    # One file per bucket, term-sorted inside it: repartition keeps
+    # every write task from fragmenting every bucket dir (the
+    # persist_ann_index one-file-per-cell lesson); the sort gives the
+    # term predicate row-group min/max pruning inside the bucket.
+    (
+        postings.repartition("tbucket")
+        .sortWithinPartitions("term", "doc", "pos")
+        .write.mode("overwrite")
+        .partitionBy("tbucket")
+        .parquet(f"{out_dir}/postings")
+    )
+    dfreq = (
+        postings.groupBy("tbucket", "term")
+        .agg(F.count_distinct("doc").alias("df"))
+        .repartition("tbucket")
+        .sortWithinPartitions("term")
+    )
+    dfreq.write.mode("overwrite").partitionBy("tbucket").parquet(
+        f"{out_dir}/termstats"
+    )
+    spark.createDataFrame(
+        [(float(n_docs), float(avgdl))], "n_docs double, avgdl double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/stats")
+    from wikid_spark.queries.similarity import _fs_write_text
+
+    _fs_write_text(spark, f"{out_dir}/{_FTS_OK}")
+
+
+def fts_persisted_postings(
+    spark: SparkSession, index_dir: str, terms: list[str]
+) -> DataFrame:
+    """The probed slice of a persisted postings table: partition
+    filter on the query terms' buckets (directory pruning — plan shows
+    PartitionFilters) + term equality (row-group pruning within the
+    bucket via the build-time sort)."""
+    t = [fold_term(s) for s in terms]
+    buckets = sorted({_term_bucket_py(s) for s in t})
+    return (
+        spark.read.parquet(f"{index_dir}/postings")
+        .filter(F.col("tbucket").isin(buckets))
+        .filter(F.col("term").isin(t))
+    )
+
+
+def bm25_persisted(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 over the persisted index — output-identical to
+    `bm25_from_docs` (same tf/df/stats values, same arithmetic order),
+    but the scan is the probed buckets only: at any corpus scale a
+    query reads ~Σ_t df(t) postings rows plus two tiny side tables,
+    never the corpus."""
+    t = [fold_term(s) for s in terms]
+    buckets = sorted({_term_bucket_py(s) for s in t})
+    corpus = spark.read.parquet(f"{index_dir}/stats")
+    dfreq = (
+        spark.read.parquet(f"{index_dir}/termstats")
+        .filter(F.col("tbucket").isin(buckets))
+        .filter(F.col("term").isin(t))
+        .select("term", "df")
+    )
+    tf = (
+        fts_persisted_postings(spark, index_dir, terms)
+        .groupBy("term", "doc", "doc_len")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / F.col("avgdl"))
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("contrib", contrib)
+        .groupBy("doc")
+        .agg(F.sum("contrib").alias("score"))
+    )
+
+
+def ensure_fts_index(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent content-keyed cache of the persisted FTS index for a
+    corpus directory — the `_ensure_persisted_index` discipline:
+    private temp build, one atomic rename into the slot, losers of the
+    race discard their byte-identical copy; the key folds in the
+    documents files' (size, mtime) fingerprint so a regenerated corpus
+    rebuilds instead of serving stale postings."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from wikid_spark.catalog import corpus_fingerprint
+
+    fp = corpus_fingerprint(sf_dir, "documents")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{fp}|b{FTS_TERM_BUCKETS}|v1".encode()
+    ).hexdigest()[:16]
+    cache_root = os.path.join(tempfile.gettempdir(), "wikid_fts_index")
+    dest = os.path.join(cache_root, key)
+    if os.path.exists(os.path.join(dest, _FTS_OK)):
+        return dest
+    os.makedirs(cache_root, exist_ok=True)
+    build = os.path.join(cache_root, f".build_{key}_{os.getpid()}")
+    shutil.rmtree(build, ignore_errors=True)
+    from wikid_spark.catalog import table as _table
+
+    persist_fts_index(
+        _table(spark, sf_dir, "documents"), "doc_id", "text", build
+    )
+    try:
+        os.rename(build, dest)
+    except OSError:
+        if not os.path.exists(os.path.join(dest, _FTS_OK)):
+            raise
+        shutil.rmtree(build, ignore_errors=True)  # lost the race: reuse
+    return dest

@@ -216,9 +216,10 @@ def fts_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "fts_bm25_topk",
-    oracle=f"""
+# Shared by fts_bm25_topk and its persisted-serving twin
+# fts_serve_persisted — "results identical to the in-plan twin" IS the
+# persisted path's contract, so the certifying SQL is one text.
+_BM25_TOPK_ORACLE = f"""
     WITH {_POSTINGS_CTE},
     corpus AS (
       SELECT COUNT(DISTINCT doc) AS n_docs,
@@ -245,7 +246,12 @@ def fts_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY doc
     ORDER BY score DESC, doc
     LIMIT 20
-    """,
+    """
+
+
+@query(
+    "fts_bm25_topk",
+    oracle=_BM25_TOPK_ORACLE,
     tags=("fts",),
 )
 def fts_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,9 +306,7 @@ def fts_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "fts_hybrid_rrf_topk",
-    oracle=f"""
+_HYBRID_RRF_ORACLE = f"""
     WITH {_POSTINGS_CTE},
     corpus AS (
       SELECT COUNT(DISTINCT doc) AS n_docs,
@@ -360,7 +364,12 @@ def fts_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc, rrf, text_rank, vec_rank
     FROM fused ORDER BY rrf DESC, doc LIMIT 10
-    """,
+    """
+
+
+@query(
+    "fts_hybrid_rrf_topk",
+    oracle=_HYBRID_RRF_ORACLE,
     tags=("fts", "similarity", "hybrid", "rrf"),
 )
 def fts_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -382,16 +391,24 @@ def fts_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreaks so cross-engine float noise cannot reorder (the
     sim_ann_brute discipline); RRF sums exactly two correctly-rounded
     double terms, so the fused score is bit-identical in DuckDB."""
+    docs = table(spark, sf_dir, "documents")
+    bm = bm25_from_docs(docs, "doc_id", "text", SEARCH_TERMS).select(
+        "doc", F.round("score", 4).alias("score")
+    )
+    return _hybrid_rrf_fuse(spark, sf_dir, bm)
+
+
+def _hybrid_rrf_fuse(
+    spark: SparkSession, sf_dir: str, bm: DataFrame
+) -> DataFrame:
+    """The fusion tail shared by the in-plan and persisted hybrids:
+    ``bm`` is any (doc, score) BM25 frame with 4-rounded scores — the
+    two paths produce identical frames, so one tail certifies both."""
     from pyspark.sql import Window
 
     from wikid_spark.functions.vectors import cosine_similarity
 
-    docs = table(spark, sf_dir, "documents")
     emb = table(spark, sf_dir, "embeddings")
-
-    bm = bm25_from_docs(docs, "doc_id", "text", SEARCH_TERMS).select(
-        "doc", F.round("score", 4).alias("score")
-    )
     top_t = bm.orderBy(F.desc("score"), "doc").limit(20)
     wt = Window.orderBy(F.desc("score"), "doc")  # 20 rows: rank locally
     tlist = top_t.select(
@@ -669,3 +686,56 @@ def fts_hybrid_rrf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc", "rrf", "text_rank", "vec_rank", "rn")
         .orderBy("query_id", "rn")
     )
+
+
+@query(
+    "fts_serve_persisted",
+    oracle=_BM25_TOPK_ORACLE,
+    tags=("fts", "bm25", "persisted", "serving"),
+)
+def fts_serve_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_bm25_topk` served from the PERSISTED postings index
+    (VERDICT r14 #3 — the lexical engine gets the same
+    build-once/serve-many treatment the LSH and vector indexes have):
+    `ensure_fts_index` builds/reuses the content-keyed on-disk index —
+    term-bucket-partitioned postings + per-term df + corpus stats —
+    and the serve reads ONLY the query terms' bucket directories
+    (PartitionFilters, plan-tested) with the term predicate row-group
+    pruned by the build-time term sort. Results are identical to the
+    in-plan twin — same tf/df/stats values, same arithmetic order —
+    so the certifying oracle is the same SQL text.
+
+    Scale: in-plan BM25 tokenizes the corpus per query; this serve
+    reads ~Σ_t df(t) postings rows plus two tiny side tables at ANY
+    corpus size — the IO-bounded serving shape
+    sim_ivfpq8_serve_persisted pinned for vectors."""
+    from wikid_spark.operators.fts import bm25_persisted, ensure_fts_index
+
+    index_dir = ensure_fts_index(spark, sf_dir)
+    ranked = bm25_persisted(spark, index_dir, SEARCH_TERMS)
+    return (
+        ranked.select("doc", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), "doc")
+        .limit(20)
+    )
+
+
+@query(
+    "fts_hybrid_rrf_persisted",
+    oracle=_HYBRID_RRF_ORACLE,
+    tags=("fts", "similarity", "hybrid", "rrf", "persisted", "serving"),
+)
+def fts_hybrid_rrf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_hybrid_rrf_topk` with the lexical list served from the
+    persisted FTS index (the production hybrid: BOTH engines now serve
+    from prebuilt artifacts — the dense side's persisted twin is
+    sim_ivfpq8_serve_persisted). The BM25 frame is value-identical to
+    the in-plan path's, so the fusion tail and the certifying oracle
+    are shared verbatim."""
+    from wikid_spark.operators.fts import bm25_persisted, ensure_fts_index
+
+    index_dir = ensure_fts_index(spark, sf_dir)
+    bm = bm25_persisted(spark, index_dir, SEARCH_TERMS).select(
+        "doc", F.round("score", 4).alias("score")
+    )
+    return _hybrid_rrf_fuse(spark, sf_dir, bm)
