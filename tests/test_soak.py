@@ -367,3 +367,99 @@ def test_soak_forced_refresh_swaps_index_under_live_stream(spark, tmp_path):
             bid,
         )
     assert _log(spark, vec_out) == _log(spark, vec_out_t)
+
+
+def test_soak_hybrid_retrieval_under_versioned_refresh(spark, tmp_path):
+    """Verdict r14 #7: the round-15 retrieval serving stack composed
+    under live ingest — every micro-batch of the vector-ingest stream
+    ALSO runs (a) the hybrid RRF query served from the persisted FTS
+    index and (b) an ANN serve resolved through the VERSIONED pointer
+    layout, while a forced `refresh_ann_index_versioned` promotes a
+    new corpus version mid-stream.
+
+    Pinned: pre-swap serves equal the old-corpus batch twin and
+    post-swap serves equal the new-corpus twin (same checkpoint,
+    stream uninterrupted); the CURRENT pointer flips; a version dir
+    resolved BEFORE the swap keeps serving the old results after it
+    (the pointer layout's hold-open guarantee — the rename-pair
+    refresh cannot make this promise); gc keeps the superseded
+    version; and the hybrid results track the corpus the dense side
+    serves while remaining equal to their per-corpus batch twins."""
+    import wikid_spark.queries.similarity as S
+    from wikid_spark.queries.fts import fts_hybrid_rrf_persisted
+
+    SF = "/root/testdata/sf0.001"
+    SF2 = "/root/testdata/sf0.01"
+
+    root = str(tmp_path / "ann_root")
+    pub0 = S.publish_index_version(spark, SF, root)
+    assert pub0["built"] is True
+
+    # batch twins (never-refreshed builds + direct query runs)
+    twin_old = str(tmp_path / "tw_old")
+    S.persist_ann_index(spark, SF, twin_old)
+    twin_new = str(tmp_path / "tw_new")
+    S.persist_ann_index(spark, SF2, twin_new)
+    want_old = sorted(map(tuple, S.serve_persisted_topk(
+        spark, SF, twin_old, nprobe=4).collect()))
+    want_new = sorted(map(tuple, S.serve_persisted_topk(
+        spark, SF2, twin_new, nprobe=4).collect()))
+    assert want_old != want_new
+    hyb_old = sorted(map(tuple, fts_hybrid_rrf_persisted(spark, SF).collect()))
+    hyb_new = sorted(map(tuple, fts_hybrid_rrf_persisted(spark, SF2).collect()))
+    assert hyb_old != hyb_new
+
+    # a reader that resolved the version BEFORE the swap
+    pre_swap_dir = S.resolve_current_index(spark, root)
+
+    vidx = str(tmp_path / "vidx")
+    corpus = spark.createDataFrame(_corpus_rows(), _SCHEMA.split(", ts")[0])
+    vi.persist_vector_index(
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding"), vidx
+    )
+    vec_out = str(tmp_path / "vec_verdicts")
+    vec_w = vi.vector_verdict_batch_writer(spark, vidx, vec_out)
+    serve_sf = {"dir": SF}
+    serves: list[tuple[int, list, list]] = []
+
+    def writer(batch, batch_id):
+        vec_w(
+            batch.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            batch_id,
+        )
+        vdir = S.resolve_current_index(spark, root)
+        ann = sorted(map(tuple, S.serve_persisted_topk(
+            spark, serve_sf["dir"], vdir, nprobe=4).collect()))
+        hyb = sorted(map(tuple, fts_hybrid_rrf_persisted(
+            spark, serve_sf["dir"]).collect()))
+        serves.append((batch_id, ann, hyb))
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    _write_files(src, _INCOMING[:3], 0)
+    _drain(spark, src, ckpt, writer)
+    assert [b for b, _, _ in serves] == [0, 1, 2]
+    assert all(ann == want_old for _, ann, _ in serves)
+    assert all(hyb == hyb_old for _, _, hyb in serves)
+
+    # forced versioned refresh between micro-batches: publish the new
+    # corpus's version and flip the pointer (keep=2 retains the old)
+    rep = S.refresh_ann_index_versioned(spark, SF2, root, force=True)
+    assert rep["refreshed"] is True
+    assert S.read_current_version(spark, root) == rep["version"]
+    assert rep["version"] != pub0["version"]
+    serve_sf["dir"] = SF2
+
+    _write_files(src, _INCOMING[3:], 3)
+    _drain(spark, src, ckpt, writer)
+    assert [b for b, _, _ in serves] == [0, 1, 2, 3, 4, 5]
+    assert all(ann == want_new for _, ann, _ in serves[3:])
+    assert all(hyb == hyb_new for _, _, hyb in serves[3:])
+
+    # hold-open guarantee: the pre-swap version dir is untouched and
+    # still serves the OLD results after promotion (gc kept it)
+    assert os.path.exists(os.path.join(pre_swap_dir, "_INDEX_OK"))
+    still_old = sorted(map(tuple, S.serve_persisted_topk(
+        spark, SF, pre_swap_dir, nprobe=4).collect()))
+    assert still_old == want_old
