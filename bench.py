@@ -90,6 +90,12 @@ HEADLINE = [
     # round-14 addition: hybrid lexical+dense retrieval fused by RRF
     # (composes the FTS and ANN engines in one plan):
     "fts_hybrid_rrf_topk",
+    # round-15 additions: the batched (multi-anchor) retrieval shapes a
+    # RAG/contrastive pipeline actually runs, and the persisted-FTS
+    # serving path (BM25 from the term-bucketed index, IO-bounded):
+    "fts_hybrid_rrf_multi",
+    "sim_hard_negatives_ann_topk",
+    "fts_serve_persisted",
 ]
 
 

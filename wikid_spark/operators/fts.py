@@ -364,6 +364,8 @@ def bm25_from_docs(
 
 FTS_TERM_BUCKETS = 64
 _FTS_OK = "_FTS_OK"
+_POSTINGS_SCHEMA = "term string, doc bigint, pos int, doc_len int, tbucket int"
+_TERMSTATS_SCHEMA = "term string, df bigint, tbucket int"
 
 
 def _term_bucket_py(term: str) -> int:
@@ -416,8 +418,12 @@ def persist_fts_index(
     dfreq.write.mode("overwrite").partitionBy("tbucket").parquet(
         f"{out_dir}/termstats"
     )
+    # Degenerate corpus: AVG over zero rows is NULL — store 0.0; the
+    # serve never divides by it (an empty corpus has empty postings,
+    # so no tf row reaches the avgdl denominator).
     spark.createDataFrame(
-        [(float(n_docs), float(avgdl))], "n_docs double, avgdl double"
+        [(float(n_docs), float(avgdl) if avgdl is not None else 0.0)],
+        "n_docs double, avgdl double",
     ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/stats")
     from wikid_spark.queries.similarity import _fs_write_text
 
@@ -433,8 +439,11 @@ def fts_persisted_postings(
     bucket via the build-time sort)."""
     t = [fold_term(s) for s in terms]
     buckets = sorted({_term_bucket_py(s) for s in t})
+    # Explicit schema: a degenerate (empty) corpus partitionBy-writes
+    # zero data files and inference fails; the layout fixes the schema.
     return (
-        spark.read.parquet(f"{index_dir}/postings")
+        spark.read.schema(_POSTINGS_SCHEMA)
+        .parquet(f"{index_dir}/postings")
         .filter(F.col("tbucket").isin(buckets))
         .filter(F.col("term").isin(t))
     )
@@ -456,7 +465,8 @@ def bm25_persisted(
     buckets = sorted({_term_bucket_py(s) for s in t})
     corpus = spark.read.parquet(f"{index_dir}/stats")
     dfreq = (
-        spark.read.parquet(f"{index_dir}/termstats")
+        spark.read.schema(_TERMSTATS_SCHEMA)
+        .parquet(f"{index_dir}/termstats")
         .filter(F.col("tbucket").isin(buckets))
         .filter(F.col("term").isin(t))
         .select("term", "df")
