@@ -197,9 +197,15 @@ def compact_index_parts(
                 )
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
-        writer = read_part(spark, index_dir, part, None).write.mode(
-            "overwrite"
-        )
+        folded = read_part(spark, index_dir, part, None)
+        if partition_cols:
+            # One file per partition directory: without the repartition
+            # every read task writes its own fragment into every
+            # directory, and the serve scan pays per-file open cost
+            # instead of one footer per probed directory (the
+            # persist_ann_index one-file-per-cell lesson, round 11).
+            folded = folded.repartition(*partition_cols)
+        writer = folded.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(f"{tmp}/batch_id={BASE_BATCH_ID}")

@@ -1,0 +1,183 @@
+"""Streaming FTS index maintenance — the lexical engine's evolving
+on-disk twin (round 15; the third instance of the shared
+`streaming.evolving_index` machine, after the LSH shingle index and
+the IVF vector index — the engine's docstring named FTS postings as
+the intended next plug-in).
+
+The persisted serving layout (`operators.fts.persist_fts_index`)
+freezes a corpus. This module lets the SAME term-bucketed layout
+EVOLVE under ingest: each micro-batch of new documents appends its
+postings, per-term document frequencies, and corpus-stat increments
+under deterministic ``batch_id=n`` partitions, and BM25 serves from
+base + deltas with read-your-own-writes across batches.
+
+Why every component stays exactly reconstructible (serve ==
+from-scratch rebuild, which the tests pin):
+
+* **postings** are per-document rows — append-only disjoint unions
+  (the ingest contract is append-only document ids, the same contract
+  the dedup indexes' kept-appends rely on);
+* **df** is per-(term, batch) COUNT(DISTINCT doc); with each doc in
+  exactly one batch, corpus df = SUM over batch partials — an
+  ADDITIVE decomposition (the A2 alias-counts merge discipline);
+* **stats** are (n_docs, sum_dl) LONG increments; corpus
+  n_docs/avgdl = SUM(n_docs), SUM(sum_dl)/SUM(n_docs). All partials
+  are exact integers, so the served avgdl is the bit-identical double
+  the rebuild's AVG computes.
+
+Replay/crash inherit the engine contract: appends overwrite their own
+``batch_id=n`` paths (at-least-once replays rewrite byte-identically);
+`compact_streaming_fts_index` folds deltas into the ``batch_id=-1``
+base with the shared heal-preamble + two-rename swap, keeping the
+``tbucket`` directory partitioning so probes stay partition-pruned.
+
+Scale: an append costs one tokenize pass over the BATCH; a serve reads
+the query terms' bucket directories across base + deltas (still
+~Σ_t df(t) rows — deltas add directories, not scan width), and
+compaction restores one-file-per-bucket. Nothing corpus-scale moves
+per batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from wikid_spark.operators.fts import (
+    _term_bucket_col,
+    _term_bucket_py,
+    build_inverted_index,
+    fold_term,
+    tokenize,
+)
+from wikid_spark.streaming import evolving_index as _engine
+
+_PARTS = ("postings", "termstats", "stats")
+
+
+def _sign_postings(docs: DataFrame, index_dir: str) -> dict:
+    """The FTS `sign` kernel for the shared evolving-index engine: the
+    postings, per-term df partials, and corpus-stat increments a set of
+    (doc_id, text) rows contributes. One tokenize pass feeds all three
+    (the postings subtree is shared; Catalyst/AQE reuse the exchange)."""
+    postings = build_inverted_index(docs, "doc_id", "text").withColumn(
+        "tbucket", _term_bucket_col(F.col("term"))
+    )
+    termstats = postings.groupBy("tbucket", "term").agg(
+        F.count_distinct("doc").alias("df")
+    )
+    stats = docs.select(F.size(tokenize("text")).alias("_dl")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("_dl"), F.lit(0)).cast("long").alias("sum_dl"),
+    )
+    return {
+        "postings": (postings, ("tbucket",)),
+        "termstats": (termstats, ("tbucket",)),
+        "stats": (stats, ()),
+    }
+
+
+def persist_streaming_fts_index(docs: DataFrame, index_dir: str) -> None:
+    """Build the corpus base under ``batch_id=-1`` so streaming appends
+    evolve the same tree. ``docs`` must carry (doc_id, text)."""
+    _engine.persist_index(_sign_postings, docs, index_dir)
+
+
+def append_docs_to_fts_index(
+    batch: DataFrame, index_dir: str, batch_id: int
+) -> None:
+    """Append one micro-batch's postings/df/stat increments under its
+    ``batch_id`` partitions — overwrite mode, so a replayed batch
+    rewrites its own appends byte-identically (engine contract).
+    Append-only corpus: batch doc_ids must be new (the df and stats
+    decompositions above assume each doc lands in exactly one batch)."""
+    for part, (df, pcols) in _sign_postings(batch, index_dir).items():
+        _engine.write_part(df, index_dir, part, batch_id, pcols)
+
+
+def fts_index_batch_writer(
+    spark: SparkSession, index_dir: str
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink: append the micro-batch's (doc_id, text) rows
+    to the evolving index. Kept deliberately verdict-free — FTS ingest
+    is index MAINTENANCE; compose with the dedup writers upstream when
+    only kept docs should be indexed."""
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        append_docs_to_fts_index(
+            batch.select("doc_id", "text"), index_dir, batch_id
+        )
+
+    return write
+
+
+def _read(spark, index_dir, part, as_of_batch):
+    return _engine.read_part(spark, index_dir, part, as_of_batch)
+
+
+def bm25_streaming(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    as_of_batch: int | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 over the EVOLVING index as of ``as_of_batch`` (strictly
+    earlier batches; None = everything) — value-identical to a
+    from-scratch `bm25_from_docs` over the same document set: tf rows
+    are the filtered postings union, df is the SUM of batch partials,
+    and avgdl = SUM(sum_dl)/SUM(n_docs) reproduces AVG bit-for-bit
+    (exact-integer partials). Scan shape matches `bm25_persisted`:
+    bucket-dir pruned across base + deltas, never the corpus."""
+    t = [fold_term(s) for s in terms]
+    buckets = sorted({_term_bucket_py(s) for s in t})
+    corpus = _read(spark, index_dir, "stats", as_of_batch).agg(
+        F.sum("n_docs").cast("double").alias("n_docs"),
+        (
+            F.sum("sum_dl").cast("double")
+            / F.sum("n_docs").cast("double")
+        ).alias("avgdl"),
+    )
+    dfreq = (
+        _read(spark, index_dir, "termstats", as_of_batch)
+        .filter(F.col("tbucket").isin(buckets))
+        .filter(F.col("term").isin(t))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    tf = (
+        _read(spark, index_dir, "postings", as_of_batch)
+        .filter(F.col("tbucket").isin(buckets))
+        .filter(F.col("term").isin(t))
+        .groupBy("term", "doc", "doc_len")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / F.col("avgdl"))
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("contrib", contrib)
+        .groupBy("doc")
+        .agg(F.sum("contrib").alias("score"))
+    )
+
+
+def compact_streaming_fts_index(spark: SparkSession, index_dir: str) -> None:
+    """Fold base + deltas into a single ``batch_id=-1`` base per
+    component (shared crash-safe heal/two-rename discipline). The
+    bucketed parts keep tbucket directory pruning and return to
+    one-directory-per-bucket; the additive parts (termstats partials,
+    stat increments) are folded AS ROWS — their serving aggregations
+    are sums, so row-level folding preserves every served value."""
+    _engine.compact_index_parts(
+        spark, index_dir, ("postings", "termstats"), partition_cols=("tbucket",)
+    )
+    _engine.compact_index_parts(spark, index_dir, ("stats",))
