@@ -186,9 +186,7 @@ def fts_search_folded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_all(idx, ["SPÁRK", "vëctόr"]).orderBy("doc")
 
 
-@query(
-    "fts_phrase",
-    oracle="""
+_PHRASE_ORACLE = """
     WITH toks AS (
       SELECT doc_id AS doc,
              list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
@@ -205,7 +203,12 @@ def fts_search_folded(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN pos_postings b ON a.doc = b.doc AND b.pos = a.pos + 1
     WHERE a.term = 'table' AND b.term = 'hash'
     ORDER BY a.doc, start_pos
-    """,
+    """
+
+
+@query(
+    "fts_phrase",
+    oracle=_PHRASE_ORACLE,
     tags=("fts",),
 )
 def fts_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,9 +272,7 @@ def fts_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "fts_near",
-    oracle="""
+_NEAR_ORACLE = """
     WITH toks AS (
       SELECT doc_id AS doc,
              list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
@@ -294,7 +295,12 @@ def fts_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pairs
     GROUP BY doc
     ORDER BY doc
-    """,
+    """
+
+
+@query(
+    "fts_near",
+    oracle=_NEAR_ORACLE,
     tags=("fts", "near"),
 )
 def fts_near(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -739,3 +745,55 @@ def fts_hybrid_rrf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc", F.round("score", 4).alias("score")
     )
     return _hybrid_rrf_fuse(spark, sf_dir, bm)
+
+
+@query(
+    "fts_phrase_persisted",
+    oracle=_PHRASE_ORACLE,
+    tags=("fts", "persisted", "serving"),
+)
+def fts_phrase_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase MATCH served from the persisted index: the postings
+    already carry positions, and `phrase_search` takes any postings
+    frame — so the persisted probe (bucket-pruned to the phrase's
+    terms) drops straight in. Same oracle as the in-plan twin: the
+    probed slice contains every posting of the query terms, which is
+    all the adjacency join reads either way."""
+    from wikid_spark.operators.fts import (
+        ensure_fts_index,
+        fts_persisted_postings,
+    )
+
+    terms = ["table", "hash"]
+    idx = ensure_fts_index(spark, sf_dir)
+    return phrase_search(
+        fts_persisted_postings(spark, idx, terms), terms
+    ).orderBy("doc", "start_pos")
+
+
+@query(
+    "fts_near_persisted",
+    oracle=_NEAR_ORACLE,
+    tags=("fts", "near", "persisted", "serving"),
+)
+def fts_near_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR(spark vector, 5) served from the persisted index — the
+    positional-postings proximity join over the bucket-pruned probe
+    slice (see fts_phrase_persisted). With BM25, phrase and NEAR
+    persisted, every S4 MATCH feature the reference's FTS5 tables
+    answer from their B-tree is served from the on-disk index here;
+    prefix MATCH stays in-plan by design (a hash-bucketed layout
+    cannot directory-prune a range — the term-sorted row groups
+    inside every bucket still min/max-prune a pushed StartsWith)."""
+    from wikid_spark.operators.fts import (
+        ensure_fts_index,
+        fts_persisted_postings,
+    )
+
+    idx = ensure_fts_index(spark, sf_dir)
+    return near_search(
+        fts_persisted_postings(spark, idx, ["spark", "vector"]),
+        "spark",
+        "vector",
+        n=5,
+    ).orderBy("doc")
