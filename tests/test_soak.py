@@ -463,3 +463,89 @@ def test_soak_hybrid_retrieval_under_versioned_refresh(spark, tmp_path):
     still_old = sorted(map(tuple, S.serve_persisted_topk(
         spark, SF, pre_swap_dir, nprobe=4).collect()))
     assert still_old == want_old
+
+
+def test_soak_fts_index_follows_dedup_keeps(spark, tmp_path):
+    """Round 15: the evolving FTS index composed DOWNSTREAM of the LSH
+    dedup verdicts in one foreachBatch — only kept documents are
+    indexed (the fts_index_batch_writer docstring's composition
+    contract). Mid-stream, a crash is injected between compaction's
+    two renames on the postings component and healed by re-running
+    compaction. Authoritative assertion: BM25 served from the evolving
+    index equals a from-scratch rebuild over exactly (corpus + kept
+    incoming docs); spot-checked against the documented keep set."""
+    from wikid_spark.operators.fts import bm25_from_docs
+    from wikid_spark.streaming import fts_ingest as FI
+
+    corpus = spark.createDataFrame(_corpus_rows(), _SCHEMA.split(", ts")[0])
+    docs = corpus.select("doc_id", "text")
+
+    lsh_idx = str(tmp_path / "lsh_idx")
+    dedup_ingest.persist_dedup_index(docs, lsh_idx)
+    fts_idx = str(tmp_path / "fts_idx")
+    FI.persist_streaming_fts_index(docs, fts_idx)
+
+    lsh_out = str(tmp_path / "lsh_verdicts")
+    lsh_w = dedup_ingest.dedup_verdict_batch_writer(spark, lsh_idx, lsh_out)
+    fts_w = FI.fts_index_batch_writer(spark, fts_idx)
+
+    def writer(batch, batch_id):
+        lsh_w(batch.select("doc_id", "text"), batch_id)
+        kept = (
+            dedup_ingest.read_verdicts(spark, lsh_out)
+            .filter(F.col("verdict") == "keep")
+            .select("doc_id")
+        )
+        fts_w(
+            batch.select("doc_id", "text").join(
+                F.broadcast(kept), "doc_id", "left_semi"
+            ),
+            batch_id,
+        )
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    _write_files(src, _INCOMING[:3], 0)
+    _drain(spark, src, ckpt, writer)
+
+    # crash between compaction's two renames on the postings part
+    os.rename(f"{fts_idx}/postings", f"{fts_idx}/postings.old")
+    FI.compact_streaming_fts_index(spark, fts_idx)
+    for part in ("postings", "termstats", "stats"):
+        kids = os.listdir(f"{fts_idx}/{part}")
+        assert [k for k in kids if k.startswith("batch_id=")] == ["batch_id=-1"]
+
+    _write_files(src, _INCOMING[3:], 3)
+    _drain(spark, src, ckpt, writer)
+
+    kept_ids = {
+        r["doc_id"]
+        for r in dedup_ingest.read_verdicts(spark, lsh_out)
+        .filter(F.col("verdict") == "keep")
+        .collect()
+    }
+    assert kept_ids == {100, 101, 104}  # documented LSH keep set
+
+    terms = ["quantum", "gravel"]
+    incoming = spark.createDataFrame(_INCOMING, _SCHEMA).select(
+        "doc_id", "text"
+    )
+    want_docs = docs.unionByName(
+        incoming.filter(F.col("doc_id").isin(sorted(kept_ids)))
+    )
+    want = {
+        r["doc"]: r["score"]
+        for r in bm25_from_docs(want_docs, "doc_id", "text", terms)
+        .select("doc", F.round("score", 4).alias("score"))
+        .collect()
+    }
+    got = {
+        r["doc"]: r["score"]
+        for r in FI.bm25_streaming(spark, fts_idx, terms)
+        .select("doc", F.round("score", 4).alias("score"))
+        .collect()
+    }
+    assert got == want
+    assert 100 in got and 101 in got  # kept docs searchable
+    assert 102 not in got and 103 not in got  # dropped docs are not
