@@ -5364,15 +5364,63 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pos")
 
 
-def _mmr_multi_oracle(k: int = _MMR_K, pool: int = _MMR_POOL) -> str:
-    """Per-anchor greedy MMR, k chained CTEs TOTAL (anchor-count
-    independent — the per-anchor argmax is a ROW_NUMBER over the
-    anchor's candidates and the already-selected set is reached by
-    CORRELATED subqueries on query_id, so one unroll serves every
-    anchor). Same bit-exactness discipline as `_mmr_oracle`: 4-rounded
-    sims, shortest-repr λ/μ literals, half-away final round."""
+def _mmr_greedy_sql(
+    k: int, cands: str = "cands", pairs: str = "pairs"
+) -> tuple[list[str], str]:
+    """The per-anchor greedy unroll shared by every multi-anchor MMR
+    oracle: k chained CTEs TOTAL regardless of anchor count (the
+    per-anchor argmax is a ROW_NUMBER over the anchor's candidates and
+    the already-selected set is reached by CORRELATED subqueries on
+    query_id). ``cands`` must expose (query_id, doc, simq) and
+    ``pairs`` (query_id, a, b, s). Returns (ctes, final_select)."""
     L = f"CAST({_MMR_LAMBDA!r} AS DOUBLE)"
     M = f"CAST({_MMR_MU!r} AS DOUBLE)"
+    ctes = []
+    for i in range(1, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT query_id, doc FROM s{j}" for j in range(1, i)
+        )
+        not_in = (
+            f"WHERE c.doc NOT IN (SELECT p.doc FROM ({prev}) p "
+            f"WHERE p.query_id = c.query_id)"
+            if prev
+            else ""
+        )
+        max_term = (
+            f"COALESCE((SELECT MAX(p.s) FROM {pairs} p WHERE "
+            f"p.query_id = c.query_id AND p.a = c.doc AND p.b IN "
+            f"(SELECT q.doc FROM ({prev}) q WHERE q.query_id = c.query_id)), "
+            f"CAST(0.0 AS DOUBLE))"
+            if prev
+            else "CAST(0.0 AS DOUBLE)"
+        )
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+      SELECT query_id, doc, score FROM (
+        SELECT query_id, doc, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc) AS rn
+        FROM (SELECT c.query_id, c.doc, {L} * c.simq - {M} * {max_term} AS score
+              FROM {cands} c {not_in}))
+      WHERE rn = 1
+    )"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT query_id, {i} AS pos, doc, ROUND(score, 6) AS score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    final = (
+        f"SELECT query_id, pos, doc, score FROM ({selects}) "
+        f"ORDER BY query_id, pos"
+    )
+    return ctes, final
+
+
+def _mmr_multi_oracle(k: int = _MMR_K, pool: int = _MMR_POOL) -> str:
+    """Per-anchor greedy MMR over per-anchor BRUTE top-``pool``
+    candidate sets. Same bit-exactness discipline as `_mmr_oracle`:
+    4-rounded sims, shortest-repr λ/μ literals, half-away final
+    round; greedy unroll shared via `_mmr_greedy_sql`."""
     ctes = [
         f"""anchors AS MATERIALIZED (
       SELECT vec_id AS query_id, embedding AS qe
@@ -5400,44 +5448,8 @@ def _mmr_multi_oracle(k: int = _MMR_K, pool: int = _MMR_POOL) -> str:
         ON a.query_id = b.query_id AND a.doc <> b.doc
     )""",
     ]
-    for i in range(1, k + 1):
-        prev = " UNION ALL ".join(
-            f"SELECT query_id, doc FROM s{j}" for j in range(1, i)
-        )
-        not_in = (
-            f"WHERE c.doc NOT IN (SELECT p.doc FROM ({prev}) p "
-            f"WHERE p.query_id = c.query_id)"
-            if prev
-            else ""
-        )
-        max_term = (
-            f"COALESCE((SELECT MAX(p.s) FROM pairs p WHERE "
-            f"p.query_id = c.query_id AND p.a = c.doc AND p.b IN "
-            f"(SELECT q.doc FROM ({prev}) q WHERE q.query_id = c.query_id)), "
-            f"CAST(0.0 AS DOUBLE))"
-            if prev
-            else "CAST(0.0 AS DOUBLE)"
-        )
-        ctes.append(
-            f"""s{i} AS MATERIALIZED (
-      SELECT query_id, doc, score FROM (
-        SELECT query_id, doc, score,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY score DESC, doc) AS rn
-        FROM (SELECT c.query_id, c.doc, {L} * c.simq - {M} * {max_term} AS score
-              FROM cands c {not_in}))
-      WHERE rn = 1
-    )"""
-        )
-    selects = " UNION ALL ".join(
-        f"SELECT query_id, {i} AS pos, doc, ROUND(score, 6) AS score FROM s{i}"
-        for i in range(1, k + 1)
-    )
-    return (
-        f"WITH {', '.join(ctes)}\n"
-        f"SELECT query_id, pos, doc, score FROM ({selects}) "
-        f"ORDER BY query_id, pos"
-    )
+    greedy, final = _mmr_greedy_sql(k)
+    return f"WITH {', '.join(ctes + greedy)}\n{final}"
 
 
 @query(
@@ -5485,6 +5497,18 @@ def sim_mmr_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _MMR_POOL)
         .drop("rn")
     )
+    return _mmr_greedy_over_pool(spark, cand)
+
+
+def _mmr_greedy_over_pool(spark: SparkSession, cand: DataFrame) -> DataFrame:
+    """The MMR tail shared by the brute and ANN-candidate multi-anchor
+    variants: ``cand`` carries (query_id, doc, simq, embedding) with at
+    most _MMR_POOL rows per anchor. Pairwise redundancy sims compute
+    DISTRIBUTED over the checkpointed pool; the greedy loop runs
+    driver-side over anchor-budget-bounded collects (anchors x 20 and
+    anchors x 380 rows — the Lloyd/BPE k-bounded pattern), with the
+    shortest-repr λ/μ doubles and half-up final round the oracles CAST
+    and ROUND to."""
     pool = cand.localCheckpoint(eager=True)  # anchors x 20; reused 2x
     a = pool.select(
         F.col("query_id").alias("qa"),
@@ -5537,6 +5561,96 @@ def sim_mmr_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "query_id bigint, pos int, doc bigint, score double"
     ).orderBy("query_id", "pos")
+
+
+def _mmr_ann_multi_oracle(k: int = _MMR_K, pool: int = _MMR_POOL) -> str:
+    """`_mmr_multi_oracle` with the per-anchor candidate pool drawn
+    from the TRAINED derived-K index (top-2 cells probed, nprobe=2)
+    instead of a brute corpus pass — the oracle twin of the full
+    production retrieval pipeline (ANN candidates → MMR diversify)."""
+    probe_cands = f"""mcands AS MATERIALIZED (
+      SELECT query_id, doc, simq, embedding FROM (
+        SELECT query_id, doc, simq, embedding,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY simq DESC, doc) AS prn
+        FROM (
+          SELECT DISTINCT q.query_id, a.vec_id AS doc,
+                 ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                              q.qe::DOUBLE[]), 4) AS simq,
+                 a.embedding
+          FROM (SELECT vec_id AS query_id, embedding AS qe,
+                       cent_id AS pcell
+                FROM frk WHERE rn <= 2 AND {_QUERY_SAMPLE_SQL}) q
+          JOIN index a ON a.cent_id = q.pcell
+          WHERE a.vec_id <> q.query_id))
+      WHERE prn <= {pool}
+    )""", """mpairs AS MATERIALIZED (
+      SELECT a.query_id, a.doc AS a, b.doc AS b,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 4) AS s
+      FROM mcands a JOIN mcands b
+        ON a.query_id = b.query_id AND a.doc <> b.doc
+    )"""
+    greedy, final = _mmr_greedy_sql(k, cands="mcands", pairs="mpairs")
+    return (
+        "WITH "
+        + _lloyd_trained_fragment(TRAINED_DERIVED_ROUNDS)
+        + ",\n"
+        + ",\n".join(list(probe_cands) + greedy)
+        + "\n"
+        + final
+    )
+
+
+@query(
+    "sim_mmr_ann_multi",
+    oracle=_mmr_ann_multi_oracle(),
+    tags=(
+        "similarity", "mmr", "retrieval", "iterative", "multi-anchor",
+        "ann", "ivf", "kmeans",
+    ),
+)
+def sim_mmr_ann_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production retrieval pipeline certified end-to-end:
+    per sampled anchor, candidates come from the TRAINED derived-K IVF
+    index (top-2 cells probed — the certified sim_ivf_trained_nprobe2
+    shape) instead of a brute corpus pass, then greedy MMR diversifies
+    the per-anchor top-20 pool (5 picks, λ = 0.7). This is what a RAG
+    serving path actually runs: ANN recall stage → diversity re-rank —
+    composed here from two individually-certified plan builders and
+    certified AS a composition against one oracle.
+
+    Scale: candidate generation reads ~nprobe·2·sqrt(n) indexed rows
+    per anchor (sub-linear; the brute variant's corpus pass is the
+    recall ceiling it trades away); everything after the pool cut is
+    anchor-budget-bounded exactly as `sim_mmr_multi` — pairwise sims
+    distributed over anchors x 20 rows, greedy driver-side."""
+    qemb, cents, a2 = _trained_index(spark, sf_dir)
+    probes = _assign_blas(_sample_filter(qemb), cents, top_m=2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cent_id").alias("pcell"),
+    )
+    scored = (
+        a2.join(F.broadcast(probes), F.col("cent_id") == F.col("pcell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qe")), 4
+            ).alias("simq"),
+            "embedding",
+        )
+        .distinct()  # top-2 index x 2 probes: same pair via two cells
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("simq"), "doc")
+    cand = (
+        scored.withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= _MMR_POOL)
+        .drop("prn")
+    )
+    return _mmr_greedy_over_pool(spark, cand)
 
 
 @query(
