@@ -393,3 +393,74 @@ def test_hybrid_rrf_topk_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hybrid_multi_is_join_shaped_not_cartesian(spark):
+    """The multi-anchor hybrid's scale claims, plan-pinned: no
+    CartesianProduct, no SortMergeJoin (every small side — anchor
+    terms, df, corpus stats, anchors — broadcasts), and the BM25 sum
+    is the exact-integer fixed-point column (bigint sum, not a float
+    sum whose order could diverge from the oracle)."""
+    plan = _plan(spark, "fts_hybrid_rrf_multi")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "sum(c_q6" in plan  # fixed-point bigint aggregation
+
+
+def test_hard_neg_ann_probe_is_broadcast_join(spark):
+    """Candidate generation = index rows joined to BROADCAST probes;
+    the label anti-predicate rides the same join (no extra corpus
+    pass or shuffle join to attach labels)."""
+    plan = _plan(spark, "sim_hard_negatives_ann_topk")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mmr_ann_pool_comes_from_index_join(spark):
+    """The ANN-candidate MMR pool is a broadcast probe join (the
+    trained-index serve shape), not a corpus cross score. The
+    registered query's FINAL frame is the driver-greedy's
+    createDataFrame (ExistingRDD — the corpus work happens at build
+    time), so the pin targets the pool plan the build executes."""
+    import io
+    import contextlib
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    import wikid_spark.queries.similarity as S
+
+    qemb, cents, a2 = S._trained_index(spark, SF)
+    probes = S._assign_blas(S._sample_filter(qemb), cents, top_m=2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cent_id").alias("pcell"),
+    )
+    scored = (
+        a2.join(F.broadcast(probes), F.col("cent_id") == F.col("pcell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc"),
+            F.round(
+                S.cosine_similarity(F.col("embedding"), F.col("qe")), 4
+            ).alias("simq"),
+            "embedding",
+        )
+        .distinct()
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("simq"), "doc")
+    cand = (
+        scored.withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= S._MMR_POOL)
+        .drop("prn")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cand.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
