@@ -330,3 +330,45 @@ def corpus_rows(sf_dir: str, name: str) -> int:
     n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     _ROWCOUNT_CACHE[path] = (sig, n)
     return n
+
+
+def ensure_cached_build(
+    cache_name: str, key: str, build_fn, ok_marker: str
+) -> str:
+    """Idempotent content-keyed cache slot for an expensive on-disk
+    build (persisted ANN / FTS indexes): build into a PRIVATE temp dir,
+    then one atomic rename into the slot — a racing builder loses the
+    rename and discards its byte-identical copy (builds are
+    deterministic by contract). Extracted in round 15 so the two index
+    caches share one copy of this concurrency-sensitive dance.
+
+    The build dir is keyed by pid AND a fresh uuid: pid alone let two
+    THREADS of one process (parallel cold-cache serves) share a build
+    dir, rmtree each other's half-written output, and commit a corrupt
+    index under a valid marker (round-15 review finding).
+
+    ``build_fn(build_dir)`` must leave ``ok_marker`` in the dir as its
+    final act; ``key`` must fold in the corpus content fingerprint so
+    a regenerated corpus invalidates the slot."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    cache_root = os.path.join(tempfile.gettempdir(), cache_name)
+    dest = os.path.join(cache_root, key)
+    if os.path.exists(os.path.join(dest, ok_marker)):
+        return dest
+    os.makedirs(cache_root, exist_ok=True)
+    build = os.path.join(
+        cache_root, f".build_{key}_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    )
+    shutil.rmtree(build, ignore_errors=True)
+    build_fn(build)
+    try:
+        os.rename(build, dest)
+    except OSError:
+        if not os.path.exists(os.path.join(dest, ok_marker)):
+            raise
+        shutil.rmtree(build, ignore_errors=True)  # lost the race: reuse
+    return dest

@@ -233,6 +233,38 @@ def near_search(
     )
 
 
+def bm25_contrib(k1: float = 1.2, b: float = 0.75) -> Column:
+    """The single copy of the per-(term, doc) BM25 contribution every
+    scoring path shares — parity between the in-plan, persisted,
+    streaming and quantized-multi twins is BY CONSTRUCTION (round-15
+    review: five hand-copies of this formula had accumulated).
+    Expects columns tf, df, doc_len, n_docs, avgdl in scope."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / F.col("avgdl"))
+    return idf * (F.col("tf") * (k1 + 1.0)) / denom
+
+
+def bm25_score_tail(
+    tf: DataFrame,
+    dfreq: DataFrame,
+    corpus: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(term, doc, doc_len, tf) ⋈ broadcast (term, df) x broadcast
+    1-row (n_docs, avgdl) → (doc, score): the shared scoring tail."""
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("contrib", bm25_contrib(k1, b))
+        .groupBy("doc")
+        .agg(F.sum("contrib").alias("score"))
+    )
+
+
 def bm25(
     index: DataFrame,
     terms: list[str],
@@ -265,19 +297,7 @@ def bm25(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_ = tf.groupBy("term").agg(F.count_distinct("doc").alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / F.col("avgdl"))
-    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
-    return (
-        tf.join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(corpus))
-        .withColumn("contrib", contrib)
-        .groupBy("doc")
-        .agg(F.sum("contrib").alias("score"))
-    )
+    return bm25_score_tail(tf, df_, corpus, k1, b)
 
 
 def bm25_from_docs(
@@ -320,19 +340,7 @@ def bm25_from_docs(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_ = tf.groupBy("term").agg(F.count_distinct("doc").alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / F.col("avgdl"))
-    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
-    return (
-        tf.join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(corpus))
-        .withColumn("contrib", contrib)
-        .groupBy("doc")
-        .agg(F.sum("contrib").alias("score"))
-    )
+    return bm25_score_tail(tf, df_, corpus, k1, b)
 
 
 # ---------------------------------------------------------------------------
@@ -409,8 +417,14 @@ def persist_fts_index(
         .partitionBy("tbucket")
         .parquet(f"{out_dir}/postings")
     )
+    # df derives from the just-written parquet — a columnar re-read,
+    # not a third corpus tokenize+explode (round-15 review: the lazy
+    # postings plan re-executed the explode per consumer).
+    written = spark.read.schema(_POSTINGS_SCHEMA).parquet(
+        f"{out_dir}/postings"
+    )
     dfreq = (
-        postings.groupBy("tbucket", "term")
+        written.groupBy("tbucket", "term")
         .agg(F.count_distinct("doc").alias("df"))
         .repartition("tbucket")
         .sortWithinPartitions("term")
@@ -476,19 +490,7 @@ def bm25_persisted(
         .groupBy("term", "doc", "doc_len")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / F.col("avgdl"))
-    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
-    return (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(corpus))
-        .withColumn("contrib", contrib)
-        .groupBy("doc")
-        .agg(F.sum("contrib").alias("score"))
-    )
+    return bm25_score_tail(tf, dfreq, corpus, k1, b)
 
 
 def ensure_fts_index(spark: SparkSession, sf_dir: str) -> str:
@@ -500,31 +502,19 @@ def ensure_fts_index(spark: SparkSession, sf_dir: str) -> str:
     rebuilds instead of serving stale postings."""
     import hashlib
     import os
-    import shutil
-    import tempfile
 
-    from wikid_spark.catalog import corpus_fingerprint
+    from wikid_spark.catalog import corpus_fingerprint, ensure_cached_build
+    from wikid_spark.catalog import table as _table
 
     fp = corpus_fingerprint(sf_dir, "documents")
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}|{fp}|b{FTS_TERM_BUCKETS}|v1".encode()
     ).hexdigest()[:16]
-    cache_root = os.path.join(tempfile.gettempdir(), "wikid_fts_index")
-    dest = os.path.join(cache_root, key)
-    if os.path.exists(os.path.join(dest, _FTS_OK)):
-        return dest
-    os.makedirs(cache_root, exist_ok=True)
-    build = os.path.join(cache_root, f".build_{key}_{os.getpid()}")
-    shutil.rmtree(build, ignore_errors=True)
-    from wikid_spark.catalog import table as _table
-
-    persist_fts_index(
-        _table(spark, sf_dir, "documents"), "doc_id", "text", build
+    return ensure_cached_build(
+        "wikid_fts_index",
+        key,
+        lambda build: persist_fts_index(
+            _table(spark, sf_dir, "documents"), "doc_id", "text", build
+        ),
+        _FTS_OK,
     )
-    try:
-        os.rename(build, dest)
-    except OSError:
-        if not os.path.exists(os.path.join(dest, _FTS_OK)):
-            raise
-        shutil.rmtree(build, ignore_errors=True)  # lost the race: reuse
-    return dest

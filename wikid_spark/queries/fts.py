@@ -225,9 +225,16 @@ def fts_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TOPK_ORACLE = f"""
     WITH {_POSTINGS_CTE},
     corpus AS (
-      SELECT COUNT(DISTINCT doc) AS n_docs,
-             AVG(doc_len) AS avgdl
-      FROM (SELECT DISTINCT doc, doc_len FROM postings)
+      -- docs-direct, NOT postings-derived: n_docs counts EVERY
+      -- document (zero-token ones included) and avgdl averages over
+      -- non-NULL texts — exactly bm25_from_docs' count-all /
+      -- avg-nonnull semantics and the persisted index's stored stats
+      -- (round-15 review: the postings-derived form silently loses
+      -- zero-token docs).
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             AVG(len(list_filter(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}_]+'),
+                                 x -> x <> ''))) AS avgdl
+      FROM documents
     ),
     tf AS (
       SELECT term, doc, doc_len, COUNT(*) AS tf
@@ -315,9 +322,16 @@ def fts_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HYBRID_RRF_ORACLE = f"""
     WITH {_POSTINGS_CTE},
     corpus AS (
-      SELECT COUNT(DISTINCT doc) AS n_docs,
-             AVG(doc_len) AS avgdl
-      FROM (SELECT DISTINCT doc, doc_len FROM postings)
+      -- docs-direct, NOT postings-derived: n_docs counts EVERY
+      -- document (zero-token ones included) and avgdl averages over
+      -- non-NULL texts — exactly bm25_from_docs' count-all /
+      -- avg-nonnull semantics and the persisted index's stored stats
+      -- (round-15 review: the postings-derived form silently loses
+      -- zero-token docs).
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             AVG(len(list_filter(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}_]+'),
+                                 x -> x <> ''))) AS avgdl
+      FROM documents
     ),
     tf AS (
       SELECT term, doc, doc_len, COUNT(*) AS tf
@@ -479,9 +493,16 @@ def _hybrid_rrf_fuse(
       FROM embeddings WHERE {_QUERY_SAMPLE_SQL}
     ),
     corpus AS (
-      SELECT COUNT(DISTINCT doc) AS n_docs,
-             AVG(doc_len) AS avgdl
-      FROM (SELECT DISTINCT doc, doc_len FROM postings)
+      -- docs-direct, NOT postings-derived: n_docs counts EVERY
+      -- document (zero-token ones included) and avgdl averages over
+      -- non-NULL texts — exactly bm25_from_docs' count-all /
+      -- avg-nonnull semantics and the persisted index's stored stats
+      -- (round-15 review: the postings-derived form silently loses
+      -- zero-token docs).
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             AVG(len(list_filter(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}_]+'),
+                                 x -> x <> ''))) AS avgdl
+      FROM documents
     ),
     aterms AS (
       SELECT DISTINCT a.query_id, p.term

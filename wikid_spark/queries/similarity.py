@@ -4539,31 +4539,20 @@ def _ensure_persisted_index(
     neighbors (ADVICE r11)."""
     import hashlib
     import os
-    import shutil
-    import tempfile
 
-    from wikid_spark.catalog import corpus_fingerprint
+    from wikid_spark.catalog import corpus_fingerprint, ensure_cached_build
 
     fp = corpus_fingerprint(sf_dir, "embeddings")
     # v2: one-file-per-cell layout (repartition before partitionBy)
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}|{fp}|{spec.subs}x{spec.codes}|v2".encode()
     ).hexdigest()[:16]
-    cache_root = os.path.join(tempfile.gettempdir(), "wikid_ann_index")
-    dest = os.path.join(cache_root, key)
-    if os.path.exists(os.path.join(dest, _INDEX_OK)):
-        return dest
-    os.makedirs(cache_root, exist_ok=True)
-    build = os.path.join(cache_root, f".build_{key}_{os.getpid()}")
-    shutil.rmtree(build, ignore_errors=True)
-    persist_ann_index(spark, sf_dir, build, spec)
-    try:
-        os.rename(build, dest)
-    except OSError:
-        if not os.path.exists(os.path.join(dest, _INDEX_OK)):
-            raise
-        shutil.rmtree(build, ignore_errors=True)  # lost the race: reuse
-    return dest
+    return ensure_cached_build(
+        "wikid_ann_index",
+        key,
+        lambda build: persist_ann_index(spark, sf_dir, build, spec),
+        _INDEX_OK,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4727,6 +4716,7 @@ def refresh_ann_index(
         DEFAULT_LEASE_SECONDS,
         _acquire_or_renew_lease,
         _assert_lease_held,
+        _lease_heartbeat,
         _release_lease,
     )
 
@@ -4757,9 +4747,12 @@ def refresh_ann_index(
             return report
         stage = index_dir + ".stage"
         _fs_delete(spark, stage)
-        spec = persist_ann_index(spark, sf_dir, stage)  # spec rederived
-        # renew the heartbeat after the long build, and prove we still
-        # own the target before the promotion renames
+        # The stage path is SHARED between refreshers, so losing the
+        # lease mid-build would let a successor interleave writes into
+        # it — heartbeat the build alive (round-15 review), then prove
+        # we still own the target before the promotion renames.
+        with _lease_heartbeat(lock_dir, writer_id, lease_s):
+            spec = persist_ann_index(spark, sf_dir, stage)  # spec rederived
         _acquire_or_renew_lease(lock_dir, writer_id, lease_s)
         _assert_lease_held(lock_dir, writer_id)
         _drop_index_handles(index_dir)
@@ -4877,6 +4870,7 @@ def publish_index_version(
     from wikid_spark.streaming.ingest import (
         DEFAULT_LEASE_SECONDS,
         _acquire_or_renew_lease,
+        _lease_heartbeat,
         _release_lease,
     )
 
@@ -4892,7 +4886,12 @@ def publish_index_version(
         built = False
         if not _fs_exists(spark, f"{vdir}/{_INDEX_OK}"):
             _fs_delete(spark, vdir)  # lease-held: provably a crashed partial
-            persist_ann_index(spark, sf_dir, vdir, spec)
+            # The build is minutes at real scale — far past the lease
+            # expiry; heartbeat it alive or a second publisher could
+            # legally take over mid-build and interleave (the gap the
+            # round-15 review caught in the original lease fix).
+            with _lease_heartbeat(lock_dir, writer_id, DEFAULT_LEASE_SECONDS):
+                persist_ann_index(spark, sf_dir, vdir, spec)
             built = True
         prev = read_current_version(spark, root)
         if prev != vid:
@@ -5531,10 +5530,10 @@ def _mmr_greedy_over_pool(spark: SparkSession, cand: DataFrame) -> DataFrame:
     )
     # anchor-budget-bounded collects (anchors x 20 and anchors x 380)
     simq: dict[int, dict[int, float]] = {}
-    for r in pool.select("query_id", "doc", "simq").collect():
+    for r in pool.select("query_id", "doc", "simq").collect():  # k-bounded collect (anchors x 20)
         simq.setdefault(r["query_id"], {})[r["doc"]] = r["simq"]
     sims: dict[tuple[int, int, int], float] = {
-        (r["query_id"], r["a"], r["b"]): r["s"] for r in pair.collect()
+        (r["query_id"], r["a"], r["b"]): r["s"] for r in pair.collect()  # k-bounded collect (anchors x 380)
     }
     _unpersist_checkpoint(pool)
 

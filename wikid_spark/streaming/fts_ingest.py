@@ -20,10 +20,11 @@ from-scratch rebuild, which the tests pin):
 * **df** is per-(term, batch) COUNT(DISTINCT doc); with each doc in
   exactly one batch, corpus df = SUM over batch partials — an
   ADDITIVE decomposition (the A2 alias-counts merge discipline);
-* **stats** are (n_docs, sum_dl) LONG increments; corpus
-  n_docs/avgdl = SUM(n_docs), SUM(sum_dl)/SUM(n_docs). All partials
-  are exact integers, so the served avgdl is the bit-identical double
-  the rebuild's AVG computes.
+* **stats** are (n_docs, n_dl, sum_dl) LONG increments; corpus
+  n_docs = SUM(n_docs) (all rows — the idf denominator counts
+  NULL-text docs) and avgdl = SUM(sum_dl)/SUM(n_dl) (non-NULL texts
+  only — F.avg's semantics). All partials are exact integers, so the
+  served values are the bit-identical doubles the rebuild computes.
 
 Replay/crash inherit the engine contract: appends overwrite their own
 ``batch_id=n`` paths (at-least-once replays rewrite byte-identically);
@@ -46,8 +47,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from wikid_spark.operators.fts import (
+    _POSTINGS_SCHEMA,
     _term_bucket_col,
     _term_bucket_py,
+    bm25_score_tail,
     build_inverted_index,
     fold_term,
     tokenize,
@@ -55,34 +58,53 @@ from wikid_spark.operators.fts import (
 from wikid_spark.streaming import evolving_index as _engine
 
 _PARTS = ("postings", "termstats", "stats")
+_STATS_SCHEMA = "n_docs long, n_dl long, sum_dl long"
 
 
-def _sign_postings(docs: DataFrame, index_dir: str) -> dict:
-    """The FTS `sign` kernel for the shared evolving-index engine: the
-    postings, per-term df partials, and corpus-stat increments a set of
-    (doc_id, text) rows contributes. One tokenize pass feeds all three
-    (the postings subtree is shared; Catalyst/AQE reuse the exchange)."""
+def _stats_increment(docs: DataFrame) -> DataFrame:
+    """The additive corpus-stat row a set of (doc_id, text) rows
+    contributes. Three exact-integer partials, mirroring
+    bm25_from_docs' two-sided semantics precisely: ``n_docs`` counts
+    EVERY row (the idf denominator counts NULL-text docs too) while
+    ``n_dl``/``sum_dl`` cover only non-NULL texts (F.avg skips NULLs),
+    so the served avgdl = Σsum_dl / Σn_dl is bit-identical to the
+    rebuild's AVG (round-15 review: dividing by n_docs diverged on a
+    NULL-text doc)."""
+    return docs.select(F.size(tokenize("text")).alias("_dl")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count("_dl").cast("long").alias("n_dl"),
+        F.coalesce(F.sum("_dl"), F.lit(0)).cast("long").alias("sum_dl"),
+    )
+
+
+def _write_components(
+    docs: DataFrame, index_dir: str, batch_id: int
+) -> None:
+    """One batch's (or the corpus base's) three components, from ONE
+    tokenize+explode pass: postings are written first, termstats
+    derive from the just-written parquet (a columnar re-read — no
+    second explode; round-15 review caught the three-jobs-three-
+    tokenizes shape the old sign-dict write had), and the stat
+    increments are a size-only map pass (no explode)."""
+    spark = docs.sparkSession
     postings = build_inverted_index(docs, "doc_id", "text").withColumn(
         "tbucket", _term_bucket_col(F.col("term"))
     )
-    termstats = postings.groupBy("tbucket", "term").agg(
+    _engine.write_part(postings, index_dir, "postings", batch_id, ("tbucket",))
+    written = spark.read.schema(_POSTINGS_SCHEMA).parquet(
+        f"{index_dir}/postings/batch_id={batch_id}"
+    )
+    termstats = written.groupBy("tbucket", "term").agg(
         F.count_distinct("doc").alias("df")
     )
-    stats = docs.select(F.size(tokenize("text")).alias("_dl")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.coalesce(F.sum("_dl"), F.lit(0)).cast("long").alias("sum_dl"),
-    )
-    return {
-        "postings": (postings, ("tbucket",)),
-        "termstats": (termstats, ("tbucket",)),
-        "stats": (stats, ()),
-    }
+    _engine.write_part(termstats, index_dir, "termstats", batch_id, ("tbucket",))
+    _engine.write_part(_stats_increment(docs), index_dir, "stats", batch_id, ())
 
 
 def persist_streaming_fts_index(docs: DataFrame, index_dir: str) -> None:
     """Build the corpus base under ``batch_id=-1`` so streaming appends
     evolve the same tree. ``docs`` must carry (doc_id, text)."""
-    _engine.persist_index(_sign_postings, docs, index_dir)
+    _write_components(docs, index_dir, _engine.BASE_BATCH_ID)
 
 
 def append_docs_to_fts_index(
@@ -92,9 +114,8 @@ def append_docs_to_fts_index(
     ``batch_id`` partitions — overwrite mode, so a replayed batch
     rewrites its own appends byte-identically (engine contract).
     Append-only corpus: batch doc_ids must be new (the df and stats
-    decompositions above assume each doc lands in exactly one batch)."""
-    for part, (df, pcols) in _sign_postings(batch, index_dir).items():
-        _engine.write_part(df, index_dir, part, batch_id, pcols)
+    decompositions assume each doc lands in exactly one batch)."""
+    _write_components(batch, index_dir, batch_id)
 
 
 def fts_index_batch_writer(
@@ -129,7 +150,7 @@ def bm25_streaming(
     earlier batches; None = everything) — value-identical to a
     from-scratch `bm25_from_docs` over the same document set: tf rows
     are the filtered postings union, df is the SUM of batch partials,
-    and avgdl = SUM(sum_dl)/SUM(n_docs) reproduces AVG bit-for-bit
+    and avgdl = SUM(sum_dl)/SUM(n_dl) reproduces AVG bit-for-bit
     (exact-integer partials). Scan shape matches `bm25_persisted`:
     bucket-dir pruned across base + deltas, never the corpus."""
     t = [fold_term(s) for s in terms]
@@ -138,7 +159,7 @@ def bm25_streaming(
         F.sum("n_docs").cast("double").alias("n_docs"),
         (
             F.sum("sum_dl").cast("double")
-            / F.sum("n_docs").cast("double")
+            / F.sum("n_dl").cast("double")
         ).alias("avgdl"),
     )
     dfreq = (
@@ -155,19 +176,7 @@ def bm25_streaming(
         .groupBy("term", "doc", "doc_len")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / F.col("avgdl"))
-    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
-    return (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(corpus))
-        .withColumn("contrib", contrib)
-        .groupBy("doc")
-        .agg(F.sum("contrib").alias("score"))
-    )
+    return bm25_score_tail(tf, dfreq, corpus, k1, b)
 
 
 def compact_streaming_fts_index(spark: SparkSession, index_dir: str) -> None:

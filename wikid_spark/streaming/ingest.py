@@ -430,6 +430,43 @@ def _acquire_or_renew_lease(
         )
 
 
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def _lease_heartbeat(
+    target_dir: str, writer_id: str, lease_seconds: float
+):
+    """Keep a held lease alive across a LONG blocking section (an index
+    build is minutes at real scale — far past the 300 s default
+    expiry, after which a second writer could legally take over and
+    the two would interleave, the exact corruption the lease exists to
+    prevent). A daemon thread renews the heartbeat every
+    lease_seconds/3 until the context exits; renewal failures are
+    swallowed (the next _assert-style check or the competing writer's
+    takeover race handles the degraded case — same best-effort
+    envelope as acquisition on rename-only storage)."""
+    import threading
+
+    stop = threading.Event()
+
+    def beat() -> None:
+        while not stop.wait(max(lease_seconds / 3.0, 1.0)):
+            try:
+                _acquire_or_renew_lease(target_dir, writer_id, lease_seconds)
+            except Exception:
+                pass  # lost/contended lease: the holder's own next
+                # explicit acquire (or the rename race) surfaces it
+
+    t = threading.Thread(target=beat, daemon=True)
+    t.start()
+    try:
+        yield
+    finally:
+        stop.set()
+        t.join(timeout=5)
+
+
 def _release_lease(target_dir: str, writer_id: str) -> None:
     """Drop the lease iff we still hold it — a finished one-shot
     holder (e.g. a completed index refresh) releases so the NEXT
