@@ -102,3 +102,23 @@ def test_sf1_ann_brute_bounded(spark, sf1_present):
     assert "roundrobin" in plan.lower()
     wall = _noop_wall(df)
     assert wall < 120, f"sim_ann_brute_topk took {wall:.0f}s — spread regressed?"
+
+
+def test_sf1_round15_retrieval_bounded(spark, sf1_present):
+    """Round-15 additions at sf1, bounded against their measured
+    shapes (SCALE.md round-15 drill: hybrid-multi 12.4 s, mmr-multi
+    0.5 s, hard-neg-ann 1.8 s, fts-serve 0.5 s — bounds are 5-10x to
+    only blow up on a regressed SHAPE, e.g. a lost broadcast turning
+    the per-anchor candidate agg all-pairs, or a lost partition filter
+    scanning every bucket)."""
+    specs = all_queries()
+    for name, bound in (
+        ("fts_hybrid_rrf_multi", 75),
+        ("sim_mmr_multi", 15),
+        ("sim_hard_negatives_ann_topk", 20),
+        ("fts_serve_persisted", 10),
+        ("sim_mmr_ann_multi", 20),
+    ):
+        df = specs[name].fn(spark, SF1)
+        wall = _noop_wall(df)
+        assert wall < bound, f"{name} took {wall:.0f}s at sf1 (bound {bound}s)"
