@@ -398,14 +398,16 @@ def test_hybrid_rrf_topk_plan_shape(spark):
 def test_hybrid_multi_is_join_shaped_not_cartesian(spark):
     """The multi-anchor hybrid's scale claims, plan-pinned: no
     CartesianProduct, no SortMergeJoin (every small side — anchor
-    terms, df, corpus stats, anchors — broadcasts), and the BM25 sum
-    is the exact-integer fixed-point column (bigint sum, not a float
-    sum whose order could diverge from the oracle)."""
+    terms, df, corpus stats, anchors — broadcasts), the BM25
+    contribution is the exact-integer fixed-point column (c_q6),
+    and the per-anchor scoring is the Arrow matmul kernel
+    (MapInPandas), not the anchors x postings row-expansion join."""
     plan = _plan(spark, "fts_hybrid_rrf_multi")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
-    assert "sum(c_q6" in plan  # fixed-point bigint aggregation
+    assert "c_q6" in plan  # fixed-point quantization feeds the kernel
+    assert "MapInPandas" in plan  # exact-int64 matmul scorer
 
 
 def test_hard_neg_ann_probe_is_broadcast_join(spark):
