@@ -890,3 +890,59 @@ def fts_near_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vector",
         n=5,
     ).orderBy("doc")
+
+
+@query(
+    "fts_serve_streaming",
+    oracle=_BM25_TOPK_ORACLE,
+    tags=("fts", "bm25", "streaming", "serving"),
+)
+def fts_serve_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the EVOLVING (streaming-maintained) FTS index
+    — the round-15 `streaming.fts_ingest` layout given a registered
+    driver-green row, the way sim_ivfpq8_serve_persisted certifies the
+    persisted ANN layout. The corpus is ingested as it would arrive in
+    production: a base build over one third of the documents
+    (doc_id % 3 == 0) plus two appended micro-batches (% 3 == 1, 2 —
+    disjoint ids, the append-only contract), then a crash-safe
+    COMPACTION folds the deltas; the serve reads the folded index.
+    Because the final document set is the whole table, the result is
+    value-identical to `fts_bm25_topk` and the certifying oracle is
+    the same SQL text — so one hash-green row certifies the streaming
+    build, the additive df/stat decompositions, the compaction fold,
+    AND the bucket-pruned serve end-to-end. Content-keyed cached like
+    every index build (a regenerated corpus rebuilds)."""
+    import hashlib
+    import os
+
+    from wikid_spark.catalog import corpus_fingerprint, ensure_cached_build
+    from wikid_spark.streaming import fts_ingest as FI
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = corpus_fingerprint(sf_dir, "documents")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{fp}|stream|v1".encode()
+    ).hexdigest()[:16]
+
+    def build(d: str) -> None:
+        FI.persist_streaming_fts_index(
+            docs.filter(F.col("doc_id") % 3 == 0), d
+        )
+        FI.append_docs_to_fts_index(
+            docs.filter(F.col("doc_id") % 3 == 1), d, 0
+        )
+        FI.append_docs_to_fts_index(
+            docs.filter(F.col("doc_id") % 3 == 2), d, 1
+        )
+        FI.compact_streaming_fts_index(spark, d)
+        from wikid_spark.queries.similarity import _fs_write_text
+
+        _fs_write_text(spark, f"{d}/_FTS_OK")
+
+    idx = ensure_cached_build("wikid_fts_stream_index", key, build, "_FTS_OK")
+    ranked = FI.bm25_streaming(spark, idx, SEARCH_TERMS)
+    return (
+        ranked.select("doc", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), "doc")
+        .limit(20)
+    )
