@@ -106,8 +106,11 @@ def test_sf1_ann_brute_bounded(spark, sf1_present):
 
 def test_sf1_round15_retrieval_bounded(spark, sf1_present):
     """Round-15 additions at sf1, bounded against their measured
-    shapes (SCALE.md round-15 drill: hybrid-multi 12.4 s, mmr-multi
-    0.5 s, hard-neg-ann 1.8 s, fts-serve 0.5 s — bounds are 5-10x to
+    shapes (SCALE.md "Round 15: new-query sf1 drill" table:
+    hybrid-multi 12.36 s pre-matmul-rewrite — the rewrite only
+    lowered it — mmr-multi 0.46 s, hard-neg-ann 1.76 s, fts-serve
+    0.48 s; sim_mmr_ann_multi measured 1.7 s in the sf10 drill, so
+    its sf1 bound is generous a fortiori — bounds are 5-10x to
     only blow up on a regressed SHAPE, e.g. a lost broadcast turning
     the per-anchor candidate agg all-pairs, or a lost partition filter
     scanning every bucket)."""

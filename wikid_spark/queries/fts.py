@@ -627,20 +627,39 @@ def fts_hybrid_rrf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("_dl").alias("avgdl"),
     )
     postings = build_inverted_index(docs, "doc_id", "text")
-    # Anchor query terms: the anchor document's distinct tokens. Tiny
-    # (anchors x vocab) — broadcast everywhere it joins.
+    # Anchor query terms: the anchor document's distinct tokens —
+    # tokenize ONLY the (broadcast-joined) anchor documents, never the
+    # corpus (round-15 review #2: deriving aterms from the full
+    # postings tokenized the corpus once at the driver collect and
+    # AGAIN in the in-plan semi-join subtree).
+    adocs = docs.join(
+        F.broadcast(anchors.select("query_id")),
+        docs["doc_id"] == F.col("query_id"),
+    ).select("query_id", "text")
     aterms = (
-        postings.join(
-            F.broadcast(anchors.select("query_id")),
-            postings["doc"] == F.col("query_id"),
-        )
-        .select("query_id", "term")
+        build_inverted_index(adocs, "query_id", "text")
+        .select(F.col("doc").alias("query_id"), "term")
         .distinct()
     )
+    # Per-anchor scores as one exact-int64 BLAS matmul (the
+    # _assign_blas discipline), not a row-expansion join: the
+    # (anchor, term, doc) expansion is |tfc| x |anchors| rows through
+    # a 20M-group hash agg — measured 96 s warm at sf10 on the
+    # closed-vocab corpus (its dense worst case: every doc matches
+    # every anchor). Here each doc's c_q6 vector over the anchor-term
+    # union multiplies the broadcast anchors x terms 0/1 membership
+    # matrix once: S = V @ A^T (int64 products and sums, exact — the
+    # same Σ of the same longs the join+agg computed, order-free), and
+    # a presence matmul M = P @ A^T keeps only genuinely-overlapping
+    # (anchor, doc) pairs, matching the join's output set exactly.
+    a_rows = aterms.collect()  # k-bounded collect (anchors x per-doc vocab)
+    anchor_ids = sorted({r["query_id"] for r in a_rows})
+    union_terms = sorted({r["term"] for r in a_rows})
+    # One full-corpus tokenize total: the union terms are already on
+    # the driver, so tf filters with a pushable isin instead of a
+    # semi-join that would re-execute a second corpus-wide subtree.
     tf = (
-        postings.join(
-            F.broadcast(aterms.select("term").distinct()), "term", "left_semi"
-        )
+        postings.filter(F.col("term").isin(union_terms))
         .groupBy("term", "doc", "doc_len")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -662,20 +681,6 @@ def fts_hybrid_rrf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("term", "doc", "c_q6")
     )
-    # Per-anchor scores as one exact-int64 BLAS matmul (the
-    # _assign_blas discipline), not a row-expansion join: the
-    # (anchor, term, doc) expansion is |tfc| x |anchors| rows through
-    # a 20M-group hash agg — measured 96 s warm at sf10 on the
-    # closed-vocab corpus (its dense worst case: every doc matches
-    # every anchor). Here each doc's c_q6 vector over the anchor-term
-    # union multiplies the broadcast anchors x terms 0/1 membership
-    # matrix once: S = V @ A^T (int64 products and sums, exact — the
-    # same Σ of the same longs the join+agg computed, order-free), and
-    # a presence matmul M = P @ A^T keeps only genuinely-overlapping
-    # (anchor, doc) pairs, matching the join's output set exactly.
-    a_rows = aterms.collect()  # k-bounded collect (anchors x per-doc vocab)
-    anchor_ids = sorted({r["query_id"] for r in a_rows})
-    union_terms = sorted({r["term"] for r in a_rows})
     q_ix = {q: i for i, q in enumerate(anchor_ids)}
     t_ix = {t: i for i, t in enumerate(union_terms)}
     a_member = [[0] * len(union_terms) for _ in anchor_ids]
@@ -692,39 +697,56 @@ def fts_hybrid_rrf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        A = np.array(a_member, dtype=np.int64)  # anchors x T
+        # float64, not int64: (a) numpy integer matmul never dispatches
+        # to BLAS — float64 does; (b) it stays EXACT here, because every
+        # operand is an exact integer and every partial sum is bounded
+        # by T_max x c_max ~ 4e5 x 6.2e7 = 2.5e13 << 2^53, so each
+        # product and each accumulation is an exactly-representable
+        # integer (the quantize_embedding exactness argument).
+        A = np.array(a_member, dtype=np.float64)  # anchors x T
         tix = {t: i for i, t in enumerate(terms_arr)}
         qs = np.array(anchors_arr, dtype=np.int64)
+        T = max(A.shape[1], 1)
+        # Bound the dense scatter to ~64 MB per matrix: with an OPEN
+        # vocabulary the anchor-term union T can reach 10^5, and an
+        # Arrow batch of 10k rows would otherwise allocate n x T x 8 B
+        # = multi-GB per task (round-15 review #1). Rows per sub-batch
+        # shrink as T grows; the matmul cost is unchanged, only the
+        # peak allocation is.
+        sub = max(1, (8 << 20) // T)
         for pdf in batches:
-            n = len(pdf)
-            if n == 0:
-                continue
-            T = A.shape[1]
-            lens = np.fromiter((len(x) for x in pdf["tc"]), dtype=np.int64)
-            rows = np.repeat(np.arange(n), lens)
-            cols = np.fromiter(
-                (tix[e["term"]] for lst in pdf["tc"] for e in lst),
-                dtype=np.int64,
-            )
-            vals = np.fromiter(
-                (e["c_q6"] for lst in pdf["tc"] for e in lst),
-                dtype=np.int64,
-            )
-            V = np.zeros((n, T), dtype=np.int64)
-            P = np.zeros((n, T), dtype=np.int64)
-            V[rows, cols] = vals
-            P[rows, cols] = 1
-            S = V @ A.T  # n x anchors, exact int64
-            M = P @ A.T
-            docs_np = pdf["doc"].to_numpy(dtype=np.int64)
-            di, qi = np.nonzero(M)
-            yield pd.DataFrame(
-                {
-                    "query_id": qs[qi],
-                    "doc": docs_np[di],
-                    "score_q6": S[di, qi],
-                }
-            )
+            for lo in range(0, len(pdf), sub):
+                chunk = pdf.iloc[lo : lo + sub]
+                n = len(chunk)
+                if n == 0:
+                    continue
+                lens = np.fromiter(
+                    (len(x) for x in chunk["tc"]), dtype=np.int64
+                )
+                rows = np.repeat(np.arange(n), lens)
+                cols = np.fromiter(
+                    (tix[e["term"]] for lst in chunk["tc"] for e in lst),
+                    dtype=np.int64,
+                )
+                vals = np.fromiter(
+                    (e["c_q6"] for lst in chunk["tc"] for e in lst),
+                    dtype=np.float64,
+                )
+                V = np.zeros((n, A.shape[1]), dtype=np.float64)
+                P = np.zeros((n, A.shape[1]), dtype=np.float64)
+                V[rows, cols] = vals
+                P[rows, cols] = 1.0
+                S = V @ A.T  # n x anchors — exact integers in float64
+                M = P @ A.T
+                docs_np = chunk["doc"].to_numpy(dtype=np.int64)
+                di, qi = np.nonzero(M)
+                yield pd.DataFrame(
+                    {
+                        "query_id": qs[qi],
+                        "doc": docs_np[di],
+                        "score_q6": S[di, qi].astype(np.int64),
+                    }
+                )
 
     bm = doc_tc.mapInPandas(
         score_batches, "query_id bigint, doc bigint, score_q6 bigint"
@@ -918,22 +940,28 @@ def fts_serve_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikid_spark.catalog import corpus_fingerprint, ensure_cached_build
     from wikid_spark.streaming import fts_ingest as FI
 
+    from wikid_spark.operators.fts import FTS_TERM_BUCKETS
+
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     fp = corpus_fingerprint(sf_dir, "documents")
+    # Fold the bucket count into the key (the ensure_fts_index
+    # discipline): a changed FTS_TERM_BUCKETS must rebuild, or the
+    # serve would prune with buckets computed under the NEW count
+    # against directories laid out under the OLD one (round-15
+    # review #2 of the second pass).
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{fp}|stream|v1".encode()
+        f"{os.path.abspath(sf_dir)}|{fp}|stream|b{FTS_TERM_BUCKETS}|v1".encode()
     ).hexdigest()[:16]
+    # pmod + NULL-coalesce make the three-way split TOTAL: Spark %
+    # keeps the dividend's sign (a doc_id = -1 row would land in NO
+    # residue class) and NULL % 3 is NULL — either silently shrinks
+    # the indexed set and shifts every BM25 stat off the oracle's.
+    residue = F.coalesce(F.pmod(F.col("doc_id"), F.lit(3)), F.lit(0))
 
     def build(d: str) -> None:
-        FI.persist_streaming_fts_index(
-            docs.filter(F.col("doc_id") % 3 == 0), d
-        )
-        FI.append_docs_to_fts_index(
-            docs.filter(F.col("doc_id") % 3 == 1), d, 0
-        )
-        FI.append_docs_to_fts_index(
-            docs.filter(F.col("doc_id") % 3 == 2), d, 1
-        )
+        FI.persist_streaming_fts_index(docs.filter(residue == 0), d)
+        FI.append_docs_to_fts_index(docs.filter(residue == 1), d, 0)
+        FI.append_docs_to_fts_index(docs.filter(residue == 2), d, 1)
         FI.compact_streaming_fts_index(spark, d)
         from wikid_spark.queries.similarity import _fs_write_text
 

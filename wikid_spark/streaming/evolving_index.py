@@ -64,14 +64,23 @@ def write_part(
 
 
 def read_part(
-    spark: SparkSession, index_dir: str, part: str, as_of_batch: int | None
+    spark: SparkSession,
+    index_dir: str,
+    part: str,
+    as_of_batch: int | None,
+    schema: str | None = None,
 ) -> DataFrame:
     """One component across base + appended deltas. With
     ``as_of_batch`` set, reads strictly earlier partitions — partition
-    pruning on ``batch_id``, and the probe's replay determinism."""
-    df = spark.read.option("basePath", f"{index_dir}/{part}").parquet(
-        f"{index_dir}/{part}/batch_id=*"
-    )
+    pruning on ``batch_id``, and the probe's replay determinism.
+    ``schema`` (must include ``batch_id int``) lets a DEGENERATE
+    component — an empty corpus partitionBy-writes zero data files —
+    load where inference would fail (the persist_ann_index explicit-
+    schema lesson)."""
+    reader = spark.read.option("basePath", f"{index_dir}/{part}")
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(f"{index_dir}/{part}/batch_id=*")
     if as_of_batch is not None:
         df = df.filter(F.col("batch_id") < as_of_batch)
     return df.drop("batch_id")
@@ -155,6 +164,7 @@ def compact_index_parts(
     index_dir: str,
     parts: tuple[str, ...],
     partition_cols: tuple[str, ...] = (),
+    schema: str | None = None,
 ) -> None:
     """The crash-safe fold, per component: heal-preamble, write the
     fold to ``.compacting``, two-rename swap. ``partition_cols``
@@ -197,7 +207,7 @@ def compact_index_parts(
                 )
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
-        folded = read_part(spark, index_dir, part, None)
+        folded = read_part(spark, index_dir, part, None, schema=schema)
         if partition_cols:
             # One file per partition directory: without the repartition
             # every read task writes its own fragment into every

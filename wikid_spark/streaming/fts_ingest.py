@@ -134,8 +134,19 @@ def fts_index_batch_writer(
     return write
 
 
+# Explicit read schemas per component (+ the batch_id partition col):
+# a degenerate corpus writes zero data files and inference fails.
+_PART_SCHEMAS = {
+    "postings": _POSTINGS_SCHEMA + ", batch_id int",
+    "termstats": "term string, df bigint, tbucket int, batch_id int",
+    "stats": _STATS_SCHEMA + ", batch_id int",
+}
+
+
 def _read(spark, index_dir, part, as_of_batch):
-    return _engine.read_part(spark, index_dir, part, as_of_batch)
+    return _engine.read_part(
+        spark, index_dir, part, as_of_batch, schema=_PART_SCHEMAS[part]
+    )
 
 
 def bm25_streaming(
@@ -186,7 +197,14 @@ def compact_streaming_fts_index(spark: SparkSession, index_dir: str) -> None:
     one-directory-per-bucket; the additive parts (termstats partials,
     stat increments) are folded AS ROWS — their serving aggregations
     are sums, so row-level folding preserves every served value."""
+    for part in ("postings", "termstats"):
+        _engine.compact_index_parts(
+            spark,
+            index_dir,
+            (part,),
+            partition_cols=("tbucket",),
+            schema=_PART_SCHEMAS[part],
+        )
     _engine.compact_index_parts(
-        spark, index_dir, ("postings", "termstats"), partition_cols=("tbucket",)
+        spark, index_dir, ("stats",), schema=_PART_SCHEMAS["stats"]
     )
-    _engine.compact_index_parts(spark, index_dir, ("stats",))
