@@ -354,15 +354,11 @@ def main() -> None:
     # Repeats: single-shot times are ±0.1 s noisy at sf0.1; the default
     # 3 repeats report per-query p50 (the "queries" dict — value stays
     # sum-of-p50s, comparable round-over-round) plus a "p95" dict.
-    # --full keeps 1 repeat (105 queries; noise averages out in total).
+    # --full now repeats too (VERDICT r15 #6: single-sample FULLBENCH
+    # kept manufacturing phantom ±50% per-query swings that every
+    # verdict had to re-adjudicate; medians end that).
     repeat = max(
-        1,
-        int(
-            os.environ.get(
-                "SPARK_GRAFT_BENCH_REPEAT",
-                "1" if "--full" in sys.argv[1:] else "3",
-            )
-        ),
+        1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     )
 
     # Warmup: JVM + codegen + parquet footer reads, not billed below.

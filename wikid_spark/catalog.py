@@ -364,11 +364,19 @@ def ensure_cached_build(
         cache_root, f".build_{key}_{os.getpid()}_{uuid.uuid4().hex[:8]}"
     )
     shutil.rmtree(build, ignore_errors=True)
-    build_fn(build)
+    # Failed builds must not leak their uuid-keyed private dir (ADVICE
+    # r15: no sweep ever reuses these names, so half-written trees from
+    # repeated failures accumulated under tempdir forever).
+    try:
+        build_fn(build)
+    except BaseException:
+        shutil.rmtree(build, ignore_errors=True)
+        raise
     try:
         os.rename(build, dest)
     except OSError:
         if not os.path.exists(os.path.join(dest, ok_marker)):
+            shutil.rmtree(build, ignore_errors=True)
             raise
         shutil.rmtree(build, ignore_errors=True)  # lost the race: reuse
     return dest

