@@ -373,9 +373,19 @@ def bm25_from_docs(
 # ---------------------------------------------------------------------------
 
 FTS_TERM_BUCKETS = 64
+# Impact-ordered prefix depth: per term, the top-N (doc, c_q6) BM25
+# contributions persisted alongside termstats (round 16, VERDICT r15
+# #1 — the max-score/WAND discipline FTS5's own query planner applies
+# to MATCH that our multi-anchor scoring brute-forced). Partial sums
+# over these prefixes seed each anchor's top-k floor WITHOUT a corpus
+# pass; deeper = tighter floors, 32 ≈ one parquet page per term.
+FTS_IMPACT_PREFIX = 32
 _FTS_OK = "_FTS_OK"
 _POSTINGS_SCHEMA = "term string, doc bigint, pos int, doc_len int, tbucket int"
-_TERMSTATS_SCHEMA = "term string, df bigint, tbucket int"
+_TERMSTATS_SCHEMA = "term string, df bigint, ub_q6 bigint, tbucket int"
+# Per-term impact-ordered prefix: the FTS_IMPACT_PREFIX largest
+# quantized BM25 contributions (k1/b defaults) of each term.
+_TOPC_SCHEMA = "term string, doc bigint, c_q6 bigint, tbucket int"
 
 
 def _term_bucket_py(term: str) -> int:
@@ -425,14 +435,56 @@ def persist_fts_index(
     written = spark.read.schema(_POSTINGS_SCHEMA).parquet(
         f"{out_dir}/postings"
     )
-    dfreq = (
-        written.groupBy("tbucket", "term")
-        .agg(F.count_distinct("doc").alias("df"))
+    # Per-(term, doc) quantized BM25 contributions at the default
+    # k1/b — every operand (tf, df, doc_len, n_docs, avgdl) is an
+    # index-time constant, so the max-score state can be PRECOMPUTED
+    # with the index (VERDICT r15 #1): termstats carries each term's
+    # score upper bound ub_q6 = max_d c_q6(t, d), and topc/ holds the
+    # impact-ordered prefix (top FTS_IMPACT_PREFIX contributions per
+    # term) whose partial sums seed per-anchor top-k floors at serve
+    # time. Quantization (×1e6, round-half-up, long) is byte-identical
+    # to the serve-time formula, so ub really bounds every served
+    # contribution and prefix partial sums really lower-bound scores.
+    tfq = written.groupBy("tbucket", "term", "doc", "doc_len").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tfq.groupBy("tbucket", "term").agg(
+        F.count_distinct("doc").alias("df")
+    )
+    contrib = (
+        tfq.join(F.broadcast(dfreq.select("term", "df")), "term")
+        .withColumn("n_docs", F.lit(float(n_docs)))
+        .withColumn(
+            "avgdl", F.lit(float(avgdl) if avgdl is not None else 0.0)
+        )
+        .withColumn(
+            "c_q6",
+            F.round(bm25_contrib() * F.lit(1000000.0), 0).cast("long"),
+        )
+    )
+    ub = contrib.groupBy("tbucket", "term").agg(
+        F.max("c_q6").alias("ub_q6")
+    )
+    (
+        dfreq.join(ub, ["tbucket", "term"])
         .repartition("tbucket")
         .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("tbucket")
+        .parquet(f"{out_dir}/termstats")
     )
-    dfreq.write.mode("overwrite").partitionBy("tbucket").parquet(
-        f"{out_dir}/termstats"
+    from pyspark.sql import Window as _W
+
+    topw = _W.partitionBy("term").orderBy(F.desc("c_q6"), "doc")
+    (
+        contrib.withColumn("_rk", F.row_number().over(topw))
+        .filter(F.col("_rk") <= FTS_IMPACT_PREFIX)
+        .select("term", "doc", "c_q6", "tbucket")
+        .repartition("tbucket")
+        .sortWithinPartitions("term", "doc")
+        .write.mode("overwrite")
+        .partitionBy("tbucket")
+        .parquet(f"{out_dir}/topc")
     )
     # Degenerate corpus: AVG over zero rows is NULL — store 0.0; the
     # serve never divides by it (an empty corpus has empty postings,
@@ -462,6 +514,40 @@ def fts_persisted_postings(
         .parquet(f"{index_dir}/postings")
         .filter(F.col("tbucket").isin(buckets))
         .filter(F.col("term").isin(t))
+    )
+
+
+def fts_termstats(
+    spark: SparkSession, index_dir: str, terms: list[str]
+) -> DataFrame:
+    """Bucket-pruned (term, df, ub_q6) slice of the persisted
+    termstats — df for scoring, ub_q6 for max-score pruning. Terms are
+    expected already folded (the multi-anchor path's term union comes
+    from tokenized anchor documents, folded by construction)."""
+    buckets = sorted({_term_bucket_py(t) for t in terms})
+    return (
+        spark.read.schema(_TERMSTATS_SCHEMA)
+        .parquet(f"{index_dir}/termstats")
+        .filter(F.col("tbucket").isin(buckets))
+        .filter(F.col("term").isin(list(terms)))
+        .select("term", "df", "ub_q6")
+    )
+
+
+def fts_impact_prefix(
+    spark: SparkSession, index_dir: str, terms: list[str]
+) -> DataFrame:
+    """Bucket-pruned (term, doc, c_q6) impact-ordered prefix rows for
+    the query terms — the max-score floor seed. ≤ FTS_IMPACT_PREFIX
+    rows per term, so a serve collects ~32·|terms| rows, never a
+    corpus-scale frame."""
+    buckets = sorted({_term_bucket_py(t) for t in terms})
+    return (
+        spark.read.schema(_TOPC_SCHEMA)
+        .parquet(f"{index_dir}/topc")
+        .filter(F.col("tbucket").isin(buckets))
+        .filter(F.col("term").isin(list(terms)))
+        .select("term", "doc", "c_q6")
     )
 
 
@@ -509,8 +595,11 @@ def ensure_fts_index(spark: SparkSession, sf_dir: str) -> str:
     from wikid_spark.catalog import table as _table
 
     fp = corpus_fingerprint(sf_dir, "documents")
+    # v2: termstats gained ub_q6 and the topc/ impact prefix landed
+    # (round 16) — the bump rebuilds any v1 slot instead of serving an
+    # index missing the max-score state.
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{fp}|b{FTS_TERM_BUCKETS}|v1".encode()
+        f"{os.path.abspath(sf_dir)}|{fp}|b{FTS_TERM_BUCKETS}|v2".encode()
     ).hexdigest()[:16]
     return ensure_cached_build(
         "wikid_fts_index",

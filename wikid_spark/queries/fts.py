@@ -484,9 +484,7 @@ def _hybrid_rrf_fuse(
     ).limit(10)
 
 
-@query(
-    "fts_hybrid_rrf_multi",
-    oracle=f"""
+_HYBRID_MULTI_ORACLE = f"""
     WITH {_POSTINGS_CTE},
     anchors AS (
       SELECT vec_id AS query_id, embedding AS qe
@@ -573,60 +571,122 @@ def _hybrid_rrf_fuse(
       FROM fused)
     WHERE rn <= 10
     ORDER BY query_id, rn
-    """,
-    tags=("fts", "similarity", "hybrid", "rrf", "multi-anchor"),
-)
-def fts_hybrid_rrf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`fts_hybrid_rrf_topk` generalized from the fixed doc-0 query to
-    the ANN family's sampled anchor set (`_QUERY_SAMPLE_SQL` — the
-    shape a real RAG / contrastive pipeline runs: a BATCH of queries,
-    not one). Per anchor: the lexical side is "more-like-this" — BM25
-    of the anchor DOCUMENT's own distinct terms against the corpus
-    (self excluded) — and the dense side is cosine against the anchor
-    embedding; the two per-anchor top-20 lists fuse by RRF (k=60) and
-    each anchor keeps its top-10.
+    """
 
-    Numeric discipline: a per-anchor BM25 sum spans ~|vocab ∩ doc|
-    terms, and float addition of >2 terms is ORDER-DEPENDENT across
-    engines — so each term's contribution is quantized to integer
-    millionths (CAST(ROUND(c*1e6) AS BIGINT), the tx_lm_perplexity
-    fixed-point exactness pattern) and summed as exact bigints; ranks
-    compare integers. The RRF sum stays plain doubles (exactly two
-    correctly-rounded terms — commutative bit-for-bit).
 
-    Scale shape: corpus stats are one map-only pass; tf/df are computed
-    ONCE over postings restricted to the anchor-term union (a
-    broadcast semi-join on ≤ anchors x vocab terms); quantized
-    contributions land per (term, doc) and each candidate doc's
-    per-anchor scores come from ONE exact-int64 matmul against the
-    broadcast anchor-membership matrix (see the in-body note — the
-    row-expansion join this replaces was anchors x Σ_t df(t) rows
-    through a hash agg, measured 96 s warm at sf10 vs 20-35 s for the
-    matmul); candidate docs stay postings-bounded (only docs sharing
-    ≥1 anchor term produce rows); per-anchor ranks are windows
-    partitioned by query_id (parallel across anchors); fusion is a
-    union + hash-agg over ≤ 40-row-per-anchor frames. The dense side
-    is the certified sim_ann_brute one-pass broadcast shape.
+def _anchor_floors(
+    anchor_terms: dict[int, set[int]],
+    seed_tc: dict[int, list[tuple[int, int]]],
+    k: int = 20,
+) -> dict[int, int | None]:
+    """Per-anchor max-score floor: a SOUND lower bound on the anchor's
+    k-th best exact score_q6 (self excluded), from the EXACT scores of
+    the seed docs (the union of the impact-ordered per-term prefixes —
+    the docs most likely to populate every anchor's true top-k).
+    ``seed_tc`` maps seed doc → its full (term_index, c_q6) rows over
+    the anchor-term union, so each seed's per-anchor score here is the
+    identical exact long the distributed kernel computes; the k-th
+    best over any candidate subset is ≤ the k-th best overall, so
+    pruning strictly below the floor can never evict a true top-k doc.
+    An earlier draft floored on prefix PARTIAL sums instead — sound
+    but measured far too loose on the closed-vocab corpus (score
+    distributions are tight; partials sit at ~30% of true scores and
+    pruned ~1%). Returns None (no floor → no pruning) for anchors with
+    fewer than k seed docs sharing ≥1 term.
+
+    Term axis: ``anchor_terms`` values and ``seed_tc`` term indexes
+    must refer to one shared term→index mapping (the caller's
+    union-term order)."""
+    import numpy as np
+
+    floors: dict[int, int | None] = {a: None for a in anchor_terms}
+    if not seed_tc or not anchor_terms:
+        return floors
+    docs = sorted(seed_tc)
+    n_terms = 1 + max(
+        (ti for tc in seed_tc.values() for ti, _ in tc), default=-1
+    )
+    for terms in anchor_terms.values():
+        n_terms = max(n_terms, 1 + max(terms, default=-1))
+    if n_terms == 0:
+        return floors
+    V = np.zeros((len(docs), n_terms), dtype=np.float64)
+    P = np.zeros((len(docs), n_terms), dtype=np.float64)
+    for i, d in enumerate(docs):
+        for ti, c in seed_tc[d]:
+            V[i, ti] = float(c)
+            P[i, ti] = 1.0  # c_q6 == 0 rows still mark overlap
+    anchors = sorted(anchor_terms)
+    A = np.zeros((len(anchors), n_terms), dtype=np.float64)
+    for j, a in enumerate(anchors):
+        for ti in anchor_terms[a]:
+            A[j, ti] = 1.0
+    S = V @ A.T  # exact integers in float64 (< 2^53, kernel argument)
+    M = P @ A.T
+    doc_arr = np.array(docs, dtype=np.int64)
+    for j, a in enumerate(anchors):
+        mask = (M[:, j] > 0) & (doc_arr != a)
+        sc = np.sort(S[mask, j])[::-1]
+        if len(sc) >= k:
+            floors[a] = int(sc[k - 1])
+    return floors
+
+
+def _multi_anchor_bm(
+    spark: SparkSession,
+    sf_dir: str,
+    persisted: bool = False,
+    prune: bool = True,
+) -> DataFrame:
+    """The multi-anchor BM25 frame ``(query_id, doc, score_q6)`` both
+    hybrid-multi variants rank: per sampled anchor (`_QUERY_SAMPLE_SQL`),
+    the quantized more-like-this score of every surviving candidate doc
+    (self already excluded). ``persisted`` serves tf/df/stats AND the
+    max-score state from the on-disk FTS index (one bucket-pruned
+    postings probe, zero corpus tokenizes); the in-plan path rebuilds
+    them from the corpus (one tokenize, localCheckpointed so the floor
+    seeding doesn't re-execute it).
+
+    Numeric discipline (unchanged from round 15): each (term, doc)
+    BM25 contribution is quantized to integer millionths and per-anchor
+    scores are exact Σ of those longs via one float64-BLAS matmul
+    (every operand and partial sum < 2^53, so float64 stays exact).
+
+    Max-score/WAND pruning (round 16, VERDICT r15 #1 — the one MATCH
+    optimization FTS5's planner applies that this path brute-forced):
+
+    * floors — per anchor, θ_a lower-bounds the true 20th-best score
+      from partial sums over the per-term impact-ordered prefixes
+      (`_anchor_floors`; prefixes persisted in the index's topc/ table,
+      or derived in-plan by one window job over the checkpointed tfc);
+    * doc-level — a doc whose Σ ub(t) over ALL its matched union terms
+      is below min_a θ_a cannot reach ANY anchor's top-20 (per-anchor
+      matched subsets only shrink that sum): dropped before the matmul;
+    * pair-level — computed exact scores below θ_a are not emitted
+      (the true top-20 all score ≥ true-20th ≥ θ_a), so the rank-window
+      shuffle sees the handful of floor-beating candidates instead of
+      ~corpus×anchors rows on a closed-vocabulary corpus.
+
+    All three steps are droppable-only-below-a-lower-bound, so the
+    per-anchor top-20 — the only thing the fusion tail reads — is
+    IDENTICAL to the unpruned r15 computation (``prune=False`` keeps
+    that path runnable; tests pin equality and the candidate-row
+    reduction). Anchors with fewer than 20 prefix docs get no floor and
+    prune nothing.
     """
     from pyspark.sql import Window
 
-    from wikid_spark.functions.vectors import cosine_similarity
+    from wikid_spark.operators.fts import FTS_IMPACT_PREFIX, bm25_contrib
     from wikid_spark.queries.similarity import _sample_filter
 
     docs = table(spark, sf_dir, "documents")
     emb = table(spark, sf_dir, "embeddings")
     k1, b = 1.2, 0.75
+    _BM_SCHEMA = "query_id bigint, doc bigint, score_q6 bigint"
 
     anchors = _sample_filter(emb).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-
-    toks = tokenize("text")
-    corpus = docs.select(F.size(toks).alias("_dl")).agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("_dl").alias("avgdl"),
-    )
-    postings = build_inverted_index(docs, "doc_id", "text")
     # Anchor query terms: the anchor document's distinct tokens —
     # tokenize ONLY the (broadcast-joined) anchor documents, never the
     # corpus (round-15 review #2: deriving aterms from the full
@@ -641,53 +701,145 @@ def fts_hybrid_rrf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc").alias("query_id"), "term")
         .distinct()
     )
-    # Per-anchor scores as one exact-int64 BLAS matmul (the
-    # _assign_blas discipline), not a row-expansion join: the
-    # (anchor, term, doc) expansion is |tfc| x |anchors| rows through
-    # a 20M-group hash agg — measured 96 s warm at sf10 on the
-    # closed-vocab corpus (its dense worst case: every doc matches
-    # every anchor). Here each doc's c_q6 vector over the anchor-term
-    # union multiplies the broadcast anchors x terms 0/1 membership
-    # matrix once: S = V @ A^T (int64 products and sums, exact — the
-    # same Σ of the same longs the join+agg computed, order-free), and
-    # a presence matmul M = P @ A^T keeps only genuinely-overlapping
-    # (anchor, doc) pairs, matching the join's output set exactly.
     a_rows = aterms.collect()  # k-bounded collect (anchors x per-doc vocab)
     anchor_ids = sorted({r["query_id"] for r in a_rows})
     union_terms = sorted({r["term"] for r in a_rows})
-    # One full-corpus tokenize total: the union terms are already on
-    # the driver, so tf filters with a pushable isin instead of a
-    # semi-join that would re-execute a second corpus-wide subtree.
-    tf = (
-        postings.filter(F.col("term").isin(union_terms))
-        .groupBy("term", "doc", "doc_len")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_ = tf.groupBy("term").agg(F.count_distinct("doc").alias("df"))
-    from wikid_spark.operators.fts import bm25_contrib
+    if not anchor_ids or not union_terms:
+        # Degenerate/tiny corpus: no anchor docs or all-empty anchor
+        # texts (ADVICE r15: the kernel's membership matrix would be
+        # 1-D here and crash inside the Arrow task). The dense side of
+        # the fusion is unaffected by an empty lexical frame.
+        return spark.createDataFrame([], _BM_SCHEMA)
 
-    # Quantize the contribution per (term, doc) BEFORE the anchor
-    # join: the BM25 term is anchor-independent, and computing it
-    # after the x|anchors| expansion re-evaluated the log/divisions
-    # once per (anchor, term, doc) — measured 270 s at sf10 on the
-    # closed-vocab corpus (every doc matches every anchor, the dense
-    # worst case) vs pre-computed longs expanding instead.
-    tfc = (
-        tf.join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(corpus))
-        .withColumn(
-            "c_q6",
-            F.round(bm25_contrib(k1, b) * F.lit(1000000.0), 0).cast("long"),
+    ub_by_term: dict[str, int]
+    seed_ids: set[int] = set()  # impact-prefix docs → exact-floor seeds
+    if persisted:
+        from wikid_spark.operators.fts import (
+            ensure_fts_index,
+            fts_impact_prefix,
+            fts_persisted_postings,
+            fts_termstats,
         )
-        .select("term", "doc", "c_q6")
-    )
+
+        idx = ensure_fts_index(spark, sf_dir)
+        stats = spark.read.parquet(f"{idx}/stats")
+        ts_rows = fts_termstats(spark, idx, union_terms).collect()
+        dfreq = spark.createDataFrame(
+            [(r["term"], r["df"]) for r in ts_rows], "term string, df bigint"
+        )
+        ub_by_term = {r["term"]: r["ub_q6"] for r in ts_rows}
+        if prune:
+            seed_ids = {
+                r["doc"]
+                for r in fts_impact_prefix(spark, idx, union_terms).collect()
+            }
+        tf = (
+            fts_persisted_postings(spark, idx, union_terms)
+            .groupBy("term", "doc", "doc_len")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        tfc = (
+            tf.join(F.broadcast(dfreq), "term")
+            .crossJoin(F.broadcast(stats))
+            .withColumn(
+                "c_q6",
+                F.round(bm25_contrib(k1, b) * F.lit(1000000.0), 0).cast(
+                    "long"
+                ),
+            )
+            .select("term", "doc", "c_q6")
+        )
+        if prune:
+            # The exact-floor seeding reads tfc a second time (the
+            # seed docs' full rows); checkpoint so the postings probe
+            # runs once. Still corpus-independent: the probe is
+            # ~Σ_t df(t) rows over the pruned buckets.
+            tfc = tfc.localCheckpoint(eager=True)
+    else:
+        toks = tokenize("text")
+        stats = docs.select(F.size(toks).alias("_dl")).agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg("_dl").alias("avgdl"),
+        )
+        postings = build_inverted_index(docs, "doc_id", "text")
+        # One full-corpus tokenize total: the union terms are already
+        # on the driver, so tf filters with a pushable isin instead of
+        # a semi-join that would re-execute a second corpus-wide
+        # subtree.
+        tf = (
+            postings.filter(F.col("term").isin(union_terms))
+            .groupBy("term", "doc", "doc_len")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        df_ = tf.groupBy("term").agg(F.count_distinct("doc").alias("df"))
+        # Quantize the contribution per (term, doc) BEFORE the anchor
+        # expansion: the BM25 term is anchor-independent (the round-15
+        # 270 s -> 16 s sf10 rewrite).
+        tfc = (
+            tf.join(F.broadcast(df_), "term")
+            .crossJoin(F.broadcast(stats))
+            .withColumn(
+                "c_q6",
+                F.round(bm25_contrib(k1, b) * F.lit(1000000.0), 0).cast(
+                    "long"
+                ),
+            )
+            .select("term", "doc", "c_q6")
+        )
+        ub_by_term = {}
+        if prune:
+            # The floor seeding needs two more passes over tfc (the
+            # per-term impact prefixes, then the seed docs' full
+            # rows); checkpoint so the corpus tokenize + postings
+            # shuffle run ONCE, not once per consumer.
+            tfc = tfc.localCheckpoint(eager=True)
+            topw = Window.partitionBy("term").orderBy(
+                F.desc("c_q6"), "doc"
+            )
+            prefix_rows = (
+                tfc.withColumn("_rk", F.row_number().over(topw))
+                .filter(F.col("_rk") <= FTS_IMPACT_PREFIX)
+                .select("term", "doc", "c_q6")
+                .collect()
+            )
+            seen_terms: set[str] = set()
+            for r in prefix_rows:
+                t = r["term"]
+                seed_ids.add(r["doc"])
+                if t not in seen_terms:
+                    seen_terms.add(t)
+                    ub_by_term[t] = r["c_q6"]  # rank-1 row IS max c_q6
+
     q_ix = {q: i for i, q in enumerate(anchor_ids)}
     t_ix = {t: i for i, t in enumerate(union_terms)}
+    anchor_term_ix: dict[int, set[int]] = {int(a): set() for a in anchor_ids}
+    for r in a_rows:
+        anchor_term_ix[int(r["query_id"])].add(t_ix[r["term"]])
+    floors: dict[int, int | None] = {int(a): None for a in anchor_ids}
+    if prune and seed_ids:
+        # Exact floors: collect the seed docs' full contribution rows
+        # (≤ |union terms| × FTS_IMPACT_PREFIX distinct docs — bounded
+        # by the prefix depth, never the corpus) and score them
+        # against every anchor driver-side with the same exact-int64
+        # arithmetic the kernel uses.
+        seed_tc: dict[int, list[tuple[int, int]]] = {}
+        for r in tfc.filter(F.col("doc").isin(sorted(seed_ids))).collect():
+            seed_tc.setdefault(r["doc"], []).append(
+                (t_ix[r["term"]], r["c_q6"])
+            )
+        floors = _anchor_floors(anchor_term_ix, seed_tc)
+
     a_member = [[0] * len(union_terms) for _ in anchor_ids]
     for r in a_rows:
         a_member[q_ix[r["query_id"]]][t_ix[r["term"]]] = 1
     terms_arr = list(union_terms)
     anchors_arr = [int(q) for q in anchor_ids]
+    neg_inf = float("-inf")
+    theta_vals = [
+        neg_inf if floors.get(int(q)) is None else float(floors[int(q)])
+        for q in anchor_ids
+    ]
+    ub_vals = [float(ub_by_term.get(t, 0)) for t in terms_arr]
 
     doc_tc = tfc.groupBy("doc").agg(
         F.collect_list(F.struct("term", "c_q6")).alias("tc")
@@ -702,10 +854,14 @@ def fts_hybrid_rrf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         # operand is an exact integer and every partial sum is bounded
         # by T_max x c_max ~ 4e5 x 6.2e7 = 2.5e13 << 2^53, so each
         # product and each accumulation is an exactly-representable
-        # integer (the quantize_embedding exactness argument).
+        # integer (the quantize_embedding exactness argument). The same
+        # argument makes the floor comparisons below EXACT.
         A = np.array(a_member, dtype=np.float64)  # anchors x T
         tix = {t: i for i, t in enumerate(terms_arr)}
         qs = np.array(anchors_arr, dtype=np.int64)
+        theta = np.array(theta_vals, dtype=np.float64)  # -inf = no floor
+        ub_arr = np.array(ub_vals, dtype=np.float64)
+        theta_min = float(theta.min()) if len(theta) else float("-inf")
         T = max(A.shape[1], 1)
         # Bound the dense scatter to ~64 MB per matrix: with an OPEN
         # vocabulary the anchor-term union T can reach 10^5, and an
@@ -732,14 +888,39 @@ def fts_hybrid_rrf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (e["c_q6"] for lst in chunk["tc"] for e in lst),
                     dtype=np.float64,
                 )
-                V = np.zeros((n, A.shape[1]), dtype=np.float64)
                 P = np.zeros((n, A.shape[1]), dtype=np.float64)
-                V[rows, cols] = vals
                 P[rows, cols] = 1.0
+                docs_np = chunk["doc"].to_numpy(dtype=np.int64)
+                if theta_min > float("-inf"):
+                    # Doc-level max-score prune: Σ ub over the doc's
+                    # matched union terms upper-bounds EVERY anchor's
+                    # score for it; below the weakest floor it can make
+                    # no top-20 — skip its matmul rows entirely.
+                    keep = (P @ ub_arr) >= theta_min
+                    if not keep.any():
+                        continue
+                    if not keep.all():
+                        P = P[keep]
+                        docs_np = docs_np[keep]
+                        row_keep = keep[rows]
+                        old_rows = rows[row_keep]
+                        remap = np.cumsum(keep) - 1
+                        rows = remap[old_rows]
+                        cols = cols[row_keep]
+                        vals = vals[row_keep]
+                        n = int(keep.sum())
+                V = np.zeros((n, A.shape[1]), dtype=np.float64)
+                V[rows, cols] = vals
                 S = V @ A.T  # n x anchors — exact integers in float64
                 M = P @ A.T
-                docs_np = chunk["doc"].to_numpy(dtype=np.int64)
                 di, qi = np.nonzero(M)
+                if len(di) and theta_min > float("-inf"):
+                    # Pair-level prune on the EXACT score (tighter than
+                    # any upper bound, already computed): the true
+                    # top-20 all score >= true-20th >= θ_a, so rows
+                    # below θ_a never reach a rank <= 20.
+                    pmask = S[di, qi] >= theta[qi]
+                    di, qi = di[pmask], qi[pmask]
                 yield pd.DataFrame(
                     {
                         "query_id": qs[qi],
@@ -748,9 +929,29 @@ def fts_hybrid_rrf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 )
 
-    bm = doc_tc.mapInPandas(
-        score_batches, "query_id bigint, doc bigint, score_q6 bigint"
-    ).filter(F.col("doc") != F.col("query_id"))
+    return doc_tc.mapInPandas(score_batches, _BM_SCHEMA).filter(
+        F.col("doc") != F.col("query_id")
+    )
+
+
+def _hybrid_rrf_fuse_multi(
+    spark: SparkSession, sf_dir: str, bm: DataFrame
+) -> DataFrame:
+    """The multi-anchor fusion tail shared by the in-plan and persisted
+    hybrids (the single-anchor `_hybrid_rrf_fuse` discipline): per-
+    anchor text/vector top-20 ranks, RRF(k=60), top-10 per anchor.
+    ``bm`` is any (query_id, doc, score_q6) frame whose per-anchor
+    top-20 equals the exact computation — both variants produce that,
+    so one tail and one certifying oracle serve both."""
+    from pyspark.sql import Window
+
+    from wikid_spark.functions.vectors import cosine_similarity
+    from wikid_spark.queries.similarity import _sample_filter
+
+    emb = table(spark, sf_dir, "embeddings")
+    anchors = _sample_filter(emb).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
     wt = Window.partitionBy("query_id").orderBy(F.desc("score_q6"), "doc")
     tlist = (
         bm.withColumn("text_rank", F.row_number().over(wt))
@@ -807,6 +1008,46 @@ def fts_hybrid_rrf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc", "rrf", "text_rank", "vec_rank", "rn")
         .orderBy("query_id", "rn")
     )
+
+
+@query(
+    "fts_hybrid_rrf_multi",
+    oracle=_HYBRID_MULTI_ORACLE,
+    tags=("fts", "similarity", "hybrid", "rrf", "multi-anchor"),
+)
+def fts_hybrid_rrf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_hybrid_rrf_topk` generalized to the ANN family's sampled
+    anchor set — the batched retrieval a RAG/contrastive pipeline runs.
+    Round 16 adds max-score/WAND pruning (see `_multi_anchor_bm`): on
+    the closed-vocabulary corpus where every doc used to be a candidate
+    for every anchor, only docs whose exact score beats the anchor's
+    seeded top-20 floor reach the rank shuffle — value-identical by
+    the lower-bound argument, certified by the unchanged oracle."""
+    bm = _multi_anchor_bm(spark, sf_dir, persisted=False, prune=True)
+    return _hybrid_rrf_fuse_multi(spark, sf_dir, bm)
+
+
+@query(
+    "fts_hybrid_rrf_multi_persisted",
+    oracle=_HYBRID_MULTI_ORACLE,
+    tags=(
+        "fts", "similarity", "hybrid", "rrf", "multi-anchor",
+        "persisted", "serving",
+    ),
+)
+def fts_hybrid_rrf_multi_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The multi-anchor hybrid served from the PERSISTED FTS index
+    (VERDICT r15 #2): tf from one bucket-pruned postings probe, df and
+    the max-score upper bounds from termstats, the top-20 floors from
+    the persisted impact-ordered topc/ prefixes, corpus stats from the
+    1-row stats table — ZERO corpus tokenizes at serve time (the
+    in-plan twin still pays one). Value-identical to the in-plan twin
+    (same tf/df/stats values, same quantized arithmetic, same pruning
+    lower bounds), so the certifying oracle is the same SQL text."""
+    bm = _multi_anchor_bm(spark, sf_dir, persisted=True, prune=True)
+    return _hybrid_rrf_fuse_multi(spark, sf_dir, bm)
 
 
 @query(
