@@ -574,6 +574,14 @@ _HYBRID_MULTI_ORACLE = f"""
     """
 
 
+# Target size of the deterministic corpus sample that augments the
+# impact-prefix docs when seeding exact max-score floors (see
+# _multi_anchor_bm): 20th-best of an m-doc exact-scored sample floors
+# at ≈ the corpus's k/m quantile, so survivors are ~n·20/4096 ≈ 0.5%
+# of the corpus per anchor while the collect stays O(m), never O(n).
+_FLOOR_SAMPLE = 4096
+
+
 def _anchor_floors(
     anchor_terms: dict[int, set[int]],
     seed_tc: dict[int, list[tuple[int, int]]],
@@ -656,9 +664,10 @@ def _multi_anchor_bm(
     optimization FTS5's planner applies that this path brute-forced):
 
     * floors — per anchor, θ_a lower-bounds the true 20th-best score
-      from partial sums over the per-term impact-ordered prefixes
-      (`_anchor_floors`; prefixes persisted in the index's topc/ table,
-      or derived in-plan by one window job over the checkpointed tfc);
+      from the EXACT scores of a bounded seed set — a deterministic
+      hash-mod corpus sample plus, on the persisted path, the index's
+      topc/ impact-prefix docs (`_anchor_floors`; exact seed scores,
+      so θ_a ≤ the true 20th-best by the subset argument);
     * doc-level — a doc whose Σ ub(t) over ALL its matched union terms
       is below min_a θ_a cannot reach ANY anchor's top-20 (per-anchor
       matched subsets only shrink that sum): dropped before the matmul;
@@ -674,9 +683,7 @@ def _multi_anchor_bm(
     reduction). Anchors with fewer than 20 prefix docs get no floor and
     prune nothing.
     """
-    from pyspark.sql import Window
-
-    from wikid_spark.operators.fts import FTS_IMPACT_PREFIX, bm25_contrib
+    from wikid_spark.operators.fts import bm25_contrib
     from wikid_spark.queries.similarity import _sample_filter
 
     docs = table(spark, sf_dir, "documents")
@@ -789,26 +796,23 @@ def _multi_anchor_bm(
         ub_by_term = {}
         if prune:
             # The floor seeding needs two more passes over tfc (the
-            # per-term impact prefixes, then the seed docs' full
-            # rows); checkpoint so the corpus tokenize + postings
-            # shuffle run ONCE, not once per consumer.
+            # per-term ub maxima, then the seed docs' full rows);
+            # checkpoint so the corpus tokenize + postings shuffle run
+            # ONCE, not once per consumer. ub comes from a map-side-
+            # combined groupBy-max, NOT a per-term rank window — with
+            # a closed vocabulary partitionBy(term) degenerates to
+            # |vocab| skewed single-task groups; and the prefix DOCS
+            # a window would surface add nothing here, because the
+            # in-plan seeds come from the hash-mod sample below (the
+            # persisted path reads its prefix docs for free from
+            # topc/).
             tfc = tfc.localCheckpoint(eager=True)
-            topw = Window.partitionBy("term").orderBy(
-                F.desc("c_q6"), "doc"
-            )
-            prefix_rows = (
-                tfc.withColumn("_rk", F.row_number().over(topw))
-                .filter(F.col("_rk") <= FTS_IMPACT_PREFIX)
-                .select("term", "doc", "c_q6")
+            ub_by_term = {
+                r["term"]: r["mx"]
+                for r in tfc.groupBy("term")
+                .agg(F.max("c_q6").alias("mx"))
                 .collect()
-            )
-            seen_terms: set[str] = set()
-            for r in prefix_rows:
-                t = r["term"]
-                seed_ids.add(r["doc"])
-                if t not in seen_terms:
-                    seen_terms.add(t)
-                    ub_by_term[t] = r["c_q6"]  # rank-1 row IS max c_q6
+            }
 
     q_ix = {q: i for i, q in enumerate(anchor_ids)}
     t_ix = {t: i for i, t in enumerate(union_terms)}
@@ -816,14 +820,28 @@ def _multi_anchor_bm(
     for r in a_rows:
         anchor_term_ix[int(r["query_id"])].add(t_ix[r["term"]])
     floors: dict[int, int | None] = {int(a): None for a in anchor_ids}
-    if prune and seed_ids:
+    if prune:
         # Exact floors: collect the seed docs' full contribution rows
-        # (≤ |union terms| × FTS_IMPACT_PREFIX distinct docs — bounded
-        # by the prefix depth, never the corpus) and score them
-        # against every anchor driver-side with the same exact-int64
-        # arithmetic the kernel uses.
+        # and score them against every anchor driver-side with the
+        # same exact-int64 arithmetic the kernel uses. Seeds are the
+        # impact-prefix docs PLUS a deterministic ~_FLOOR_SAMPLE-doc
+        # hash-mod sample of the corpus: on the closed-vocab corpus
+        # scores are sums of ~20 near-equal contributions, so
+        # single-term champions are NOT top-by-sum — prefix-only
+        # floors measured 44% of sf10 docs surviving, while the 20th
+        # best of a 4k exact-scored sample floors at ≈ the corpus's
+        # top-20/4096 quantile (survivors ~ n·20/4096 per anchor,
+        # corpus-fraction-bounded). Both seed families stay O(1)-sized
+        # as the corpus grows; both are exact scores, so the floor
+        # stays a sound lower bound on the true 20th-best.
+        from wikid_spark.catalog import corpus_rows
+
+        mod = max(1, corpus_rows(sf_dir, "documents") // _FLOOR_SAMPLE)
+        seed_cond = F.pmod(F.xxhash64(F.col("doc")), F.lit(mod)) == 0
+        if seed_ids:
+            seed_cond = seed_cond | F.col("doc").isin(sorted(seed_ids))
         seed_tc: dict[int, list[tuple[int, int]]] = {}
-        for r in tfc.filter(F.col("doc").isin(sorted(seed_ids))).collect():
+        for r in tfc.filter(seed_cond).collect():
             seed_tc.setdefault(r["doc"], []).append(
                 (t_ix[r["term"]], r["c_q6"])
             )
