@@ -378,3 +378,80 @@ def test_handle_cache_is_session_not_application(spark, tmp_path):
     h2 = S.load_ann_index(other, out)
     assert h2 is not h1
     assert h2.rindex.sparkSession is other
+
+
+# ---------------------------------------------------------------------------
+# Round 16: the mindex/ IVF-Flat exact-vector component (VERDICT r15
+# #2) — written cell-partitioned with the original float vectors, the
+# mmr/exact-rerank candidate stage serves from it value-identically to
+# the in-plan trained index, and the scan partition-prunes to the
+# probed cells.
+# ---------------------------------------------------------------------------
+
+
+def test_persist_writes_mindex_component(spark, tmp_path):
+    out, _ = _build(spark, tmp_path)
+    cells = glob.glob(os.path.join(out, "mindex", "cent_id=*"))
+    assert cells
+    # one file per cell directory (the footer-cost bound rindex pins)
+    for d in cells:
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
+    mindex = spark.read.parquet(f"{out}/mindex")
+    n = S.table(spark, SF, "embeddings").count()
+    assert mindex.count() == 2 * n  # top-2 assignment: two rows per vector
+    # float vectors round-trip exactly: spot-join against the corpus
+    joined = (
+        mindex.filter(S.F.col("cent_rank") == 1)
+        .select("vec_id", S.F.col("embedding").alias("e1"))
+        .join(S.table(spark, SF, "embeddings"), "vec_id")
+        .filter(S.F.col("e1") != S.F.col("embedding"))
+        .count()
+    )
+    assert joined == 0
+
+
+def test_mmr_ann_multi_persisted_equals_in_plan(spark):
+    a = sorted(
+        map(tuple, S.sim_mmr_ann_multi(spark, SF).collect())
+    )
+    b = sorted(
+        map(tuple, S.sim_mmr_ann_multi_persisted(spark, SF).collect())
+    )
+    assert a == b and len(a) > 0
+
+
+def test_mmr_candidate_scan_is_partition_pruned(spark, tmp_path):
+    """VERDICT r15 #2: PartitionFilters pinned on the mindex candidate
+    scan — the serve reads the probed cells' directories only."""
+    import re
+
+    out, _ = _build(spark, tmp_path)
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        cents = spark.read.parquet(f"{out}/centroids")
+        emb = S.table(spark, SF, "embeddings")
+        sample = S._sample_filter(
+            emb.select(
+                "vec_id",
+                "embedding",
+                S.quantize_embedding(S.F.col("embedding")).alias("qemb"),
+            )
+        )
+        probes = S._assign_blas(sample, cents, top_m=2)
+        cells = sorted({r["cent_id"] for r in probes.select("cent_id").collect()})
+        assert cells
+        mindex = spark.read.schema(
+            "vec_id bigint, embedding array<float>, cent_rank int, "
+            "cent_id bigint"
+        ).parquet(f"{out}/mindex").filter(S.F.col("cent_id").isin(cells))
+        plan = mindex._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    m = re.search(
+        r"PartitionFilters: \[cent_id#\d+L? IN(?:SET)? \(?([0-9, ]+)", plan
+    )
+    assert m, plan[:4000]
+    assert {int(x) for x in m.group(1).split(",")} == set(cells)
+    total = len(glob.glob(os.path.join(out, "mindex", "cent_id=*")))
+    assert len(cells) < total  # genuinely pruned, not all-cells

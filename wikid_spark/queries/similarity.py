@@ -4327,6 +4327,32 @@ def persist_ann_index(
         .partitionBy("cent_id")
         .parquet(f"{out_dir}/rindex")
     )
+    # IVF-Flat exact-vector component (round 16, VERDICT r15 #2): the
+    # top-2 cell assignment with the ORIGINAL float vectors riding the
+    # rows, partitioned by cent_id — the candidate-generation layout
+    # the exact-rerank retrieval paths (sim_mmr_ann_multi_persisted,
+    # ANN hard negatives) serve from. The PQ rindex answers
+    # compressed-distance serving; exact re-rank/diversify needs the
+    # true vectors at the probed cells WITHOUT a corpus join. Floats
+    # round-trip parquet exactly and the assignment is the same
+    # deterministic _assign_blas pass `_trained_index` runs in-plan
+    # (identical trained cents), so persisted candidate pools are
+    # value-identical to the in-plan twin's.
+    mindex = _assign_blas(
+        emb.select(
+            "vec_id",
+            "embedding",
+            quantize_embedding(F.col("embedding")).alias("qemb"),
+        ),
+        cents,
+        top_m=2,
+    ).select("vec_id", "embedding", "cent_id", "cent_rank")
+    (
+        mindex.repartition("cent_id")
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(f"{out_dir}/mindex")
+    )
     st = encoded.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.avg("pqdist").alias("m"),
@@ -4544,8 +4570,9 @@ def _ensure_persisted_index(
 
     fp = corpus_fingerprint(sf_dir, "embeddings")
     # v2: one-file-per-cell layout (repartition before partitionBy)
+    # v3: mindex/ IVF-Flat exact-vector component landed (round 16)
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{fp}|{spec.subs}x{spec.codes}|v2".encode()
+        f"{os.path.abspath(sf_dir)}|{fp}|{spec.subs}x{spec.codes}|v3".encode()
     ).hexdigest()[:16]
     return ensure_cached_build(
         "wikid_ann_index",
@@ -4815,7 +4842,12 @@ def index_version_id(sf_dir: str, spec: PQSpec) -> str:
     from wikid_spark.catalog import corpus_fingerprint
 
     fp = corpus_fingerprint(sf_dir, "embeddings")
-    return hashlib.md5(f"{fp}|{spec.subs}x{spec.codes}".encode()).hexdigest()[:16]
+    # |L3: layout generation (mindex/ added in round 16) — a version
+    # built by older code must not be pointer-reused by a serve that
+    # expects the exact-vector component.
+    return hashlib.md5(
+        f"{fp}|{spec.subs}x{spec.codes}|L3".encode()
+    ).hexdigest()[:16]
 
 
 def read_current_version(spark: SparkSession, root: str) -> str | None:
@@ -5671,6 +5703,90 @@ def sim_mmr_ann_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         a2.join(F.broadcast(probes), F.col("cent_id") == F.col("pcell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qe")), 4
+            ).alias("simq"),
+            "embedding",
+        )
+        .distinct()  # top-2 index x 2 probes: same pair via two cells
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("simq"), "doc")
+    cand = (
+        scored.withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= _MMR_POOL)
+        .drop("prn")
+    )
+    return _mmr_greedy_over_pool(spark, cand)
+
+
+@query(
+    "sim_mmr_ann_multi_persisted",
+    oracle=_mmr_ann_multi_oracle(),
+    tags=(
+        "similarity", "mmr", "retrieval", "iterative", "multi-anchor",
+        "ann", "ivf", "kmeans", "persisted", "serving",
+    ),
+)
+def sim_mmr_ann_multi_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`sim_mmr_ann_multi` with the candidate stage served from the
+    PERSISTED index's new IVF-Flat component (VERDICT r15 #2): probes
+    rank the sampled anchors against the persisted centroid table (the
+    session-cached hold-open handle), and candidates come from
+    ``mindex/`` — the top-2 cell assignment with the original float
+    vectors riding the rows — with the scan partition-pruned to the
+    probed cells (IN-literal below ANN_CELL_PUSHDOWN_MAX_IDS, plan-
+    tested; broadcast semi-join above it, the serve_persisted_topk
+    dial). The persisted cents are the same deterministic Lloyd output
+    `_trained_index` memoizes and floats round-trip parquet exactly,
+    so the candidate pool — and hence the greedy MMR output — is
+    value-identical to the in-plan twin: one oracle text certifies
+    both.
+
+    Scale: the in-plan twin pays one corpus pass per serving PROCESS
+    (memoized per session); this form pays ~nprobe·2·√n indexed ROWS
+    of IO per serve at any corpus size — the lexical counterpart is
+    fts_hybrid_rrf_multi_persisted."""
+    index_dir = _ensure_persisted_index(spark, sf_dir, PQ8)
+    handle = load_ann_index(spark, index_dir, PQ8)
+    emb = table(spark, sf_dir, "embeddings")
+    sample = _sample_filter(emb).select(
+        "vec_id",
+        "embedding",
+        quantize_embedding(F.col("embedding")).alias("qemb"),
+    )
+    probes = (
+        _assign_blas(sample, handle.cents, top_m=2)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("cent_id").alias("pcell"),
+        )
+        .localCheckpoint(eager=True)  # assign once: cells + join reuse it
+    )
+    touched = probes.select("pcell").distinct()
+    cells = [
+        r[0]
+        for r in touched.limit(ANN_CELL_PUSHDOWN_MAX_IDS + 1).collect()
+    ]  # k-bounded collect (≤ |queries|·nprobe values)
+    mindex = spark.read.schema(
+        "vec_id bigint, embedding array<float>, cent_rank int, cent_id bigint"
+    ).parquet(f"{index_dir}/mindex")
+    if len(cells) <= ANN_CELL_PUSHDOWN_MAX_IDS:
+        mindex = mindex.filter(F.col("cent_id").isin(cells))
+    else:
+        mindex = mindex.join(
+            F.broadcast(touched.withColumnRenamed("pcell", "cent_id")),
+            "cent_id",
+            "left_semi",
+        )
+    scored = (
+        mindex.join(F.broadcast(probes), F.col("cent_id") == F.col("pcell"))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
