@@ -1,0 +1,115 @@
+"""Drift-TRIGGERED index refresh (VERDICT r15 #3).
+
+`maybe_refresh_index` connects the retrain signals the engine already
+computes (derived-K vs the index footer's build rowcount, pq_spec_for
+code width, distortion drift) to the lease-safe versioned promotion,
+cheapest signal first. This suite pins each rung of the ladder on a
+GROWING corpus — a tmp dir whose ``embeddings.parquet`` is a directory
+Spark appends into, exactly the shape a streaming ingest produces.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import wikid_spark.queries.similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+def _mk_corpus(spark, tmp_path, n, name="corp"):
+    """A corpus dir holding the first ``n`` sf0.001 embedding rows,
+    written as a DIRECTORY table so later batches can append."""
+    corp = str(tmp_path / name)
+    os.makedirs(corp, exist_ok=True)
+    src = S.table(spark, SF, "embeddings").orderBy("vec_id").limit(n)
+    src.coalesce(1).write.mode("overwrite").parquet(f"{corp}/embeddings.parquet")
+    return corp
+
+
+def _grow(spark, corp, lo, hi):
+    """Append sf0.001 embedding rows vec_id in [lo, hi) with shifted
+    ids (stays disjoint from the base slice)."""
+    add = (
+        S.table(spark, SF, "embeddings")
+        .orderBy("vec_id")
+        .limit(hi)
+        .orderBy(S.F.desc("vec_id"))
+        .limit(hi - lo)
+        .withColumn("vec_id", S.F.col("vec_id") + 100_000)
+    )
+    add.coalesce(1).write.mode("append").parquet(f"{corp}/embeddings.parquet")
+
+
+def test_bootstrap_then_current_short_circuit(spark, tmp_path, monkeypatch):
+    corp = _mk_corpus(spark, tmp_path, 110)
+    root = str(tmp_path / "root")
+    rep = S.maybe_refresh_index(spark, corp, root)
+    assert rep["trigger"] == "bootstrap" and rep["refreshed"] is True
+    vid = S.read_current_version(spark, root)
+    assert vid == rep["version"]
+    # built at the derived K for 110 rows
+    cents = spark.read.parquet(f"{root}/versions/{vid}/centroids")
+    assert cents.count() == S.derived_k(110) == 11
+
+    # unchanged corpus: the short-circuit must not even measure
+    def _boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("distortion measured on unchanged corpus")
+
+    monkeypatch.setattr(S, "measure_index_distortion", _boom)
+    rep2 = S.maybe_refresh_index(spark, corp, root)
+    assert rep2 == {"refreshed": False, "version": vid, "trigger": "current"}
+
+
+def test_k_boundary_forces_resize(spark, tmp_path):
+    corp = _mk_corpus(spark, tmp_path, 110)
+    root = str(tmp_path / "root")
+    S.maybe_refresh_index(spark, corp, root)
+    old_vid = S.read_current_version(spark, root)
+    _grow(spark, corp, 110, 145)  # ceil(sqrt): 11 -> 13
+    rep = S.maybe_refresh_index(spark, corp, root)
+    assert rep["trigger"] == "k_boundary"
+    assert rep["refreshed"] is True
+    assert (rep["k_built"], rep["k_now"]) == (11, 13)
+    vid = S.read_current_version(spark, root)
+    assert vid == rep["version"] != old_vid
+    cents = spark.read.parquet(f"{root}/versions/{vid}/centroids")
+    assert cents.count() == 13
+    # gc kept the superseded version for in-flight serves
+    assert os.path.exists(f"{root}/versions/{old_vid}/_INDEX_OK")
+
+
+def test_within_regime_growth_delegates_to_distortion(spark, tmp_path):
+    corp = _mk_corpus(spark, tmp_path, 110)
+    root = str(tmp_path / "root")
+    S.maybe_refresh_index(spark, corp, root)
+    vid = S.read_current_version(spark, root)
+    _grow(spark, corp, 110, 115)  # K stays 11; corpus bytes changed
+    # drift below a generous threshold: measured, reported, no publish
+    rep = S.maybe_refresh_index(spark, corp, root, distortion_ratio=1e9)
+    assert rep["trigger"] == "none" and rep["refreshed"] is False
+    assert rep["drift_ratio"] > 0 and rep["version"] == vid
+    # same state past a tiny threshold: the distortion rung publishes
+    rep2 = S.maybe_refresh_index(spark, corp, root, distortion_ratio=1e-12)
+    assert rep2["trigger"] == "distortion" and rep2["refreshed"] is True
+    assert S.read_current_version(spark, root) == rep2["version"] != vid
+
+
+def test_code_width_crossing_forces_respec(spark, tmp_path, monkeypatch):
+    corp = _mk_corpus(spark, tmp_path, 110)
+    root = str(tmp_path / "root")
+    S.maybe_refresh_index(spark, corp, root)
+    assert S.load_ann_index_spec(
+        f"{root}/versions/{S.read_current_version(spark, root)}"
+    ) == S.PQ4
+    # K would not move (same rowcount-ish regime): isolate the width
+    # rung by dropping the threshold between builds, then nudging the
+    # corpus so the content short-circuit does not bind.
+    _grow(spark, corp, 110, 111)  # K stays 11 (ceil sqrt 111 = 11)
+    monkeypatch.setattr(S, "PQ_WIDTH_THRESHOLD", 100)
+    rep = S.maybe_refresh_index(spark, corp, root)
+    assert rep["trigger"] == "code_width" and rep["refreshed"] is True
+    vid = S.read_current_version(spark, root)
+    assert S.load_ann_index_spec(f"{root}/versions/{vid}") == S.PQ8

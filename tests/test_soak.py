@@ -549,3 +549,124 @@ def test_soak_fts_index_follows_dedup_keeps(spark, tmp_path):
     assert got == want
     assert 100 in got and 101 in got  # kept docs searchable
     assert 102 not in got and 103 not in got  # dropped docs are not
+
+
+def test_soak_drift_refresh_follows_growing_corpus(spark, tmp_path):
+    """VERDICT r15 #3, the Done criterion: a vector-ingest stream GROWS
+    the serving corpus past a derived-K boundary mid-stream, and the
+    `drift_refresh_writer` foreachBatch hook notices from the cheap
+    signal ladder alone (footer rowcount — no corpus scan on the
+    trigger path), promotes the re-derived build under the
+    single-writer lease, and the in-stream serves swap atomically:
+    every serve equals the batch twin of whichever corpus generation
+    the CURRENT pointer names — old build before the boundary batch,
+    new build from the boundary batch on, never a torn mix."""
+    import json as _json
+
+    import wikid_spark.queries.similarity as S
+
+    SF = "/root/testdata/sf0.001"
+    corp = str(tmp_path / "corp")
+    os.makedirs(corp)
+    base = S.table(spark, SF, "embeddings").orderBy("vec_id").limit(110)
+    base.coalesce(1).write.parquet(f"{corp}/embeddings.parquet")
+    grow_rows = [
+        (int(r["vec_id"]) + 100_000, [float(x) for x in r["embedding"]])
+        for r in S.table(spark, SF, "embeddings")
+        .orderBy("vec_id")
+        .limit(145)
+        .orderBy(F.desc("vec_id"))
+        .limit(35)
+        .collect()
+    ]
+
+    root = str(tmp_path / "root")
+    rep0 = S.maybe_refresh_index(spark, corp, root)
+    assert rep0["trigger"] == "bootstrap"
+
+    # batch twin of the PRE-growth generation, materialized now (the
+    # corpus dir mutates mid-stream)
+    twin_old = str(tmp_path / "twin_old")
+    S.persist_ann_index(spark, corp, twin_old)
+    want_old = sorted(
+        map(tuple, S.serve_persisted_topk(spark, corp, twin_old).collect())
+    )
+
+    def append_writer(batch, batch_id):
+        rows = batch.filter(F.col("vec_id") >= 0)
+        if rows.count():
+            rows.coalesce(1).write.mode("append").parquet(
+                f"{corp}/embeddings.parquet"
+            )
+
+    serves: list[tuple[int, str, str, list]] = []
+
+    def on_report(batch_id, rep):
+        vdir = S.resolve_current_index(spark, root)
+        assert os.path.exists(os.path.join(vdir, "_INDEX_OK"))  # atomic
+        got = sorted(
+            map(tuple, S.serve_persisted_topk(spark, corp, vdir).collect())
+        )
+        serves.append((batch_id, rep["trigger"], rep["version"], got))
+
+    writer = S.drift_refresh_writer(
+        append_writer, spark, corp, root, on_report=on_report
+    )
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    now = time.time()
+    specs = [
+        [{"vec_id": -1, "embedding": [0.0] * 64}],          # batch 0: serve only
+        [{"vec_id": v, "embedding": e} for v, e in grow_rows],  # batch 1: cross K
+        [{"vec_id": -2, "embedding": [0.0] * 64}],          # batch 2: serve only
+    ]
+    for i, rows in enumerate(specs):
+        p = f"{src}/g{i}.json"
+        with open(p, "w") as fh:
+            for row in rows:
+                fh.write(_json.dumps(row) + "\n")
+        os.utime(p, (now - 300 + 10 * i, now - 300 + 10 * i))
+    q = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # batch twin of the POST-growth generation
+    twin_new = str(tmp_path / "twin_new")
+    S.persist_ann_index(spark, corp, twin_new)
+    want_new = sorted(
+        map(tuple, S.serve_persisted_topk(spark, corp, twin_new).collect())
+    )
+    assert want_old != want_new  # the swap is observable
+
+    assert [(b, t) for b, t, _, _ in serves] == [
+        (0, "current"), (1, "k_boundary"), (2, "current")
+    ]
+    v0, v1, v2 = (v for _, _, v, _ in serves)
+    assert v0 == rep0["version"] and v1 == v2 != v0  # flipped exactly once
+    assert serves[0][3] == want_old
+    assert serves[1][3] == want_new and serves[2][3] == want_new
+    # re-derived K landed in the promoted build
+    cents = spark.read.parquet(f"{root}/versions/{v1}/centroids")
+    assert cents.count() == S.derived_k(145) == 13
+    # lease released after promotion; old generation held open for
+    # in-flight serves (gc keep=2)
+    assert not os.path.exists(f"{root}/.refresh_lock/_WRITER_LEASE")
+    assert os.path.exists(f"{root}/versions/{v0}/_INDEX_OK")
+    still_old = sorted(
+        map(
+            tuple,
+            S.serve_persisted_topk(
+                spark, corp, f"{root}/versions/{v0}"
+            ).collect(),
+        )
+    )
+    # the held-open old build serves the OLD index over today's queries
+    assert still_old != want_new
