@@ -670,3 +670,142 @@ def test_soak_drift_refresh_follows_growing_corpus(spark, tmp_path):
     )
     # the held-open old build serves the OLD index over today's queries
     assert still_old != want_new
+
+
+def test_soak_full_pipeline_three_indexes(spark, tmp_path):
+    """VERDICT r15 #4 — the production shape composed in ONE
+    foreachBatch: a document+embedding stream feeds LSH dedup verdicts;
+    kept docs flow into the evolving FTS index AND the evolving vector
+    index; hybrid RRF (lexical BM25 + exact dense cosine) is served
+    mid-stream from BOTH indexes after every micro-batch, with one
+    crash injected mid-compaction (between the two renames, on both
+    indexes at once) and healed. Authoritative assertion: the served
+    hybrid at EVERY checkpoint equals the from-scratch hybrid over
+    exactly (corpus + kept incoming docs through that batch) — the
+    batch rebuild twin — and compaction changes nothing observable."""
+    from wikid_spark.functions.vectors import cosine_similarity
+    from wikid_spark.operators.fts import bm25_from_docs
+    from wikid_spark.queries.fts import rrf_fuse_frames
+    from wikid_spark.streaming import fts_ingest as FI, hybrid as HY
+
+    corpus = spark.createDataFrame(_corpus_rows(), _SCHEMA.split(", ts")[0])
+    docs = corpus.select("doc_id", "text")
+    vecs = corpus.select(F.col("doc_id").alias("vec_id"), "embedding")
+
+    lsh_idx = str(tmp_path / "lsh_idx")
+    dedup_ingest.persist_dedup_index(docs, lsh_idx)
+    fts_idx = str(tmp_path / "fts_idx")
+    FI.persist_streaming_fts_index(docs, fts_idx)
+    vidx = str(tmp_path / "vidx")
+    vi.persist_vector_index(vecs, vidx)
+
+    lsh_out = str(tmp_path / "lsh_verdicts")
+    lsh_w = dedup_ingest.dedup_verdict_batch_writer(spark, lsh_idx, lsh_out)
+    fts_w = FI.fts_index_batch_writer(spark, fts_idx)
+
+    TERMS = ["quantum", "gravel", "oak"]
+    QID = 1  # corpus member: its vector is IN the evolving index
+    serves: list[tuple[int, list]] = []
+
+    def writer(batch, batch_id):
+        b = batch.localCheckpoint(eager=True)
+        lsh_w(b.select("doc_id", "text"), batch_id)
+        kept = (
+            dedup_ingest.read_verdicts(spark, lsh_out)
+            .filter(F.col("verdict") == "keep")
+            .select("doc_id")
+        )
+        fts_w(
+            b.select("doc_id", "text").join(
+                F.broadcast(kept), "doc_id", "left_semi"
+            ),
+            batch_id,
+        )
+        vi.append_kept_to_vector_index(
+            b.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            kept.withColumnRenamed("doc_id", "vec_id"),
+            vidx,
+            batch_id,
+        )
+        got = sorted(
+            map(
+                tuple,
+                HY.hybrid_rrf_streaming(
+                    spark, fts_idx, vidx, TERMS, QID
+                ).collect(),
+            )
+        )
+        serves.append((batch_id, got))
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    _write_files(src, _INCOMING[:3], 0)
+    _drain(spark, src, ckpt, writer)
+
+    # one crash, injected between compaction's two renames on BOTH
+    # indexes at once, healed by re-running the compactions
+    os.rename(f"{fts_idx}/postings", f"{fts_idx}/postings.old")
+    os.rename(f"{vidx}/cells", f"{vidx}/cells.old")
+    FI.compact_streaming_fts_index(spark, fts_idx)
+    vi.compact_vector_index(spark, vidx)
+    for d, part in ((fts_idx, "postings"), (fts_idx, "termstats"),
+                    (fts_idx, "stats"), (vidx, "cells")):
+        kids = [k for k in os.listdir(f"{d}/{part}") if k.startswith("batch_id=")]
+        assert kids == ["batch_id=-1"], (d, part, kids)
+    # compaction is invisible to serving: re-serve checkpoint 2
+    post_compact = sorted(
+        map(
+            tuple,
+            HY.hybrid_rrf_streaming(spark, fts_idx, vidx, TERMS, QID).collect(),
+        )
+    )
+    assert post_compact == serves[2][1]
+
+    _write_files(src, _INCOMING[3:], 3)
+    _drain(spark, src, ckpt, writer)
+    assert [b for b, _ in serves] == [0, 1, 2, 3, 4, 5]
+
+    # the stream's LSH keep set is the documented one (the twins below
+    # are computed from it INDEPENDENTLY of the stream's own state)
+    kept_ids = {
+        r["doc_id"]
+        for r in dedup_ingest.read_verdicts(spark, lsh_out)
+        .filter(F.col("verdict") == "keep")
+        .collect()
+    }
+    assert kept_ids == {100, 101, 104}
+
+    incoming = spark.createDataFrame(_INCOMING, _SCHEMA)
+    for bid, got in serves:
+        arrived_kept = [
+            d for d in (100, 101, 102, 103, 104, 105)
+            if d <= 100 + bid and d in kept_ids
+        ]
+        extra = incoming.filter(F.col("doc_id").isin(arrived_kept or [-1]))
+        docs_b = docs.unionByName(extra.select("doc_id", "text"))
+        vecs_b = vecs.unionByName(
+            extra.select(F.col("doc_id").alias("vec_id"), "embedding")
+        )
+        bm = bm25_from_docs(docs_b, "doc_id", "text", TERMS).select(
+            "doc", F.round("score", 4).alias("score")
+        )
+        qv = vecs_b.filter(F.col("vec_id") == QID).select(
+            F.col("embedding").alias("qe")
+        )
+        ds = (
+            vecs_b.filter(F.col("vec_id") != QID)
+            .crossJoin(F.broadcast(qv))
+            .select(
+                F.col("vec_id").alias("doc"),
+                F.round(
+                    cosine_similarity(F.col("embedding"), F.col("qe")), 4
+                ).alias("sim"),
+            )
+        )
+        want = sorted(map(tuple, rrf_fuse_frames(bm, ds).collect()))
+        assert got == want, f"checkpoint {bid}"
+        # the hybrid actually tracks the evolving state: kept incoming
+        # docs become retrievable on the dense side once indexed
+        if 100 in arrived_kept:
+            assert any(r[0] == 100 for r in got), f"checkpoint {bid}"

@@ -424,17 +424,9 @@ def _hybrid_rrf_fuse(
     """The fusion tail shared by the in-plan and persisted hybrids:
     ``bm`` is any (doc, score) BM25 frame with 4-rounded scores — the
     two paths produce identical frames, so one tail certifies both."""
-    from pyspark.sql import Window
-
     from wikid_spark.functions.vectors import cosine_similarity
 
     emb = table(spark, sf_dir, "embeddings")
-    top_t = bm.orderBy(F.desc("score"), "doc").limit(20)
-    wt = Window.orderBy(F.desc("score"), "doc")  # 20 rows: rank locally
-    tlist = top_t.select(
-        "doc", F.row_number().over(wt).alias("text_rank")
-    )
-
     qv = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe")
     )
@@ -447,6 +439,22 @@ def _hybrid_rrf_fuse(
                 cosine_similarity(F.col("embedding"), F.col("qe")), 4
             ).alias("sim"),
         )
+    )
+    return rrf_fuse_frames(bm, ds)
+
+
+def rrf_fuse_frames(bm: DataFrame, ds: DataFrame) -> DataFrame:
+    """RRF-fuse any (doc, score) BM25 frame with any (doc, sim) dense
+    frame (both pre-rounded to 4dp so cross-engine float noise cannot
+    reorder the rank windows) — the frame-level tail every hybrid
+    serving path shares: in-plan, persisted-index, and the evolving
+    streaming indexes (`streaming.hybrid.hybrid_rrf_streaming`)."""
+    from pyspark.sql import Window
+
+    top_t = bm.orderBy(F.desc("score"), "doc").limit(20)
+    wt = Window.orderBy(F.desc("score"), "doc")  # 20 rows: rank locally
+    tlist = top_t.select(
+        "doc", F.row_number().over(wt).alias("text_rank")
     )
     top_v = ds.orderBy(F.desc("sim"), "doc").limit(20)
     wv = Window.orderBy(F.desc("sim"), "doc")
