@@ -363,3 +363,26 @@ def test_oracle_tokenizer_regex_in_sync():
             assert f"'{TOKEN_SPLIT_SQL}'" in spec.oracle, name
             checked += 1
     assert checked >= 7
+
+
+def test_unicode_cert_fixture_folds_match_kernel():
+    """The Unicode certification oracles fix their token sets as
+    AUTHORED literals (VERDICT r15 #5); these must equal what the
+    kernels actually produce, or the certification would silently
+    test the wrong bytes. fts_bm25_unicode's folded forms must equal
+    fold_term (the unicode61 lower+NFD-strip rule the postings apply),
+    and u3_hashed_bow_embed_unicode's lowercase forms must equal
+    Python str.lower (the hashed-BOW kernel's own fold)."""
+    from wikid_spark.operators.fts import fold_term
+    from wikid_spark.queries.extensions import _U3U_LOWER, _U3U_UPPER
+    from wikid_spark.queries.fts import _FTSU_FOLDED, _FTSU_UPPER
+
+    assert tuple(fold_term(w) for w in _FTSU_UPPER) == _FTSU_FOLDED
+    assert tuple(w.lower() for w in _U3U_UPPER) == _U3U_LOWER
+    # every authored token is exactly one \w+ token after its fold —
+    # the property that makes the canonical space-joined text
+    # re-tokenize to the fixed set on the kernel side
+    import re
+
+    for t in _FTSU_FOLDED + _U3U_LOWER:
+        assert re.findall(r"\w+", t) == [t], t
