@@ -455,3 +455,25 @@ def test_mmr_candidate_scan_is_partition_pruned(spark, tmp_path):
     assert {int(x) for x in m.group(1).split(",")} == set(cells)
     total = len(glob.glob(os.path.join(out, "mindex", "cent_id=*")))
     assert len(cells) < total  # genuinely pruned, not all-cells
+
+
+def test_mindex_carries_label_attribute(spark, tmp_path):
+    """L4: the label attribute column rides the mindex rows bit-exactly
+    (the hard-negative serve's anti-predicate runs in the index scan)."""
+    out, _ = _build(spark, tmp_path)
+    mindex = spark.read.parquet(f"{out}/mindex")
+    assert "label" in mindex.columns
+    bad = (
+        mindex.select("vec_id", S.F.col("label").alias("ilabel"))
+        .dropDuplicates(["vec_id"])
+        .join(S.table(spark, SF, "embeddings"), "vec_id")
+        .filter(S.F.col("ilabel") != S.F.col("label"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_hard_negatives_persisted_equals_in_plan(spark):
+    a = sorted(map(tuple, S.sim_hard_negatives_ann_topk(spark, SF).collect()))
+    b = sorted(map(tuple, S.sim_hard_negatives_persisted(spark, SF).collect()))
+    assert a == b and len(a) > 0

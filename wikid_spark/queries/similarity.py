@@ -4338,15 +4338,21 @@ def persist_ann_index(
     # deterministic _assign_blas pass `_trained_index` runs in-plan
     # (identical trained cents), so persisted candidate pools are
     # value-identical to the in-plan twin's.
+    # `label` rides the index rows (round 16): the ANN hard-negative
+    # miner's anti-predicate then runs IN the pruned index scan — the
+    # attribute-column discipline the in-plan miner's docstring
+    # promises ("at 100 TB the label simply lives in the persisted
+    # index").
     mindex = _assign_blas(
         emb.select(
             "vec_id",
             "embedding",
+            "label",
             quantize_embedding(F.col("embedding")).alias("qemb"),
         ),
         cents,
         top_m=2,
-    ).select("vec_id", "embedding", "cent_id", "cent_rank")
+    ).select("vec_id", "embedding", "label", "cent_id", "cent_rank")
     (
         mindex.repartition("cent_id")
         .write.mode("overwrite")
@@ -4571,8 +4577,9 @@ def _ensure_persisted_index(
     fp = corpus_fingerprint(sf_dir, "embeddings")
     # v2: one-file-per-cell layout (repartition before partitionBy)
     # v3: mindex/ IVF-Flat exact-vector component landed (round 16)
+    # v4: label attribute column rides mindex/ rows (round 16)
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{fp}|{spec.subs}x{spec.codes}|v3".encode()
+        f"{os.path.abspath(sf_dir)}|{fp}|{spec.subs}x{spec.codes}|v4".encode()
     ).hexdigest()[:16]
     return ensure_cached_build(
         "wikid_ann_index",
@@ -4842,11 +4849,12 @@ def index_version_id(sf_dir: str, spec: PQSpec) -> str:
     from wikid_spark.catalog import corpus_fingerprint
 
     fp = corpus_fingerprint(sf_dir, "embeddings")
-    # |L3: layout generation (mindex/ added in round 16) — a version
-    # built by older code must not be pointer-reused by a serve that
-    # expects the exact-vector component.
+    # |L4: layout generation (mindex/ added round 16; label column
+    # rides mindex rows since L4) — a version built by older code must
+    # not be pointer-reused by a serve that expects the exact-vector
+    # component or its attribute columns.
     return hashlib.md5(
-        f"{fp}|{spec.subs}x{spec.codes}|L3".encode()
+        f"{fp}|{spec.subs}x{spec.codes}|L4".encode()
     ).hexdigest()[:16]
 
 
@@ -6029,6 +6037,107 @@ def sim_hard_negatives_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands = (
         a2l.join(F.broadcast(probes), F.col("cent_id") == F.col("pcell"))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("qlabel"))
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("negative_id"),
+            "qlabel",
+            F.col("label").alias("neg_label"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qe")), 4
+            ).alias("sim"),
+        )
+        .distinct()  # top-2 index x multi-probe: same pair can match twice
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), "negative_id"
+    )
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "negative_id", "qlabel", "neg_label", "sim", "rn")
+        .orderBy("query_id", "rn")
+    )
+
+
+@query(
+    "sim_hard_negatives_persisted",
+    oracle=(
+        "WITH "
+        + _lloyd_trained_fragment(TRAINED_DERIVED_ROUNDS)
+        + ",\n"
+        + _hard_neg_ann_tail()
+        + """
+    SELECT query_id, negative_id, qlabel, neg_label, sim, rn
+    FROM hn_top3
+    ORDER BY query_id, rn"""
+    ),
+    tags=(
+        "similarity", "mining", "contrastive", "ann", "ivf", "kmeans",
+        "persisted", "serving",
+    ),
+)
+def sim_hard_negatives_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sim_hard_negatives_ann_topk` served from the PERSISTED index
+    (round 16): since L4 the ``label`` attribute column rides the
+    ``mindex/`` rows, so the anti-predicate runs IN the partition-
+    pruned index scan — zero corpus joins, zero per-serve assignment
+    passes over the corpus. Probes rank the sampled anchors against
+    the persisted centroid table (top-4 cells, the in-plan twin's
+    budget); candidates come from the probed cells' directories only
+    (IN-literal under the pushdown cap, broadcast semi-join above);
+    exact-cosine re-rank to 3 on the original vectors mindex carries.
+    The persisted cents are the same deterministic Lloyd output the
+    in-plan twin memoizes, so one oracle text certifies both.
+
+    Scale: a serving process pays ~nprobe·2·√n indexed rows of IO per
+    anchor batch at any corpus size; the in-plan twin pays one corpus
+    assignment pass per process. This is the last retrieval-family
+    member to gain a persisted serving twin (hybrid, MMR, and plain
+    top-k landed in rounds 15-16)."""
+    index_dir = _ensure_persisted_index(spark, sf_dir, PQ8)
+    handle = load_ann_index(spark, index_dir, PQ8)
+    emb = table(spark, sf_dir, "embeddings")
+    sample = _sample_filter(
+        emb.select(
+            "vec_id",
+            "embedding",
+            "label",
+            quantize_embedding(F.col("embedding")).alias("qemb"),
+        )
+    )
+    probes = (
+        _assign_blas(sample, handle.cents, top_m=4)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("label").alias("qlabel"),
+            F.col("cent_id").alias("pcell"),
+        )
+        .localCheckpoint(eager=True)  # assign once: cells + join reuse it
+    )
+    touched = probes.select("pcell").distinct()
+    cells = [
+        r[0]
+        for r in touched.limit(ANN_CELL_PUSHDOWN_MAX_IDS + 1).collect()
+    ]  # k-bounded collect (≤ |queries|·nprobe values)
+    mindex = spark.read.schema(
+        "vec_id bigint, embedding array<float>, label int, "
+        "cent_rank int, cent_id bigint"
+    ).parquet(f"{index_dir}/mindex")
+    if len(cells) <= ANN_CELL_PUSHDOWN_MAX_IDS:
+        mindex = mindex.filter(F.col("cent_id").isin(cells))
+    else:
+        mindex = mindex.join(
+            F.broadcast(touched.withColumnRenamed("pcell", "cent_id")),
+            "cent_id",
+            "left_semi",
+        )
+    cands = (
+        mindex.join(F.broadcast(probes), F.col("cent_id") == F.col("pcell"))
         .filter(
             (F.col("vec_id") != F.col("query_id"))
             & (F.col("label") != F.col("qlabel"))
