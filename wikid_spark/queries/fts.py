@@ -1243,6 +1243,71 @@ def fts_serve_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "fts_hybrid_serve_streaming",
+    oracle=_HYBRID_RRF_ORACLE,
+    tags=("fts", "similarity", "hybrid", "rrf", "streaming", "serving"),
+)
+def fts_hybrid_serve_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RRF served from BOTH evolving streaming indexes
+    (`streaming.hybrid.hybrid_rrf_streaming`, round 16) — the
+    registered driver-green row for the three-index production shape
+    the round-16 soak composes. Both the FTS index and the vector
+    index are ingested as they would arrive in production: base builds
+    over one third of each table (pmod(id, 3) == 0), two appended
+    micro-batches (disjoint ids — the append-only contract), a
+    crash-safe compaction folding each index's deltas; the serve reads
+    the folded trees. The final indexed sets are the whole tables, so
+    the result is value-identical to `fts_hybrid_rrf_topk` and the
+    certifying oracle is the same SQL text — one hash-green row
+    certifies both evolving builds, both additive decompositions
+    (df/stat partials; cell assignments against frozen centroids),
+    both compaction folds, and the fused serve end-to-end.
+
+    Scale: the lexical serve is bucket-pruned across base + deltas;
+    the dense serve is the documented exact pass over the evolving
+    index's original vectors (swap for the persisted ANN serve at
+    corpus scale — the fusion tail is shared either way)."""
+    import hashlib
+    import os
+
+    from wikid_spark.catalog import corpus_fingerprint, ensure_cached_build
+    from wikid_spark.operators.fts import FTS_TERM_BUCKETS
+    from wikid_spark.streaming import fts_ingest as FI, vector_ingest as vi
+    from wikid_spark.streaming.hybrid import hybrid_rrf_streaming
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    vecs = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    fp_d = corpus_fingerprint(sf_dir, "documents")
+    fp_e = corpus_fingerprint(sf_dir, "embeddings")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{fp_d}|{fp_e}|hystream|"
+        f"b{FTS_TERM_BUCKETS}|v1".encode()
+    ).hexdigest()[:16]
+    dres = F.coalesce(F.pmod(F.col("doc_id"), F.lit(3)), F.lit(0))
+    vres = F.coalesce(F.pmod(F.col("vec_id"), F.lit(3)), F.lit(0))
+
+    def build(d: str) -> None:
+        from wikid_spark.queries.similarity import _fs_write_text
+
+        FI.persist_streaming_fts_index(docs.filter(dres == 0), f"{d}/fts")
+        FI.append_docs_to_fts_index(docs.filter(dres == 1), f"{d}/fts", 0)
+        FI.append_docs_to_fts_index(docs.filter(dres == 2), f"{d}/fts", 1)
+        FI.compact_streaming_fts_index(spark, f"{d}/fts")
+        base = vecs.filter(vres == 0)
+        vi.persist_vector_index(base, f"{d}/vec")
+        for bid, res in ((0, 1), (1, 2)):
+            batch = vecs.filter(vres == res)
+            vi.append_kept_to_vector_index(
+                batch, batch.select("vec_id"), f"{d}/vec", bid
+            )
+        vi.compact_vector_index(spark, f"{d}/vec")
+        _fs_write_text(spark, f"{d}/_HY_OK")
+
+    idx = ensure_cached_build("wikid_hybrid_stream_index", key, build, "_HY_OK")
+    return hybrid_rrf_streaming(spark, f"{idx}/fts", f"{idx}/vec", SEARCH_TERMS, 0)
+
+
 # Mixed-script fixture of the FTS Unicode certification (VERDICT r15
 # #5's BM25 half — the three BM25 oracles were certified on ASCII-only
 # corpora because the driver's documents tables contain no non-ASCII
