@@ -113,3 +113,56 @@ def test_code_width_crossing_forces_respec(spark, tmp_path, monkeypatch):
     assert rep["trigger"] == "code_width" and rep["refreshed"] is True
     vid = S.read_current_version(spark, root)
     assert S.load_ann_index_spec(f"{root}/versions/{vid}") == S.PQ8
+
+
+def test_layout_mismatch_forces_migration(spark, tmp_path):
+    """Round-16 review: a CURRENT version published by OLDER code (vid
+    format drift with the corpus bytes unchanged) must force-migrate —
+    the distortion rung would measure ~1.0 forever and pin the pointer
+    on a layout current readers cannot serve from."""
+    import shutil
+
+    corp = _mk_corpus(spark, tmp_path, 110)
+    root = str(tmp_path / "root")
+    rep0 = S.maybe_refresh_index(spark, corp, root)
+    real_vid = rep0["version"]
+    # simulate an old-code publish: same artifacts under a vid the
+    # current index_version_id format would never produce
+    fake_vid = "0badc0de0badc0de"
+    shutil.copytree(
+        f"{root}/versions/{real_vid}", f"{root}/versions/{fake_vid}"
+    )
+    S._fs_write_text(spark, f"{root}/CURRENT", fake_vid)
+    rep = S.maybe_refresh_index(spark, corp, root)
+    assert rep["trigger"] == "layout_migration" and rep["refreshed"] is True
+    assert S.read_current_version(spark, root) == real_vid
+    # provenance landed, so the next call is the free no-op again
+    rep2 = S.maybe_refresh_index(spark, corp, root)
+    assert rep2["trigger"] == "current"
+    # the pre-provenance shape (no version.json at all) migrates too
+    os.remove(f"{root}/versions/{fake_vid}/version.json")
+    S._fs_write_text(spark, f"{root}/CURRENT", fake_vid)
+    rep3 = S.maybe_refresh_index(spark, corp, root)
+    assert rep3["trigger"] == "layout_migration"
+    assert S.read_current_version(spark, root) == real_vid
+
+
+def test_hook_reports_contention_instead_of_failing_batch(spark, tmp_path):
+    """Round-16 review: lease contention inside the foreachBatch hook
+    is a skipped trigger, not a stream crash — the racing holder's
+    publish converges on the same content-keyed version."""
+    from wikid_spark.streaming.ingest import _acquire_or_renew_lease
+
+    corp = _mk_corpus(spark, tmp_path, 110)
+    root = str(tmp_path / "root")
+    S.maybe_refresh_index(spark, corp, root)
+    _grow(spark, corp, 110, 145)  # K boundary: a trigger WILL fire
+    _acquire_or_renew_lease(root + "/.refresh_lock", "other-holder", 300)
+    reports = []
+    hooked = S.drift_refresh_writer(
+        lambda b, bid: None, spark, corp, root,
+        on_report=lambda bid, rep: reports.append((bid, rep)),
+    )
+    hooked(spark.range(1), 0)  # must NOT raise
+    assert reports and reports[0][1]["trigger"] == "contended"
+    assert reports[0][1]["refreshed"] is False

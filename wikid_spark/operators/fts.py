@@ -475,9 +475,24 @@ def persist_fts_index(
     )
     from pyspark.sql import Window as _W
 
+    # Two-phase top-K: a per-(term, input-partition) local prefix
+    # first, then the global prefix over the ≤ K·P survivors. A single
+    # window partitioned by term alone degenerates to |vocab|
+    # single-task sorts of ~df(t) rows each on a closed vocabulary —
+    # the same skew shape the in-plan floor pass avoids with a
+    # groupBy-max (round-16 review). Same shuffle volume, no
+    # stragglers; value-identical because any global top-K row is in
+    # its own sub-partition's top-K under the identical ordering.
+    local_w = _W.partitionBy("term", "_pid").orderBy(F.desc("c_q6"), "doc")
+    local = (
+        contrib.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_rk", F.row_number().over(local_w))
+        .filter(F.col("_rk") <= FTS_IMPACT_PREFIX)
+        .drop("_pid", "_rk")
+    )
     topw = _W.partitionBy("term").orderBy(F.desc("c_q6"), "doc")
     (
-        contrib.withColumn("_rk", F.row_number().over(topw))
+        local.withColumn("_rk", F.row_number().over(topw))
         .filter(F.col("_rk") <= FTS_IMPACT_PREFIX)
         .select("term", "doc", "c_q6", "tbucket")
         .repartition("tbucket")

@@ -726,6 +726,25 @@ def _multi_anchor_bm(
         # the fusion is unaffected by an empty lexical frame.
         return spark.createDataFrame([], _BM_SCHEMA)
 
+    def _quantized_contrib(tf, dfreq, stats):
+        """(term, doc, c_q6): the per-(term, doc) BM25 contribution
+        quantized to exact integer millionths BEFORE anchor expansion
+        — ONE implementation for the persisted and in-plan branches
+        (round-16 review: two hand-copies of the quantize tail could
+        silently drift the value identity the shared oracle
+        certifies)."""
+        return (
+            tf.join(F.broadcast(dfreq), "term")
+            .crossJoin(F.broadcast(stats))
+            .withColumn(
+                "c_q6",
+                F.round(bm25_contrib(k1, b) * F.lit(1000000.0), 0).cast(
+                    "long"
+                ),
+            )
+            .select("term", "doc", "c_q6")
+        )
+
     ub_by_term: dict[str, int]
     seed_ids: set[int] = set()  # impact-prefix docs → exact-floor seeds
     if persisted:
@@ -738,7 +757,7 @@ def _multi_anchor_bm(
 
         idx = ensure_fts_index(spark, sf_dir)
         stats = spark.read.parquet(f"{idx}/stats")
-        ts_rows = fts_termstats(spark, idx, union_terms).collect()
+        ts_rows = fts_termstats(spark, idx, union_terms).collect()  # k-bounded collect (|query terms| rows)
         dfreq = spark.createDataFrame(
             [(r["term"], r["df"]) for r in ts_rows], "term string, df bigint"
         )
@@ -746,24 +765,14 @@ def _multi_anchor_bm(
         if prune:
             seed_ids = {
                 r["doc"]
-                for r in fts_impact_prefix(spark, idx, union_terms).collect()
+                for r in fts_impact_prefix(spark, idx, union_terms).collect()  # k-bounded collect (<=32*|terms| rows)
             }
         tf = (
             fts_persisted_postings(spark, idx, union_terms)
             .groupBy("term", "doc", "doc_len")
             .agg(F.count(F.lit(1)).alias("tf"))
         )
-        tfc = (
-            tf.join(F.broadcast(dfreq), "term")
-            .crossJoin(F.broadcast(stats))
-            .withColumn(
-                "c_q6",
-                F.round(bm25_contrib(k1, b) * F.lit(1000000.0), 0).cast(
-                    "long"
-                ),
-            )
-            .select("term", "doc", "c_q6")
-        )
+        tfc = _quantized_contrib(tf, dfreq, stats)
         if prune:
             # The exact-floor seeding reads tfc a second time (the
             # seed docs' full rows); checkpoint so the postings probe
@@ -790,17 +799,7 @@ def _multi_anchor_bm(
         # Quantize the contribution per (term, doc) BEFORE the anchor
         # expansion: the BM25 term is anchor-independent (the round-15
         # 270 s -> 16 s sf10 rewrite).
-        tfc = (
-            tf.join(F.broadcast(df_), "term")
-            .crossJoin(F.broadcast(stats))
-            .withColumn(
-                "c_q6",
-                F.round(bm25_contrib(k1, b) * F.lit(1000000.0), 0).cast(
-                    "long"
-                ),
-            )
-            .select("term", "doc", "c_q6")
-        )
+        tfc = _quantized_contrib(tf, df_, stats)
         ub_by_term = {}
         if prune:
             # The floor seeding needs two more passes over tfc (the
@@ -819,7 +818,7 @@ def _multi_anchor_bm(
                 r["term"]: r["mx"]
                 for r in tfc.groupBy("term")
                 .agg(F.max("c_q6").alias("mx"))
-                .collect()
+                .collect()  # k-bounded collect (|query terms| rows)
             }
 
     q_ix = {q: i for i, q in enumerate(anchor_ids)}
@@ -849,7 +848,7 @@ def _multi_anchor_bm(
         if seed_ids:
             seed_cond = seed_cond | F.col("doc").isin(sorted(seed_ids))
         seed_tc: dict[int, list[tuple[int, int]]] = {}
-        for r in tfc.filter(seed_cond).collect():
+        for r in tfc.filter(seed_cond).collect():  # k-bounded collect (hash-mod sample + prefix seeds)
             seed_tc.setdefault(r["doc"], []).append(
                 (t_ix[r["term"]], r["c_q6"])
             )

@@ -4849,13 +4849,20 @@ def index_version_id(sf_dir: str, spec: PQSpec) -> str:
     from wikid_spark.catalog import corpus_fingerprint
 
     fp = corpus_fingerprint(sf_dir, "embeddings")
-    # |L4: layout generation (mindex/ added round 16; label column
-    # rides mindex rows since L4) — a version built by older code must
-    # not be pointer-reused by a serve that expects the exact-vector
+    # Layout generation (mindex/ added round 16; label column rides
+    # mindex rows since L4) — a version built by older code must not
+    # be pointer-reused by a serve that expects the exact-vector
     # component or its attribute columns.
     return hashlib.md5(
-        f"{fp}|{spec.subs}x{spec.codes}|L4".encode()
+        f"{fp}|{spec.subs}x{spec.codes}|{_INDEX_LAYOUT_GEN}".encode()
     ).hexdigest()[:16]
+
+
+# Bump together with every on-disk layout change; folded into
+# index_version_id AND recorded in each version's version.json so
+# maybe_refresh_index can tell a layout-only pointer mismatch (forced
+# migration) from a corpus-content change (drift-thresholded).
+_INDEX_LAYOUT_GEN = "L4"
 
 
 def read_current_version(spark: SparkSession, root: str) -> str | None:
@@ -4896,9 +4903,14 @@ def _build_job_group(spark: SparkSession, writer_id: str):
     r15) rather than interleaving them into a successor's build. Uses
     the local property directly (thread-scoped, like setJobGroup) and
     restores it on exit so unrelated jobs on this thread aren't swept
-    into a later cancellation."""
+    into a later cancellation. The group name is unique PER ENTRY
+    (uuid suffix), not per writer_id: a stable writer_id across
+    successive builds would let a stale heartbeat thread's late
+    on_lost() cancel the NEXT build's jobs (round-16 review)."""
+    import uuid as _uuid
+
     sc = spark.sparkContext
-    group = f"wikid-lease-build-{writer_id}"
+    group = f"wikid-lease-build-{writer_id}-{_uuid.uuid4().hex[:8]}"
     prev = sc.getLocalProperty("spark.jobGroup.id")
     sc.setLocalProperty("spark.jobGroup.id", group)
     try:
@@ -4968,6 +4980,28 @@ def publish_index_version(
                 ):
                     persist_ann_index(spark, sf_dir, vdir, spec)
             built = True
+        if not _fs_exists(spark, f"{vdir}/version.json"):
+            # Provenance (round 16): the corpus fingerprint + layout
+            # generation this version was built from, so
+            # maybe_refresh_index can tell a layout-only pointer
+            # mismatch from real corpus drift. Written idempotently
+            # AFTER the commit check — a crash between _INDEX_OK and
+            # this write heals on the next publish instead of looping
+            # the migration trigger.
+            import json as _json
+
+            from wikid_spark.catalog import corpus_fingerprint
+
+            _fs_write_text(
+                spark,
+                f"{vdir}/version.json",
+                _json.dumps(
+                    {
+                        "fingerprint": corpus_fingerprint(sf_dir, "embeddings"),
+                        "layout": _INDEX_LAYOUT_GEN,
+                    }
+                ),
+            )
         prev = read_current_version(spark, root)
         if prev != vid:
             _fs_write_text(spark, f"{root}/{_CURRENT_PTR}", vid)
@@ -5127,8 +5161,12 @@ def maybe_refresh_index(
     keyed, so a racing second trigger converges on the same version id
     — worst case a redundant pointer re-write, never a doubled build
     (both publishers resolve the identical ``_INDEX_OK``-committed
-    dir). Returns the refresh report plus ``trigger`` ∈ {bootstrap,
-    current, k_boundary, code_width, distortion, none}."""
+    dir). A CURRENT version published by OLDER code (no provenance, or
+    an older layout generation, or the same corpus bytes under a
+    changed vid format) force-migrates instead of looping the
+    distortion rung forever. Returns the refresh report plus
+    ``trigger`` ∈ {bootstrap, current, k_boundary, code_width,
+    layout_migration, distortion, none}."""
     kw = dict(writer_id=writer_id, lease_seconds=lease_seconds, keep=keep)
     current_vid = read_current_version(spark, root)
     if current_vid is None or not _fs_exists(
@@ -5155,6 +5193,30 @@ def maybe_refresh_index(
             "k_boundary" if k_now != k_built else "code_width"
         )
         rep.update(k_built=k_built, k_now=k_now)
+        return rep
+    # The vid mismatch that got us past step 2 is either real corpus
+    # drift (same sizing regime → the distortion rung decides) or a
+    # LAYOUT-ONLY mismatch: the CURRENT version was published by older
+    # code (pre-provenance, or an older layout generation, or the very
+    # bytes we'd publish now under a changed vid format). The latter
+    # must force-migrate — distortion of an unchanged corpus is ~1.0
+    # forever, which would pin the pointer on a version missing the
+    # components current readers expect AND pay a full corpus encode
+    # per call doing it (round-16 review).
+    import json as _json
+
+    from wikid_spark.catalog import corpus_fingerprint
+
+    prov = None
+    if _fs_exists(spark, f"{cdir}/version.json"):
+        prov = _json.loads(_fs_read_text(spark, f"{cdir}/version.json"))
+    if (
+        prov is None
+        or prov.get("layout") != _INDEX_LAYOUT_GEN
+        or prov.get("fingerprint") == corpus_fingerprint(sf_dir, "embeddings")
+    ):
+        rep = refresh_ann_index_versioned(spark, sf_dir, root, force=True, **kw)
+        rep["trigger"] = "layout_migration"
         return rep
     rep = refresh_ann_index_versioned(
         spark, sf_dir, root, ratio=distortion_ratio, **kw
@@ -5184,9 +5246,24 @@ def drift_refresh_writer(
     ``(batch_id, report)`` for observability."""
 
     def _writer(batch: DataFrame, batch_id: int) -> None:
+        from wikid_spark.streaming.ingest import ConcurrentWriterError
+
         writer(batch, batch_id)
         if batch_id % max(every, 1) == 0:
-            rep = maybe_refresh_index(spark, sf_dir, root, **kw)
+            try:
+                rep = maybe_refresh_index(spark, sf_dir, root, **kw)
+            except ConcurrentWriterError as ex:
+                # Another holder is mid-refresh on this root. The
+                # trigger will converge on the same content-keyed
+                # version, so contention is a SKIP, not a stream
+                # failure — propagating would fail the micro-batch and
+                # crash-loop the ingest until the other build finishes
+                # (round-16 review).
+                rep = {
+                    "refreshed": False,
+                    "trigger": "contended",
+                    "holder": str(ex),
+                }
             if on_report is not None:
                 on_report(batch_id, rep)
 
@@ -5833,6 +5910,40 @@ def sim_mmr_ann_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mmr_greedy_over_pool(spark, cand)
 
 
+_MINDEX_SCHEMA = (
+    "vec_id bigint, embedding array<float>, label int, "
+    "cent_rank int, cent_id bigint"
+)
+
+
+def _pruned_mindex_scan(
+    spark: SparkSession, index_dir: str, probes: DataFrame
+) -> DataFrame:
+    """The IVF-Flat component's candidate scan, partition-pruned to the
+    cells ``probes`` touched (``pcell`` column): IN-literal pushdown
+    below ANN_CELL_PUSHDOWN_MAX_IDS (PartitionFilters, plan-tested),
+    broadcast semi-join above it. One implementation + one schema
+    string for every exact-vector serving path (MMR, hard negatives) —
+    the round-16 review found the block hand-copied per query, which
+    is exactly how an mindex layout change would silently diverge the
+    persisted serves."""
+    touched = probes.select("pcell").distinct()
+    cells = [
+        r[0]
+        for r in touched.limit(
+            ANN_CELL_PUSHDOWN_MAX_IDS + 1
+        ).collect()  # k-bounded collect (<= |queries|*nprobe values)
+    ]
+    mindex = spark.read.schema(_MINDEX_SCHEMA).parquet(f"{index_dir}/mindex")
+    if len(cells) <= ANN_CELL_PUSHDOWN_MAX_IDS:
+        return mindex.filter(F.col("cent_id").isin(cells))
+    return mindex.join(
+        F.broadcast(touched.withColumnRenamed("pcell", "cent_id")),
+        "cent_id",
+        "left_semi",
+    )
+
+
 @query(
     "sim_mmr_ann_multi_persisted",
     oracle=_mmr_ann_multi_oracle(),
@@ -5879,22 +5990,7 @@ def sim_mmr_ann_multi_persisted(
         )
         .localCheckpoint(eager=True)  # assign once: cells + join reuse it
     )
-    touched = probes.select("pcell").distinct()
-    cells = [
-        r[0]
-        for r in touched.limit(ANN_CELL_PUSHDOWN_MAX_IDS + 1).collect()
-    ]  # k-bounded collect (≤ |queries|·nprobe values)
-    mindex = spark.read.schema(
-        "vec_id bigint, embedding array<float>, cent_rank int, cent_id bigint"
-    ).parquet(f"{index_dir}/mindex")
-    if len(cells) <= ANN_CELL_PUSHDOWN_MAX_IDS:
-        mindex = mindex.filter(F.col("cent_id").isin(cells))
-    else:
-        mindex = mindex.join(
-            F.broadcast(touched.withColumnRenamed("pcell", "cent_id")),
-            "cent_id",
-            "left_semi",
-        )
+    mindex = _pruned_mindex_scan(spark, index_dir, probes)
     scored = (
         mindex.join(F.broadcast(probes), F.col("cent_id") == F.col("pcell"))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -6119,23 +6215,7 @@ def sim_hard_negatives_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # assign once: cells + join reuse it
     )
-    touched = probes.select("pcell").distinct()
-    cells = [
-        r[0]
-        for r in touched.limit(ANN_CELL_PUSHDOWN_MAX_IDS + 1).collect()
-    ]  # k-bounded collect (≤ |queries|·nprobe values)
-    mindex = spark.read.schema(
-        "vec_id bigint, embedding array<float>, label int, "
-        "cent_rank int, cent_id bigint"
-    ).parquet(f"{index_dir}/mindex")
-    if len(cells) <= ANN_CELL_PUSHDOWN_MAX_IDS:
-        mindex = mindex.filter(F.col("cent_id").isin(cells))
-    else:
-        mindex = mindex.join(
-            F.broadcast(touched.withColumnRenamed("pcell", "cent_id")),
-            "cent_id",
-            "left_semi",
-        )
+    mindex = _pruned_mindex_scan(spark, index_dir, probes)
     cands = (
         mindex.join(F.broadcast(probes), F.col("cent_id") == F.col("pcell"))
         .filter(

@@ -465,18 +465,21 @@ def _lease_heartbeat(
     lost = threading.Event()
 
     def beat() -> None:
-        first_failure: float | None = None
+        # The expiry clock runs from the LAST SUCCESSFUL renewal (the
+        # caller renewed just before entering), not from the first
+        # failed beat — measuring from first failure declared loss up
+        # to lease_seconds/3 late, a window in which this builder kept
+        # writing into the shared dir after a successor could legally
+        # take over (round-16 review).
+        last_success = _time.monotonic()
         while not stop.wait(max(lease_seconds / 3.0, 1.0)):
             try:
                 _acquire_or_renew_lease(target_dir, writer_id, lease_seconds)
-                first_failure = None
+                last_success = _time.monotonic()
             except ConcurrentWriterError:
                 lost.set()
             except Exception:
-                now = _time.monotonic()
-                if first_failure is None:
-                    first_failure = now
-                elif now - first_failure >= lease_seconds:
+                if _time.monotonic() - last_success >= lease_seconds:
                     lost.set()  # renewals dark past a full lease window
             if lost.is_set():
                 if on_lost is not None:
