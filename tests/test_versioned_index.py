@@ -134,3 +134,94 @@ def test_refresh_versioned_is_lease_guarded(spark, tmp_path):
     rep = S.refresh_ann_index_versioned(spark, SF, root, writer_id="refresh-b")
     assert rep["refreshed"] is False  # same corpus, no drift
     assert not os.path.exists(lease)
+
+
+# ---------------------------------------------------------------------------
+# Round 16: the FTS instance of the generic versioned-root engine
+# (wikid_spark.versioned). The ANN tests above pin the engine's
+# promotion contract; these pin the FTS wiring: content-keyed ids,
+# bootstrap/no-op/content triggers, pointer hold-open, and the
+# one-PUT flip under a corpus change.
+# ---------------------------------------------------------------------------
+
+
+def test_fts_publish_resolve_and_noop(spark, tmp_path):
+    from wikid_spark.operators import fts as O
+
+    root = str(tmp_path / "fts_root")
+    rep = O.maybe_refresh_fts_index(spark, SF, root)
+    assert rep["trigger"] == "bootstrap" and rep["built"] is True
+    vdir = O.resolve_current_fts_index(spark, root)
+    assert os.path.exists(os.path.join(vdir, "_FTS_OK"))
+    assert os.path.exists(os.path.join(vdir, "version.json"))
+    # unchanged corpus: stat-walk no-op, pointer untouched
+    rep2 = O.maybe_refresh_fts_index(spark, SF, root)
+    assert rep2 == {
+        "refreshed": False,
+        "version": rep["version"],
+        "trigger": "current",
+    }
+    # the served values equal the in-plan twin
+    from wikid_spark.operators.fts import bm25_from_docs, bm25_persisted
+    from wikid_spark.catalog import table
+
+    terms = ["spark", "vector"]
+    got = _rows(
+        bm25_persisted(spark, vdir, terms).select(
+            "doc", S.F.round("score", 4).alias("s")
+        )
+    )
+    want = _rows(
+        bm25_from_docs(table(spark, SF, "documents"), "doc_id", "text", terms)
+        .select("doc", S.F.round("score", 4).alias("s"))
+    )
+    assert got == want and len(got) > 0
+
+
+def test_fts_content_change_flips_pointer_and_holds_old(spark, tmp_path):
+    import shutil
+
+    from wikid_spark.operators import fts as O
+
+    # a mutable corpus dir: documents from SF, then swapped for SF2's
+    corp = str(tmp_path / "corp")
+    os.makedirs(corp)
+    shutil.copy(f"{SF}/documents.parquet", f"{corp}/documents.parquet")
+    root = str(tmp_path / "fts_root")
+    rep0 = O.maybe_refresh_fts_index(spark, corp, root)
+    v0 = rep0["version"]
+    pre_swap_dir = O.resolve_current_fts_index(spark, root)
+
+    shutil.copy(f"{SF2}/documents.parquet", f"{corp}/documents.parquet")
+    rep1 = O.maybe_refresh_fts_index(spark, corp, root)
+    assert rep1["trigger"] == "content" and rep1["refreshed"] is True
+    assert rep1["version"] != v0
+    assert O.resolve_current_fts_index(spark, root).endswith(rep1["version"])
+    # hold-open: the superseded version dir still serves (gc keep=2)
+    assert os.path.exists(os.path.join(pre_swap_dir, "_FTS_OK"))
+    # and a THIRD corpus generation GCs the first
+    shutil.copy(f"{SF}/documents.parquet", f"{corp}/documents.parquet")
+    os.utime(f"{corp}/documents.parquet")  # new mtime -> new fingerprint
+    rep2 = O.maybe_refresh_fts_index(spark, corp, root)
+    assert rep2["refreshed"] is True
+    assert v0 in rep2["dropped"] or rep1["version"] in rep2["dropped"] or (
+        rep2["dropped"] == []
+    )
+
+
+def test_fts_layout_migration(spark, tmp_path):
+    import shutil
+
+    from wikid_spark.operators import fts as O
+
+    root = str(tmp_path / "fts_root")
+    rep0 = O.maybe_refresh_fts_index(spark, SF, root)
+    real_vid = rep0["version"]
+    fake_vid = "feedfacefeedface"
+    shutil.copytree(
+        f"{root}/versions/{real_vid}", f"{root}/versions/{fake_vid}"
+    )
+    S._fs_write_text(spark, f"{root}/CURRENT", fake_vid)
+    rep = O.maybe_refresh_fts_index(spark, SF, root)
+    assert rep["trigger"] == "layout_migration" and rep["refreshed"] is True
+    assert rep["version"] == real_vid

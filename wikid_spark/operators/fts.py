@@ -624,3 +624,131 @@ def ensure_fts_index(spark: SparkSession, sf_dir: str) -> str:
         ),
         _FTS_OK,
     )
+
+
+# ---------------------------------------------------------------------------
+# Versioned / pointer FTS layout (round 16): the lexical instance of
+# the generic versioned-root engine (`wikid_spark.versioned` — one
+# implementation of immutable content-keyed version dirs + the atomic
+# CURRENT pointer, lease-guarded publishers, heartbeat-cancelled
+# builds, hold-open GC; the ANN index is the other instance). The
+# content-keyed cache (`ensure_fts_index`) remains the in-process
+# serving slot; the versioned root is the OBJECT-STORE deployment
+# shape, where external serving processes resolve the pointer and a
+# refresh promotes with one atomic PUT.
+# ---------------------------------------------------------------------------
+
+# Bump together with every on-disk FTS layout change (F2 = the round-16
+# layout: termstats.ub_q6 + the topc/ impact prefix).
+_FTS_LAYOUT_GEN = "F2"
+
+
+def fts_index_version_id(sf_dir: str) -> str:
+    """Content-keyed version id: digest of (documents content
+    fingerprint, bucket count, layout generation). Identical corpus
+    bytes always map to one version dir, so racing publishers converge
+    (persist_fts_index is deterministic) and re-publishing an
+    unchanged corpus is a pointer no-op."""
+    import hashlib
+
+    from wikid_spark.catalog import corpus_fingerprint
+
+    fp = corpus_fingerprint(sf_dir, "documents")
+    return hashlib.md5(
+        f"{fp}|b{FTS_TERM_BUCKETS}|{_FTS_LAYOUT_GEN}".encode()
+    ).hexdigest()[:16]
+
+
+def publish_fts_index_version(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str,
+    writer_id: str | None = None,
+    lease_seconds: float | None = None,
+) -> dict:
+    """Build (if absent) the FTS version for the corpus's CURRENT bytes
+    and flip the pointer — the generic engine's publish contract
+    verbatim (idempotent, lease-guarded, heartbeat-cancelled,
+    provenance-stamped). Returns {version, dir, built, previous}."""
+    from wikid_spark.catalog import corpus_fingerprint
+    from wikid_spark.catalog import table as _table
+    from wikid_spark.versioned import publish_version
+
+    return publish_version(
+        spark,
+        root,
+        fts_index_version_id(sf_dir),
+        lambda vdir: persist_fts_index(
+            _table(spark, sf_dir, "documents"), "doc_id", "text", vdir
+        ),
+        _FTS_OK,
+        {
+            "fingerprint": corpus_fingerprint(sf_dir, "documents"),
+            "layout": _FTS_LAYOUT_GEN,
+        },
+        writer_id=writer_id,
+        lease_seconds=lease_seconds,
+    )
+
+
+def resolve_current_fts_index(spark: SparkSession, root: str) -> str:
+    from wikid_spark.versioned import resolve_current
+
+    return resolve_current(spark, root, _FTS_OK)
+
+
+def maybe_refresh_fts_index(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str,
+    keep: int = 2,
+    writer_id: str | None = None,
+    lease_seconds: float | None = None,
+) -> dict:
+    """The FTS drift ladder — `maybe_refresh_index`'s shape with the
+    lexical index's (simpler) signals, cheapest first: no committed
+    CURRENT → bootstrap; corpus bytes unchanged (content-keyed vid, a
+    stat walk) → free no-op; provenance missing / older layout / same
+    fingerprint under a changed vid format → forced layout migration;
+    otherwise the corpus CONTENT changed → republish. Unlike the ANN
+    ladder there is no drift threshold: postings are exact derived
+    state, so any content change invalidates them (incremental
+    freshness between refreshes is the EVOLVING streaming index's job,
+    `streaming.fts_ingest`). Promotion is lease-guarded and versions
+    are content-keyed, so racing triggers converge. Returns the report
+    plus ``trigger`` ∈ {bootstrap, current, layout_migration,
+    content}."""
+    from wikid_spark.catalog import corpus_fingerprint
+    from wikid_spark.fsutil import _fs_exists
+    from wikid_spark.versioned import (
+        gc_versions,
+        read_current_version,
+        read_provenance,
+    )
+
+    kw = dict(writer_id=writer_id, lease_seconds=lease_seconds)
+    current_vid = read_current_version(spark, root)
+    vid_now = fts_index_version_id(sf_dir)
+    if current_vid is None or not _fs_exists(
+        spark, f"{root}/versions/{current_vid}/{_FTS_OK}"
+    ):
+        rep = publish_fts_index_version(spark, sf_dir, root, **kw)
+        rep["trigger"] = "bootstrap"
+    elif vid_now == current_vid:
+        return {"refreshed": False, "version": current_vid, "trigger": "current"}
+    else:
+        prov = read_provenance(spark, f"{root}/versions/{current_vid}")
+        rep = publish_fts_index_version(spark, sf_dir, root, **kw)
+        rep["trigger"] = (
+            "layout_migration"
+            if (
+                prov is None
+                or prov.get("layout") != _FTS_LAYOUT_GEN
+                or prov.get("fingerprint")
+                == corpus_fingerprint(sf_dir, "documents")
+            )
+            else "content"
+        )
+    rep["refreshed"] = True
+    rep["dropped"] = gc_versions(spark, root, keep, _FTS_OK)
+    return rep

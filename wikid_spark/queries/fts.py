@@ -1438,3 +1438,50 @@ def fts_bm25_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc", F.round("score", 4).alias("score"))
         .orderBy(F.desc("score"), "doc")
     )
+
+
+@query(
+    "fts_serve_versioned",
+    oracle=_BM25_TOPK_ORACLE,
+    tags=("fts", "bm25", "versioned", "serving"),
+)
+def fts_serve_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served through the VERSIONED pointer layout (round 16): the
+    FTS instance of the generic versioned-root engine
+    (`wikid_spark.versioned` — the ANN index's round-14 promotion
+    contract, extracted and shared verbatim). The serve runs the real
+    production sequence: `maybe_refresh_fts_index` (bootstrap on first
+    touch, a stat-walk no-op when the corpus bytes are unchanged,
+    lease-guarded republish when they aren't), `resolve_current_fts_index`
+    through the atomic CURRENT pointer, then the bucket-pruned persisted
+    read. Results are identical to `fts_bm25_topk` — same certifying
+    oracle text — so one hash-green row covers the publish, pointer
+    resolution, and the serve.
+
+    Scale: promotion is one single-object PUT (object-store atomic);
+    an unchanged corpus pays a directory stat per serve, never a
+    rebuild; superseded versions stay alive for in-flight serves
+    (hold-open GC, keep=2)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from wikid_spark.operators.fts import (
+        bm25_persisted,
+        maybe_refresh_fts_index,
+        resolve_current_fts_index,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "wikid_fts_versioned",
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16],
+    )
+    maybe_refresh_fts_index(spark, sf_dir, root)
+    index_dir = resolve_current_fts_index(spark, root)
+    ranked = bm25_persisted(spark, index_dir, SEARCH_TERMS)
+    return (
+        ranked.select("doc", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), "doc")
+        .limit(20)
+    )

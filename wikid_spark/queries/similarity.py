@@ -4225,37 +4225,19 @@ ANN_CELL_PUSHDOWN_MAX_IDS = 10_000
 _INDEX_OK = "_INDEX_OK"
 
 
-def _fs_and_path(spark: SparkSession, path: str):
-    """(Hadoop FileSystem, Path) for any supported URI — the commit
-    marker and spec must land on the SAME filesystem as the parquet
-    artifacts (ADVICE r11: driver-local open() half-commits a build on
-    s3a://, hdfs://, … — exactly the 100 TB deployment target)."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
-
-
-def _fs_write_text(spark: SparkSession, path: str, text: str = "") -> None:
-    fs, jpath = _fs_and_path(spark, path)
-    out = fs.create(jpath, True)
-    try:
-        if text:
-            out.write(bytearray(text.encode("utf-8")))
-    finally:
-        out.close()
-
-
-def _fs_read_text(spark: SparkSession, path: str) -> str:
-    fs, jpath = _fs_and_path(spark, path)
-    stream = fs.open(jpath)
-    try:
-        # py4j copies bytearray args, so Java readFully can't fill a
-        # Python buffer — drain the stream JVM-side instead.
-        return spark._jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        )
-    finally:
-        stream.close()
+# Hadoop-FS helpers moved to fsutil (round 16) so the generic
+# versioned-root engine shares them without a queries-package import
+# cycle; re-imported here because ~50 call sites (and two modules
+# importing from this namespace) predate the move.
+from wikid_spark.fsutil import (  # noqa: E402
+    _fs_and_path,
+    _fs_delete,
+    _fs_exists,
+    _fs_list_names,
+    _fs_read_text,
+    _fs_rename,
+    _fs_write_text,
+)
 
 
 def persist_ann_index(
@@ -4609,23 +4591,6 @@ def _ensure_persisted_index(
 REFRESH_DISTORTION_RATIO = 1.25
 
 
-def _fs_exists(spark: SparkSession, path: str) -> bool:
-    fs, p = _fs_and_path(spark, path)
-    return fs.exists(p)
-
-
-def _fs_rename(spark: SparkSession, src: str, dst: str) -> None:
-    fs, s = _fs_and_path(spark, src)
-    _, d = _fs_and_path(spark, dst)
-    if not fs.rename(s, d):
-        raise OSError(f"rename failed: {src!r} -> {dst!r}")
-
-
-def _fs_delete(spark: SparkSession, path: str) -> None:
-    fs, p = _fs_and_path(spark, path)
-    fs.delete(p, True)
-
-
 def _drop_index_handles(index_dir: str) -> None:
     """Invalidate session-cached hold-open handles for index_dir: their
     DataFrames pin the pre-swap file listing, which the swap deletes."""
@@ -4831,13 +4796,6 @@ def refresh_ann_index(
 _CURRENT_PTR = "CURRENT"
 
 
-def _fs_list_names(spark: SparkSession, path: str) -> list[str]:
-    fs, p = _fs_and_path(spark, path)
-    if not fs.exists(p):
-        return []
-    return sorted(st.getPath().getName() for st in fs.listStatus(p))
-
-
 def index_version_id(sf_dir: str, spec: PQSpec) -> str:
     """Content-keyed version id: digest of (corpus content fingerprint,
     spec). Identical corpus bytes + spec always map to one version
@@ -4866,57 +4824,22 @@ _INDEX_LAYOUT_GEN = "L4"
 
 
 def read_current_version(spark: SparkSession, root: str) -> str | None:
-    if not _fs_exists(spark, f"{root}/{_CURRENT_PTR}"):
-        return None
-    vid = _fs_read_text(spark, f"{root}/{_CURRENT_PTR}").strip()
-    return vid or None
+    from wikid_spark.versioned import read_current_version as _rcv
+
+    return _rcv(spark, root)
 
 
 def resolve_current_index(spark: SparkSession, root: str) -> str:
-    """The live version dir the pointer names. Retries briefly: on
-    filesystems where the overwrite is create+truncate (local/HDFS)
-    a reader can catch the pointer mid-write; on object stores the
-    PUT is atomic and the first read wins."""
-    import time as _time
+    """The live version dir the pointer names (generic engine:
+    `wikid_spark.versioned.resolve_current` — see its retry note)."""
+    from wikid_spark.versioned import resolve_current
 
-    for _ in range(3):
-        vid = read_current_version(spark, root)
-        if vid:
-            vdir = f"{root}/versions/{vid}"
-            if _fs_exists(spark, f"{vdir}/{_INDEX_OK}"):
-                return vdir
-        _time.sleep(0.05)
-    raise FileNotFoundError(
-        f"no committed CURRENT index under {root!r} — publish one with "
-        "publish_index_version()"
-    )
+    return resolve_current(spark, root, _INDEX_OK)
 
 
-import contextlib as _contextlib
-
-
-@_contextlib.contextmanager
-def _build_job_group(spark: SparkSession, writer_id: str):
-    """Scope the calling thread's Spark jobs to a cancellable group and
-    yield the canceller — `_lease_heartbeat`'s ``on_lost`` hook, so a
-    builder that loses its lease stops its in-flight writes (ADVICE
-    r15) rather than interleaving them into a successor's build. Uses
-    the local property directly (thread-scoped, like setJobGroup) and
-    restores it on exit so unrelated jobs on this thread aren't swept
-    into a later cancellation. The group name is unique PER ENTRY
-    (uuid suffix), not per writer_id: a stable writer_id across
-    successive builds would let a stale heartbeat thread's late
-    on_lost() cancel the NEXT build's jobs (round-16 review)."""
-    import uuid as _uuid
-
-    sc = spark.sparkContext
-    group = f"wikid-lease-build-{writer_id}-{_uuid.uuid4().hex[:8]}"
-    prev = sc.getLocalProperty("spark.jobGroup.id")
-    sc.setLocalProperty("spark.jobGroup.id", group)
-    try:
-        yield lambda: sc.cancelJobGroup(group)
-    finally:
-        sc.setLocalProperty("spark.jobGroup.id", prev)
+# Job-group cancel scope moved to the generic engine (round 16); the
+# rename-pair refresh above still uses it under this name.
+from wikid_spark.versioned import build_job_group as _build_job_group  # noqa: E402
 
 
 def publish_index_version(
@@ -4928,116 +4851,43 @@ def publish_index_version(
     lease_seconds: float | None = None,
 ) -> dict:
     """Build (if absent) the version for the corpus's CURRENT bytes and
-    flip the pointer to it. Idempotent at every step: a crashed
-    publisher leaves either an uncommitted partial (deleted and
-    rebuilt here — never GC'd blindly, see gc_index_versions) or a
-    committed-but-unpointed version (reused; only the pointer write
-    re-runs). Returns {version, dir, built, previous}.
-
-    Serialized under the same ``<root>/.refresh_lock`` single-writer
-    lease the versioned refresh holds (ADVICE r14): without it, two
-    concurrent publishers of one corpus both see the missing
-    ``_INDEX_OK``, one deletes the other's IN-PROGRESS partial (the
-    stale-partial delete below cannot tell ownership from storage),
-    and two interleaved overwrite-writes into one version dir can
-    commit a union of part files under a valid marker. Inside the
-    lease the delete really is a crashed publisher's leftover. Callers
-    that already hold the lease (``refresh_ann_index_versioned``) pass
-    their ``writer_id`` AND their ``lease_seconds`` — the acquire is
-    then a heartbeat renew, not a second lock, and the renew is sized
-    to the caller's cadence (ADVICE r15: a nested renew with the 300 s
-    default silently SHORTENED a longer caller lease, which could then
-    expire between publish returning and the caller's next renewal)."""
-    import uuid
-
-    from wikid_spark.streaming.ingest import (
-        DEFAULT_LEASE_SECONDS,
-        _acquire_or_renew_lease,
-        _lease_heartbeat,
-        _release_lease,
-    )
+    flip the pointer to it — the ANN instance of the generic
+    versioned-root engine (`wikid_spark.versioned.publish_version`,
+    which carries the idempotency / lease / heartbeat-cancel /
+    provenance contract; extracted round 16 so the FTS index shares it
+    verbatim). Callers that already hold the root's lease
+    (`refresh_ann_index_versioned`) pass their ``writer_id`` AND their
+    ``lease_seconds`` — the acquire is then a heartbeat renew sized to
+    the caller's cadence, not a second lock (ADVICE r14/r15). Returns
+    {version, dir, built, previous}."""
+    from wikid_spark.catalog import corpus_fingerprint
+    from wikid_spark.versioned import publish_version
 
     if spec is None:
         spec = pq_spec_for(corpus_rows(sf_dir, "embeddings"))
-    lease_s = DEFAULT_LEASE_SECONDS if lease_seconds is None else lease_seconds
-    vid = index_version_id(sf_dir, spec)
-    vdir = f"{root}/versions/{vid}"
-    lock_dir = root + "/.refresh_lock"
-    own_lease = writer_id is None
-    writer_id = writer_id or f"publish-{uuid.uuid4().hex[:12]}"
-    _acquire_or_renew_lease(lock_dir, writer_id, lease_s)
-    try:
-        built = False
-        if not _fs_exists(spark, f"{vdir}/{_INDEX_OK}"):
-            _fs_delete(spark, vdir)  # lease-held: provably a crashed partial
-            # The build is minutes at real scale — far past the lease
-            # expiry; heartbeat it alive or a second publisher could
-            # legally take over mid-build and interleave (the gap the
-            # round-15 review caught in the original lease fix).
-            with _build_job_group(spark, writer_id) as cancel:
-                with _lease_heartbeat(
-                    lock_dir, writer_id, lease_s, on_lost=cancel
-                ):
-                    persist_ann_index(spark, sf_dir, vdir, spec)
-            built = True
-        if not _fs_exists(spark, f"{vdir}/version.json"):
-            # Provenance (round 16): the corpus fingerprint + layout
-            # generation this version was built from, so
-            # maybe_refresh_index can tell a layout-only pointer
-            # mismatch from real corpus drift. Written idempotently
-            # AFTER the commit check — a crash between _INDEX_OK and
-            # this write heals on the next publish instead of looping
-            # the migration trigger.
-            import json as _json
-
-            from wikid_spark.catalog import corpus_fingerprint
-
-            _fs_write_text(
-                spark,
-                f"{vdir}/version.json",
-                _json.dumps(
-                    {
-                        "fingerprint": corpus_fingerprint(sf_dir, "embeddings"),
-                        "layout": _INDEX_LAYOUT_GEN,
-                    }
-                ),
-            )
-        prev = read_current_version(spark, root)
-        if prev != vid:
-            _fs_write_text(spark, f"{root}/{_CURRENT_PTR}", vid)
-        return {"version": vid, "dir": vdir, "built": built, "previous": prev}
-    finally:
-        if own_lease:
-            _release_lease(lock_dir, writer_id)
+    return publish_version(
+        spark,
+        root,
+        index_version_id(sf_dir, spec),
+        lambda vdir: persist_ann_index(spark, sf_dir, vdir, spec),
+        _INDEX_OK,
+        {
+            "fingerprint": corpus_fingerprint(sf_dir, "embeddings"),
+            "layout": _INDEX_LAYOUT_GEN,
+        },
+        writer_id=writer_id,
+        lease_seconds=lease_seconds,
+    )
 
 
 def gc_index_versions(spark: SparkSession, root: str, keep: int = 2) -> list[str]:
-    """Delete committed versions beyond the ``keep`` most recently
-    committed (the CURRENT version is always retained regardless).
-    ``keep >= 2`` leaves the previously-current version alive for
-    in-flight serves that resolved the pointer before the last flip.
-    UNCOMMITTED dirs are left alone — one may be another publisher's
-    in-progress build; the publisher that owns a partial deletes it
-    itself on retry. Returns the deleted version ids."""
-    current = read_current_version(spark, root)
-    fs, _ = _fs_and_path(spark, root)
-    committed: list[tuple[int, str]] = []
-    for name in _fs_list_names(spark, f"{root}/versions"):
-        ok = f"{root}/versions/{name}/{_INDEX_OK}"
-        if not _fs_exists(spark, ok):
-            continue
-        _, okp = _fs_and_path(spark, ok)
-        committed.append((fs.getFileStatus(okp).getModificationTime(), name))
-    committed.sort(reverse=True)  # newest commit first
-    keep_ids = {name for _, name in committed[: max(keep, 1)]}
-    if current:
-        keep_ids.add(current)
-    dropped = []
-    for _, name in committed:
-        if name not in keep_ids:
-            _fs_delete(spark, f"{root}/versions/{name}")
-            dropped.append(name)
-    return dropped
+    """Hold-open GC of superseded ANN versions — generic engine
+    (`wikid_spark.versioned.gc_versions`): keeps the ``keep`` most
+    recently committed versions plus CURRENT, never touches
+    uncommitted dirs. Returns the deleted version ids."""
+    from wikid_spark.versioned import gc_versions
+
+    return gc_versions(spark, root, keep, _INDEX_OK)
 
 
 def refresh_ann_index_versioned(
@@ -5203,13 +5053,10 @@ def maybe_refresh_index(
     # forever, which would pin the pointer on a version missing the
     # components current readers expect AND pay a full corpus encode
     # per call doing it (round-16 review).
-    import json as _json
-
     from wikid_spark.catalog import corpus_fingerprint
+    from wikid_spark.versioned import read_provenance
 
-    prov = None
-    if _fs_exists(spark, f"{cdir}/version.json"):
-        prov = _json.loads(_fs_read_text(spark, f"{cdir}/version.json"))
+    prov = read_provenance(spark, cdir)
     if (
         prov is None
         or prov.get("layout") != _INDEX_LAYOUT_GEN

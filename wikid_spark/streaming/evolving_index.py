@@ -48,6 +48,24 @@ SignFn = Callable[[DataFrame, str], dict]
 ProbeFn = Callable[[SparkSession, DataFrame, str, "int | None"], DataFrame]
 
 
+_SIDECAR = "_part_schema.json"
+
+
+def _write_schema_sidecar(df: DataFrame, part_batch_dir: str) -> None:
+    """Record the component's data schema next to its files. A
+    DEGENERATE write — an empty corpus under partitionBy emits ZERO
+    data files — leaves nothing for read-time inference; the sidecar
+    lets `read_part` recover the schema without the caller hand-
+    maintaining one per component (round 16: the vector index's
+    ``cells`` dtype follows the corpus embedding type, so no single
+    literal schema string can be correct for every corpus)."""
+    from wikid_spark.fsutil import _fs_write_text
+
+    _fs_write_text(
+        df.sparkSession, f"{part_batch_dir}/{_SIDECAR}", df.schema.json()
+    )
+
+
 def write_part(
     df: DataFrame,
     index_dir: str,
@@ -60,7 +78,9 @@ def write_part(
     w = df.write.mode("overwrite")
     if partition_cols:
         w = w.partitionBy(*partition_cols)
-    w.parquet(f"{index_dir}/{part}/batch_id={batch_id}")
+    out = f"{index_dir}/{part}/batch_id={batch_id}"
+    w.parquet(out)
+    _write_schema_sidecar(df, out)
 
 
 def read_part(
@@ -76,14 +96,42 @@ def read_part(
     ``schema`` (must include ``batch_id int``) lets a DEGENERATE
     component — an empty corpus partitionBy-writes zero data files —
     load where inference would fail (the persist_ann_index explicit-
-    schema lesson)."""
+    schema lesson); without it, the write-time schema sidecar serves
+    the same purpose for dtype-variable components."""
     reader = spark.read.option("basePath", f"{index_dir}/{part}")
-    if schema is not None:
+    if schema is None:
+        sidecar = _read_schema_sidecar(spark, index_dir, part)
+        if sidecar is not None:
+            reader = reader.schema(sidecar)
+    else:
         reader = reader.schema(schema)
     df = reader.parquet(f"{index_dir}/{part}/batch_id=*")
     if as_of_batch is not None:
         df = df.filter(F.col("batch_id") < as_of_batch)
     return df.drop("batch_id")
+
+
+def _read_schema_sidecar(spark: SparkSession, index_dir: str, part: str):
+    """StructType (+ the batch_id partition col) from any batch dir's
+    sidecar, or None when no sidecar exists (pre-round-16 trees:
+    inference proceeds as before)."""
+    import json
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from wikid_spark.fsutil import _fs_list_names, _fs_read_text
+
+    base = f"{index_dir}/{part}"
+    for name in _fs_list_names(spark, base):
+        if not name.startswith("batch_id="):
+            continue
+        path = f"{base}/{name}/{_SIDECAR}"
+        try:
+            st = StructType.fromJson(json.loads(_fs_read_text(spark, path)))
+        except Exception:
+            continue
+        return st.add(StructField("batch_id", IntegerType()))
+    return None
 
 
 def persist_index(sign: SignFn, corpus: DataFrame, index_dir: str) -> None:
@@ -219,6 +267,7 @@ def compact_index_parts(
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(f"{tmp}/batch_id={BASE_BATCH_ID}")
+        _write_schema_sidecar(folded, f"{tmp}/batch_id={BASE_BATCH_ID}")
         os.rename(live, old)
         os.rename(tmp, live)
         shutil.rmtree(old, ignore_errors=True)
