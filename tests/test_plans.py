@@ -405,9 +405,27 @@ def test_hybrid_multi_is_join_shaped_not_cartesian(spark):
     plan = _plan(spark, "fts_hybrid_rrf_multi")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
-    assert "BroadcastHashJoin" in plan
     assert "c_q6" in plan  # fixed-point quantization feeds the kernel
     assert "MapInPandas" in plan  # exact-int64 matmul scorer
+    # The WAND-pruned path (round 16) eagerly checkpoints tfc — the
+    # floor seeding reads it twice — so the serving plan starts from
+    # the checkpoint RDD and the upstream joins run at BUILD time.
+    # The broadcast-join-shape claim is therefore pinned on the
+    # UNPRUNED construction, where the full lineage is visible; the
+    # pruned twin is value-identical by the shared oracle.
+    import contextlib
+    import io
+
+    from wikid_spark.queries.fts import _multi_anchor_bm
+
+    bm = _multi_anchor_bm(spark, SF, persisted=False, prune=False)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bm.explain("formatted")
+    uplan = buf.getvalue()
+    assert "BroadcastHashJoin" in uplan
+    assert "CartesianProduct" not in uplan
+    assert "SortMergeJoin" not in uplan
 
 
 def test_hard_neg_ann_probe_is_broadcast_join(spark):
