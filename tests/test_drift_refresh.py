@@ -166,3 +166,76 @@ def test_hook_reports_contention_instead_of_failing_batch(spark, tmp_path):
     hooked(spark.range(1), 0)  # must NOT raise
     assert reports and reports[0][1]["trigger"] == "contended"
     assert reports[0][1]["refreshed"] is False
+
+
+def test_composed_two_engine_hook(spark, tmp_path):
+    """Round 16: one foreachBatch hook chain refreshing BOTH serving
+    engines — the ANN ladder on a growing embeddings table and the FTS
+    ladder on a changing documents table — by composing
+    drift_refresh_writer twice. Each ladder fires its own trigger and
+    flips its own pointer; serves from both resolved dirs equal fresh
+    batch builds."""
+    import shutil
+
+    from wikid_spark.operators import fts as O
+
+    corp = _mk_corpus(spark, tmp_path, 110)
+    shutil.copy(f"{SF}/documents.parquet", f"{corp}/documents.parquet")
+    ann_root = str(tmp_path / "ann_root")
+    fts_root = str(tmp_path / "fts_root")
+
+    reports: dict[str, list] = {"ann": [], "fts": []}
+    base = lambda b, bid: None  # noqa: E731 - appends happen outside
+    hooked = S.drift_refresh_writer(
+        S.drift_refresh_writer(
+            base, spark, corp, ann_root,
+            on_report=lambda bid, rep: reports["ann"].append(rep),
+        ),
+        spark, corp, fts_root,
+        refresh_fn=O.maybe_refresh_fts_index,
+        on_report=lambda bid, rep: reports["fts"].append(rep),
+    )
+
+    hooked(spark.range(1), 0)  # batch 0: both bootstrap
+    assert [r["trigger"] for r in reports["ann"]] == ["bootstrap"]
+    assert [r["trigger"] for r in reports["fts"]] == ["bootstrap"]
+
+    hooked(spark.range(1), 1)  # nothing changed: both no-op
+    assert reports["ann"][-1]["trigger"] == "current"
+    assert reports["fts"][-1]["trigger"] == "current"
+
+    # grow embeddings past a K boundary AND swap the documents bytes
+    _grow(spark, corp, 110, 145)
+    shutil.copy("/root/testdata/sf0.01/documents.parquet",
+                f"{corp}/documents.parquet")
+    hooked(spark.range(1), 2)
+    assert reports["ann"][-1]["trigger"] == "k_boundary"
+    assert reports["fts"][-1]["trigger"] == "content"
+
+    # both pointers serve the refreshed generations
+    vdir = S.resolve_current_index(spark, ann_root)
+    cents = spark.read.parquet(f"{vdir}/centroids")
+    assert cents.count() == S.derived_k(145) == 13
+    fdir = O.resolve_current_fts_index(spark, fts_root)
+    from wikid_spark.catalog import table
+
+    got = sorted(
+        map(
+            tuple,
+            O.bm25_persisted(spark, fdir, ["spark", "vector"])
+            .select("doc", S.F.round("score", 4).alias("s"))
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            O.bm25_from_docs(
+                table(spark, corp, "documents"), "doc_id", "text",
+                ["spark", "vector"],
+            )
+            .select("doc", S.F.round("score", 4).alias("s"))
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0

@@ -5079,18 +5079,25 @@ def drift_refresh_writer(
     root: str,
     every: int = 1,
     on_report=None,
+    refresh_fn=None,
     **kw,
 ):
     """Wrap a foreachBatch callable with the drift-refresh hook: after
-    each micro-batch (every ``every``-th), `maybe_refresh_index` runs
-    the cheap-first signal ladder and lease-promotes when a trigger
-    fires — the production shape VERDICT r15 #3 names, where ingest
-    grows the corpus and the serving index follows it without an
-    external scheduler. The hook runs AFTER the wrapped writer so a
-    batch's own appends are visible to its refresh decision, and
-    between micro-batches from Structured Streaming's view (foreachBatch
-    is the batch boundary). ``on_report`` (if given) receives
-    ``(batch_id, report)`` for observability."""
+    each micro-batch (every ``every``-th), the refresh ladder runs the
+    cheap-first signals and lease-promotes when a trigger fires — the
+    production shape VERDICT r15 #3 names, where ingest grows the
+    corpus and the serving index follows it without an external
+    scheduler. ``refresh_fn(spark, sf_dir, root, **kw)`` defaults to
+    the ANN ladder (`maybe_refresh_index`); pass
+    `operators.fts.maybe_refresh_fts_index` for the lexical index —
+    and because the wrapper composes, one stream can hook BOTH engines
+    by wrapping twice (round 16). The hook runs AFTER the wrapped
+    writer so a batch's own appends are visible to its refresh
+    decision, and between micro-batches from Structured Streaming's
+    view (foreachBatch is the batch boundary). ``on_report`` (if
+    given) receives ``(batch_id, report)`` for observability."""
+    if refresh_fn is None:
+        refresh_fn = maybe_refresh_index
 
     def _writer(batch: DataFrame, batch_id: int) -> None:
         from wikid_spark.streaming.ingest import ConcurrentWriterError
@@ -5098,7 +5105,7 @@ def drift_refresh_writer(
         writer(batch, batch_id)
         if batch_id % max(every, 1) == 0:
             try:
-                rep = maybe_refresh_index(spark, sf_dir, root, **kw)
+                rep = refresh_fn(spark, sf_dir, root, **kw)
             except ConcurrentWriterError as ex:
                 # Another holder is mid-refresh on this root. The
                 # trigger will converge on the same content-keyed
