@@ -4325,11 +4325,17 @@ def persist_ann_index(
     # attribute-column discipline the in-plan miner's docstring
     # promises ("at 100 TB the label simply lives in the persisted
     # index").
+    # Corpora without a label column (streaming ingests, drift-refresh
+    # rebuilds over bare (vec_id, embedding) parquet) still get the L4
+    # layout: a typed NULL keeps mindex's pinned read schema stable.
+    label_col = (
+        F.col("label") if "label" in emb.columns else F.lit(None).cast("int")
+    )
     mindex = _assign_blas(
         emb.select(
             "vec_id",
             "embedding",
-            "label",
+            label_col.alias("label"),
             quantize_embedding(F.col("embedding")).alias("qemb"),
         ),
         cents,
