@@ -45,6 +45,62 @@ def quantize_embedding(emb_col):
     )
 
 
+_BUCKET_KERNELS: dict = {}
+
+
+def _bucket_all_kernel(n_tables: int):
+    """Vectorized twin of `_bucket_expr_t` for CORPUS-side bucket
+    passes (round-16, guide §4.2): all ``n_tables`` × {N_PLANES}-plane
+    hyperplane tests evaluate as ONE integer matmul per Arrow batch —
+    X(rows × dims) @ W(dims × tables·planes), sign → bits → bucket ids
+    — instead of tables·planes interpreted HOF aggregates per row
+    (HOFs are not codegen'd; measured ~2× the whole bucket pass at
+    sf0.1, and the gap grows with rows). Quantization happens inside
+    the kernel (float32 → float64 is exact, ×1000.0 and floor are the
+    same correctly-rounded IEEE ops the JVM HOF applies), weights
+    w(p,d,t) = ((17p + (31+t)d) mod 7) − 3 are exact small integers,
+    and |dot| ≪ 2^53, so the float64 matmul reproduces the JVM's LONG
+    arithmetic bit-for-bit (pinned by test + the LSH oracles).
+    Sample-side (≤40-row) bucket expressions stay on the HOF path —
+    a Python pass is not worth 40 rows.
+
+    Returns a pandas UDF mapping the raw ``embedding`` column to the
+    array<long> of per-table bucket ids (table index = array index,
+    matching the `_bucket_expr_t` loop order)."""
+    cached = _BUCKET_KERNELS.get(n_tables)
+    if cached is not None:
+        return cached
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    W = np.zeros((EMBED_DIMS, n_tables * N_PLANES), dtype=np.float64)
+    for t in range(n_tables):
+        for p in range(N_PLANES):
+            for d in range(EMBED_DIMS):
+                W[d, t * N_PLANES + p] = ((17 * p + (31 + t) * d) % 7) - 3
+    pows = np.array([2**p for p in range(N_PLANES)], dtype=np.int64)
+    nt = n_tables
+
+    def bucket_all(emb):
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        X = np.floor(np.array(emb.tolist(), dtype=np.float64) * 1000.0)
+        D = X @ W  # exact integers in float64
+        bits = (D >= 0).astype(np.int64).reshape(len(X), nt, N_PLANES)
+        return pd.Series(list((bits * pows[None, None, :]).sum(axis=2)))
+
+    # Annotate with the REAL pandas objects (not strings): the module's
+    # `from __future__ import annotations` stringifies inline hints,
+    # and `pd` lives only in this factory's scope, so pandas_udf's
+    # eval-type inference could not resolve them.
+    bucket_all.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    bucket_all = F.pandas_udf(ArrayType(LongType()))(bucket_all)
+
+    _BUCKET_KERNELS[n_tables] = bucket_all
+    return bucket_all
+
+
 def _bucket_expr(qemb_col):
     """LSH bucket id over a QUANTIZED embedding column: for each
     hyperplane p, bit_p = [Σ_d qemb[d]·w(p,d) >= 0] — all-integer.
@@ -134,9 +190,9 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic — no explode, no UDF; one pass over the table."""
     emb = table(spark, sf_dir, "embeddings")
     return (
-        emb.withColumn("qemb", quantize_embedding(F.col("embedding")))
-        .select(
-            "vec_id", _bucket_expr(F.col("qemb")).cast("long").alias("bucket")
+        emb.select(
+            "vec_id",
+            _bucket_all_kernel(1)(F.col("embedding"))[0].alias("bucket"),
         )
         .orderBy("vec_id")
     )
@@ -171,8 +227,13 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     then exact cosine re-rank of the candidates. The bucket equi-join is
     the scale win — shuffle on bucket id instead of an n² cross join."""
     emb = table(spark, sf_dir, "embeddings")
-    bucketed = emb.withColumn("qemb", quantize_embedding(F.col("embedding"))).select(
-        "vec_id", "embedding", _bucket_expr(F.col("qemb")).cast("long").alias("bucket")
+    # Corpus-side buckets via the vectorized kernel (round-16, guide
+    # §4.2); the 40-row query side below keeps the HOF expression —
+    # identical integers either way (kernel docstring).
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        _bucket_all_kernel(1)(F.col("embedding"))[0].alias("bucket"),
     )
     # Query side: FILTER the scan before bucketing, so the (broadcast)
     # side computes bucket ids for the 1/50 sample only — not a second
@@ -497,18 +558,22 @@ def sim_ivf_derived_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so per-query probe work stays ~2·sqrt(n)."""
     emb = table(spark, sf_dir, "embeddings")
     k = derived_k(corpus_rows(sf_dir, "embeddings"))
-    a2 = _assignments_multi(emb, k, top_m=2)
-    q = (
-        a2.filter(
-            (F.col("cent_rank") == 1)
-            & (F.col("vec_id") % 50 == 0)
-            & (F.col("vec_id") < 2000)
-        )
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-            F.col("cent_id").alias("qcell"),
-        )
+    qemb = emb.select(
+        "vec_id", "embedding", quantize_embedding(F.col("embedding")).alias("qemb")
+    )
+    cents = _centroids(emb, k)
+    a2 = _assign_blas(qemb, cents, top_m=2).select(
+        "vec_id", "embedding", "cent_id", "cent_rank"
+    )
+    # Query cells via the JVM sample kernel (round-16, guide §2.4):
+    # filtering ``a2`` for the sample's rank-1 rows re-executed the
+    # corpus-wide Python assignment in the broadcast branch; the
+    # 40-row argmin against the same seed centroids is the same cell
+    # by construction and leaves ``a2`` with a single consumer.
+    q = _probe_ranks(_sample_filter(qemb), cents, k=k).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cent_id").alias("qcell"),
     )
     cands = (
         a2.join(F.broadcast(q), F.col("cent_id") == F.col("qcell"))
@@ -985,10 +1050,16 @@ def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets_arr = F.array(
         *[_bucket_expr_t(F.col("qemb"), t).cast("long") for t in range(N_TABLES)]
     )
-    bucketed = (
-        emb.withColumn("qemb", qemb)
-        .withColumn("_bkts", buckets_arr)
-        .select("vec_id", "embedding", F.posexplode("_bkts").alias("t", "bucket"))
+    # Corpus-side buckets via the vectorized kernel (round-16, guide
+    # §4.2): all {N_TABLES}×{N_PLANES} hyperplane tests in one integer
+    # matmul per batch; the 40-row query side keeps the HOF array —
+    # identical integers either way (kernel docstring).
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(_bucket_all_kernel(N_TABLES)(F.col("embedding"))).alias(
+            "t", "bucket"
+        ),
     )
     # Same query-side pruning as sim_lsh_ann_topk: bucket the 1/50
     # sample directly instead of re-running the corpus bucket pass on
@@ -1243,9 +1314,12 @@ def sim_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _assign_blas(vecs, refined).select(
         "vec_id", "embedding", "cent_id"
     )
-    q = assigned.filter(
-        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)
-    ).select(
+    # Query cells via the JVM sample kernel instead of filtering
+    # ``assigned`` (round-16, guide §2.4): the broadcast q branch
+    # re-executed the corpus-wide Python assignment per serve; the
+    # 40-row argmin against the same refined centroids is identical
+    # by construction and leaves ``assigned`` with a single consumer.
+    q = _probe_ranks(_sample_filter(vecs), refined).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("cent_id").alias("qcell"),
@@ -1356,6 +1430,60 @@ def _assign_blas(
         v.groupBy("pk")
         .cogroup(c.groupBy("pk"))
         .applyInPandas(assign, out_schema)
+    )
+
+
+# JVM probe assignment is exact for any K; the routing threshold only
+# bounds the interpreted-HOF cost of a probe (|sample|·K·dims lambda
+# evals) before the cogrouped BLAS kernel amortizes better. K = ⌈√n⌉
+# crosses it near n ≈ 1.7e7 vectors — past the point SCALE.md moves
+# serving to the persisted partition-pruned index anyway.
+_PROBE_JVM_MAX_K = 4096
+
+
+def _probe_ranks(
+    sample: DataFrame, cents: DataFrame, top_m: int = 1, k: int | None = None
+) -> DataFrame:
+    """Cell assignment for a SAMPLE-sized frame (the fixed ≤40-row
+    query budget): the same (dist, cent_id) argmin/argsort as
+    `_assign_blas`, evaluated as a pure JVM projection against the
+    ONE-ROW broadcast centroid array — no shuffle, no Python pass.
+
+    Round-16 optimization (guide §2.4/§4): every serving query used to
+    run the full cogrouped-pandas machinery (two exchanges + an Arrow
+    round-trip, ~0.6-0.9 s of fixed cost at sf0.1) to assign ≤40 probe
+    rows; several consumed the corpus-wide ``a2`` twice (probe side +
+    broadcast side), re-executing a corpus-scale Python pass per
+    serve. Probe-side work is now O(|sample|·K·dims) inside one
+    projection at ANY corpus size, and the corpus assignment has a
+    single consumer. Distances are exact integers in both kernels and
+    the tie-break is (dist, cent_id) in both, so outputs are
+    bit-identical (oracle-pinned per query).
+
+    ``k`` (when the caller has the derived K at hand) routes corpora
+    past `_PROBE_JVM_MAX_K` back to the BLAS kernel. Output schema
+    matches `_assign_blas`: every input column plus ``cent_id`` (and
+    ``cent_rank`` when ``top_m > 1``)."""
+    if k is not None and k > _PROBE_JVM_MAX_K:
+        return _assign_blas(sample, cents, top_m=top_m)
+    cols = sample.columns
+    scored = sample.crossJoin(F.broadcast(_cent_array(cents)))
+    if top_m == 1:
+        return scored.select(
+            *cols,
+            F.array_min(_cell_scores(F.col("qemb"), F.col("cs")))[
+                "cent_id"
+            ].alias("cent_id"),
+        )
+    ranked = F.slice(
+        F.array_sort(_cell_scores(F.col("qemb"), F.col("cs"))), 1, top_m
+    )
+    return scored.select(
+        *cols, F.posexplode(ranked).alias("_pos", "_s")
+    ).select(
+        *cols,
+        F.col("_s.cent_id").alias("cent_id"),
+        (F.col("_pos") + 1).cast("int").alias("cent_rank"),
     )
 
 
@@ -1713,21 +1841,17 @@ def _trained_probe_topk(qemb, cents, a2, nprobe: int) -> DataFrame:
     de-duplicated across probes when nprobe > 1 (a neighbor indexed
     in two cells can match two probes; sim is a deterministic double
     per pair, so DISTINCT is exact)."""
-    if nprobe == 1:
-        probes = a2.filter(F.col("cent_rank") == 1)
-        probes = _sample_filter(probes).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-            F.col("cent_id").alias("pcell"),
-        )
-    else:
-        probes = _assign_blas(
-            _sample_filter(qemb), cents, top_m=nprobe
-        ).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-            F.col("cent_id").alias("pcell"),
-        )
+    # Probe assignment runs as the JVM sample kernel (`_probe_ranks`)
+    # at every depth: the nprobe=1 branch used to re-read ``a2`` (a
+    # second corpus-wide Python assign per serve), deeper probes used
+    # to push 40 rows through the cogrouped kernel's exchanges. The
+    # nprobe=1 cell equals a2's cent_rank=1 row by construction (same
+    # centroids, same exact-integer argmin).
+    probes = _probe_ranks(_sample_filter(qemb), cents, top_m=nprobe).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cent_id").alias("pcell"),
+    )
     cands = (
         a2.join(F.broadcast(probes), F.col("cent_id") == F.col("pcell"))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1766,7 +1890,7 @@ def _trained_probe_topk_multi(
     and the nprobe=1 branch skips the cross-probe DISTINCT exactly as
     the single-depth plan does. Only the recall report calls this —
     the registered per-depth queries keep their own certified plans."""
-    probes = _assign_blas(
+    probes = _probe_ranks(
         _sample_filter(qemb), cents, top_m=max(nprobes)
     ).select(
         F.col("vec_id").alias("query_id"),
@@ -2824,8 +2948,8 @@ def _ivfpq_plan(
             quantize_embedding(F.col("embedding")).alias("qemb"),
         )
     )
-    probes = _assign_blas(
-        raw_sample.select("vec_id", "qemb"), cents, top_m=_IVFPQ_NPROBE
+    probes = _probe_ranks(
+        raw_sample.select("vec_id", "qemb"), cents, top_m=_IVFPQ_NPROBE, k=k
     ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("pcell"))
     dtab = _pq_dtab(
         raw_sample.select(
@@ -3792,7 +3916,7 @@ def _residual_serve(
     must target the un-checkpointed tail (an eager localCheckpoint
     removes everything upstream from the final executedPlan)."""
     if probes is None:
-        probes = _assign_blas(
+        probes = _probe_ranks(
             raw_sample.select("vec_id", "qemb"), cents, top_m=nprobe
         ).select(
             F.col("vec_id").alias("query_id"), F.col("cent_id").alias("pcell")
@@ -3871,7 +3995,7 @@ def _residual_serve_multi(
             quantize_embedding(F.col("embedding")).alias("qemb"),
         )
     )
-    probes = _assign_blas(
+    probes = _probe_ranks(
         raw_sample.select("vec_id", "qemb"), cents, top_m=max(nprobes)
     ).select(
         F.col("vec_id").alias("query_id"),
@@ -4513,7 +4637,7 @@ def serve_persisted_topk(
         )
     )
     probes = (
-        _assign_blas(raw_sample.select("vec_id", "qemb"), cents, top_m=nprobe)
+        _probe_ranks(raw_sample.select("vec_id", "qemb"), cents, top_m=nprobe)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("cent_id").alias("pcell"),
@@ -5743,7 +5867,7 @@ def sim_mmr_ann_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor-budget-bounded exactly as `sim_mmr_multi` — pairwise sims
     distributed over anchors x 20 rows, greedy driver-side."""
     qemb, cents, a2 = _trained_index(spark, sf_dir)
-    probes = _assign_blas(_sample_filter(qemb), cents, top_m=2).select(
+    probes = _probe_ranks(_sample_filter(qemb), cents, top_m=2).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("cent_id").alias("pcell"),
@@ -5842,7 +5966,7 @@ def sim_mmr_ann_multi_persisted(
         quantize_embedding(F.col("embedding")).alias("qemb"),
     )
     probes = (
-        _assign_blas(sample, handle.cents, top_m=2)
+        _probe_ranks(sample, handle.cents, top_m=2)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
@@ -5985,7 +6109,7 @@ def sim_hard_negatives_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a2l = _assign_blas(embl, cents, top_m=2).select(
         "vec_id", "embedding", "label", "cent_id"
     )
-    probes = _assign_blas(_sample_filter(embl), cents, top_m=4).select(
+    probes = _probe_ranks(_sample_filter(embl), cents, top_m=4).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("label").alias("qlabel"),
@@ -6066,7 +6190,7 @@ def sim_hard_negatives_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     probes = (
-        _assign_blas(sample, handle.cents, top_m=4)
+        _probe_ranks(sample, handle.cents, top_m=4)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
