@@ -21,7 +21,7 @@ band-equality self-join (AQE handles banding skew).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from wikid_spark.catalog import corpus_rows, spread_for_compute, table
 from wikid_spark.queries.similarity import ivf_derived_cte as _sem_derived_cte
@@ -38,6 +38,11 @@ NEARDUP_BLOCKS = 8  # block-pair grid for exact embedding near-dup
 # Far above every df in the test corpora (max 25 at sf0.1), so the
 # oracle — which computes the uncapped exact Jaccard — still matches.
 JACCARD_DF_CAP = 1000
+
+# (doc_id, per-doc shingle count) pack into one long for the Jaccard
+# posting lists — see ngram_jaccard_pairs. 2^21 bounds per-doc distinct
+# shingles; doc_id headroom stays 2^42.
+_PACK = 1 << 21
 # Max LSH candidate-pair rows to pin as a broadcast in the verify
 # funnel (the dup-rate dial, same reasoning as pipeline's
 # DROP_BROADCAST_MAX_ROWS): the candidate set scales with corpus dup
@@ -187,31 +192,68 @@ def ngram_jaccard_pairs(
     ``JACCARD_DF_CAP``; see nd_ngram_jaccard's docstring for the
     exactness contract when the cap fires."""
     cap = JACCARD_DF_CAP if df_cap is None else df_cap
+    # ONE shingle chain for the whole query (round-16, guide §2.2/§2.3):
+    # the previous shape ran it four times — a-side and b-side of the
+    # aliased self-join, the hot-shingle scan, and the sizes table —
+    # because this Spark's AQE never fires ReusedExchange (measured on
+    # a minimal self-join: AQE on → 2 scans/0 reuse, AQE off → 1/1).
+    # Instead: per-doc shingle counts ride a window over the exploded
+    # chain, pack into the doc key, and pair generation groups the
+    # postings by shingle — each sorted posting list explodes to its
+    # (doc_a < doc_b) pairs, exactly the rows the equi-join produced
+    # (posting lists are doc-distinct: `_shingles` is array_distinct),
+    # so n_inter and both denominators are identical with zero joins.
+    # Measured 5.1 s → 1.8 s at sf0.1; 4 corpus passes + 2 join
+    # shuffles → 1 pass + 2 thin shuffles.
+    #
+    # The df cap applies as size(postings) not in [2, cap] — singleton
+    # shingles yield no pairs, > cap are the same hot shingles the
+    # anti-join removed — still bounding any shingle's fan-out at cap².
+    #
+    # NOTE the explode(_shingles(...)) stays INLINE in `shingles_from`'s
+    # projection: aliasing the array in its own select lets
+    # InferFiltersFromGenerate push `size(arr) > 0` down as a Filter
+    # with the whole HOF (and its split()) inlined — re-evaluating the
+    # shingle kernel 2-3x per row below the compute spread (measured
+    # 10x: 0.5 s → 4.9 s for the bare chain).
     sh = shingles_from(docs).select("doc_id", F.xxhash64("sh").alias("sh"))
-    # Sizes from the PRE-cap table: denominators stay exact even if the
-    # hot-shingle cap drops rows from the pair-generation join below.
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    hot = (
-        sh.groupBy("sh")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > cap)
-        .select("sh")
+    # doc_id and its shingle count pack into one long so posting lists
+    # stay array<bigint> (codegen-friendly sort/explode; struct lists
+    # measured ~3x slower). _PACK = 2^21 bounds per-doc DISTINCT
+    # shingles at ~2M — a >2M-shingle document (~10 MB of unique text)
+    # exceeds every catalog/pipeline corpus doc by orders of magnitude.
+    n_sh = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    packed = sh.select((F.col("doc_id") * _PACK + n_sh).alias("dn"), "sh")
+    grp = (
+        packed.groupBy("sh")
+        .agg(F.collect_list("dn").alias("ds"))
+        .filter(F.size("ds").between(2, cap))
+        .select(F.array_sort("ds").alias("ds"))
     )
-    sh = sh.join(F.broadcast(hot), "sh", "left_anti")
-    a, b = sh.alias("a"), sh.alias("b")
+    pair_arr = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size("ds")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
+        grp.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    jac = F.col("n_inter") / (
+        (F.col("a") % _PACK) + (F.col("b") % _PACK) - F.col("n_inter")
+    )
     return (
-        inter.join(sz_a, "doc_a")
-        .join(sz_b, "doc_b")
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        inter.filter(jac >= threshold)
+        .select(
+            F.floor(F.col("a") / _PACK).cast("long").alias("doc_a"),
+            F.floor(F.col("b") / _PACK).cast("long").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
         .orderBy("doc_a", "doc_b")
     )
 
@@ -991,11 +1033,23 @@ def nd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select(F.col("old_id").alias("doc_id")))
         .distinct()
     )
-    sh = shingles_from(
-        table(spark, sf_dir, "documents").join(
-            F.broadcast(relevant), "doc_id", "left_semi"
+    # Same cut as ``cand``: the candidate-doc shingle table is bounded
+    # by batch × bucket occupancy (never corpus-scale — the semi-join
+    # keeps candidate docs only), and it feeds FOUR consumers (sizes
+    # twice, both join sides). This Spark's AQE never fires
+    # ReusedExchange (measured, round-16), and ``ver`` below is
+    # referenced by both ``best`` and the attribution join, so without
+    # these two cuts the executed plan re-ran the shingle probe ~8x —
+    # 25 parquet scans measured at sf0.1, ~4 after.
+    sh = (
+        shingles_from(
+            table(spark, sf_dir, "documents").join(
+                F.broadcast(relevant), "doc_id", "left_semi"
+            )
         )
-    ).select("doc_id", F.xxhash64("sh").alias("sh"))
+        .select("doc_id", F.xxhash64("sh").alias("sh"))
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     new_sh = sh.select(F.col("doc_id").alias("new_id"), "sh").join(
         F.broadcast(cand), "new_id"
@@ -1018,6 +1072,8 @@ def nd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sz_o, "old_id")
         .filter(jac >= 0.2)
         .select("new_id", "old_id", jac.alias("j"))
+        # tiny verified-pair set, read by best AND the attribution join
+        .localCheckpoint(eager=True)
     )
     best = ver.groupBy("new_id").agg(F.min("old_id").alias("dup_of"))
     bj = best.join(
@@ -1135,8 +1191,9 @@ def nd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikid_spark.queries.similarity import _assignments_multi, derived_k
 
     emb = table(spark, sf_dir, "embeddings")
-    k = derived_k(corpus_rows(sf_dir, "embeddings"))
-    cells = _assignments_multi(emb, k, top_m=2).select(
+    n = corpus_rows(sf_dir, "embeddings")
+    k = derived_k(n)
+    cells = _assignments_multi(emb, k, top_m=2, row_cells=n * k).select(
         "vec_id", "embedding", "cent_id"
     )
     return (
@@ -1216,8 +1273,9 @@ def nd_semantic_capture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikid_spark.queries.similarity import _assignments_multi, derived_k
 
     emb = table(spark, sf_dir, "embeddings")
-    k = derived_k(corpus_rows(sf_dir, "embeddings"))
-    a2 = _assignments_multi(emb, k, top_m=2).select(
+    n = corpus_rows(sf_dir, "embeddings")
+    k = derived_k(n)
+    a2 = _assignments_multi(emb, k, top_m=2, row_cells=n * k).select(
         "vec_id", "cent_id", "cent_rank"
     )
     # Ground truth through the shared block-pair BLAS grid — NOT a
@@ -1361,12 +1419,13 @@ def nd_semantic_capture_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikid_spark.queries.similarity import _assignments_multi, derived_k
 
     emb = table(spark, sf_dir, "embeddings")
-    k = derived_k(corpus_rows(sf_dir, "embeddings"))
+    n = corpus_rows(sf_dir, "embeddings")
+    k = derived_k(n)
     keep = (
         (F.col("vec_id") * _HASH_MULT) % _HASH_MOD
     ) % CAPTURE_SAMPLE_DIV == 0
     a3 = (
-        _assignments_multi(emb, k, top_m=3)
+        _assignments_multi(emb, k, top_m=3, row_cells=n * k)
         .select("vec_id", "cent_id", "cent_rank")
         .filter(keep)
     )

@@ -101,6 +101,46 @@ def _bucket_all_kernel(n_tables: int):
     return bucket_all
 
 
+# The one-matmul kernel pays a fixed Arrow-boundary cost (Python
+# worker round-trip, ~0.5 s wall at 32 local cores) that the all-JVM
+# HOF path does not, while the HOF cost grows with rows × tables.
+# Interleaved A/B at sf0.1 (20k rows, 7 rounds, same session):
+# 1 table HOF 0.28 s vs kernel 0.78 s; 3 tables HOF 1.06 s vs kernel
+# 0.39 s — crossover ≈ 40k row·tables. Routing is derived from the
+# corpus rowcount (parquet footers), so small corpora keep the all-JVM
+# plan and large ones amortize the kernel — not a local[32] constant.
+_BUCKET_KERNEL_MIN_ROW_TABLES = 40_000
+
+
+def _corpus_bucketed(emb: DataFrame, n_rows: int, n_tables: int = 1) -> DataFrame:
+    """(vec_id, embedding, _bkts array<long>) for a CORPUS-side LSH
+    bucket pass, routed between the interpreted-HOF expressions and the
+    one-matmul pandas kernel by rows×tables (crossover constant above).
+    Outputs are bit-identical either way (`_bucket_all_kernel`
+    docstring); only the physical plan differs."""
+    if n_rows * n_tables >= _BUCKET_KERNEL_MIN_ROW_TABLES:
+        return emb.select(
+            "vec_id",
+            "embedding",
+            _bucket_all_kernel(n_tables)(F.col("embedding")).alias("_bkts"),
+        )
+    # qemb is BOUND to a projected column first: HOF lambdas are not
+    # common-subexpression-eliminated, so an inline quantize would
+    # re-run per plane (CollapseProject keeps non-cheap aliases).
+    return emb.withColumn(
+        "qemb", quantize_embedding(F.col("embedding"))
+    ).select(
+        "vec_id",
+        "embedding",
+        F.array(
+            *[
+                _bucket_expr_t(F.col("qemb"), t).cast("long")
+                for t in range(n_tables)
+            ]
+        ).alias("_bkts"),
+    )
+
+
 def _bucket_expr(qemb_col):
     """LSH bucket id over a QUANTIZED embedding column: for each
     hyperplane p, bit_p = [Σ_d qemb[d]·w(p,d) >= 0] — all-integer.
@@ -189,11 +229,10 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     no cross-engine sign flips. Pure transform/zip_with/aggregate
     arithmetic — no explode, no UDF; one pass over the table."""
     emb = table(spark, sf_dir, "embeddings")
+    n = corpus_rows(sf_dir, "embeddings")
     return (
-        emb.select(
-            "vec_id",
-            _bucket_all_kernel(1)(F.col("embedding"))[0].alias("bucket"),
-        )
+        _corpus_bucketed(emb, n)
+        .select("vec_id", F.col("_bkts")[0].alias("bucket"))
         .orderBy("vec_id")
     )
 
@@ -227,14 +266,12 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     then exact cosine re-rank of the candidates. The bucket equi-join is
     the scale win — shuffle on bucket id instead of an n² cross join."""
     emb = table(spark, sf_dir, "embeddings")
-    # Corpus-side buckets via the vectorized kernel (round-16, guide
-    # §4.2); the 40-row query side below keeps the HOF expression —
-    # identical integers either way (kernel docstring).
-    bucketed = emb.select(
-        "vec_id",
-        "embedding",
-        _bucket_all_kernel(1)(F.col("embedding"))[0].alias("bucket"),
-    )
+    # Corpus-side buckets via the rows×tables-routed pass (round-16,
+    # guide §4.2); the 40-row query side below always keeps the HOF
+    # expression — identical integers either way (kernel docstring).
+    bucketed = _corpus_bucketed(
+        emb, corpus_rows(sf_dir, "embeddings")
+    ).select("vec_id", "embedding", F.col("_bkts")[0].alias("bucket"))
     # Query side: FILTER the scan before bucketing, so the (broadcast)
     # side computes bucket ids for the 1/50 sample only — not a second
     # full-corpus bucket pass that is then thrown away. The quantized
@@ -357,7 +394,7 @@ def _cell_ranks(qemb_col, cs_col):
     return F.array_sort(_cell_scores(qemb_col, cs_col))
 
 
-def _assignments(emb: DataFrame) -> DataFrame:
+def _assignments(emb: DataFrame, row_cells: int | None = None) -> DataFrame:
     """(vec_id, embedding, cent_id): each vector mapped to its nearest
     centroid by integer squared-L2 over the quantized vectors, ties to
     the lowest cent_id.
@@ -371,13 +408,16 @@ def _assignments(emb: DataFrame) -> DataFrame:
     qemb = emb.select(
         "vec_id", "embedding", quantize_embedding(F.col("embedding")).alias("qemb")
     )
-    return _assign_blas(qemb, _centroids(emb)).select(
-        "vec_id", "embedding", "cent_id"
-    )
+    return _assign_blas(
+        qemb,
+        _centroids(emb),
+        row_cells=row_cells,
+        out_cols=["vec_id", "embedding"],
+    ).select("vec_id", "embedding", "cent_id")
 
 
 def _assignments_multi(
-    emb: DataFrame, k: int, top_m: int = 2
+    emb: DataFrame, k: int, top_m: int = 2, row_cells: int | None = None
 ) -> DataFrame:
     """(vec_id, embedding, cent_id, cent_rank): each vector mapped to
     its ``top_m`` nearest of ``k`` corpus-derived centroids — the
@@ -387,7 +427,13 @@ def _assignments_multi(
     qemb = emb.select(
         "vec_id", "embedding", quantize_embedding(F.col("embedding")).alias("qemb")
     )
-    return _assign_blas(qemb, _centroids(emb, k), top_m=top_m).select(
+    return _assign_blas(
+        qemb,
+        _centroids(emb, k),
+        top_m=top_m,
+        row_cells=row_cells,
+        out_cols=["vec_id", "embedding"],
+    ).select(
         "vec_id", "embedding", "cent_id", "cent_rank"
     )
 
@@ -478,8 +524,9 @@ def sim_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-join + min_by aggregation — the corpus never shuffles on
     anything but its own key, so the index build is one pass."""
     emb = table(spark, sf_dir, "embeddings")
+    rc = corpus_rows(sf_dir, "embeddings") * N_CENTROIDS
     return (
-        _assignments(emb)
+        _assignments(emb, row_cells=rc)
         .groupBy("cent_id")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("cent_id")
@@ -510,9 +557,10 @@ def sim_ivf_derived_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is scanned once and never self-joined, and the index
     doubles rows (top-2), not pair space."""
     emb = table(spark, sf_dir, "embeddings")
-    k = derived_k(corpus_rows(sf_dir, "embeddings"))
+    n = corpus_rows(sf_dir, "embeddings")
+    k = derived_k(n)
     return (
-        _assignments_multi(emb, k, top_m=2)
+        _assignments_multi(emb, k, top_m=2, row_cells=n * k)
         .groupBy("cent_id", "cent_rank")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("cent_id", "cent_rank")
@@ -557,14 +605,22 @@ def sim_ivf_derived_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-3 window. Cells are ~sqrt(n) rows by the derived-K contract,
     so per-query probe work stays ~2·sqrt(n)."""
     emb = table(spark, sf_dir, "embeddings")
-    k = derived_k(corpus_rows(sf_dir, "embeddings"))
+    n = corpus_rows(sf_dir, "embeddings")
+    k = derived_k(n)
     qemb = emb.select(
         "vec_id", "embedding", quantize_embedding(F.col("embedding")).alias("qemb")
     )
-    cents = _centroids(emb, k)
-    a2 = _assign_blas(qemb, cents, top_m=2).select(
-        "vec_id", "embedding", "cent_id", "cent_rank"
-    )
+    # The K-row seed centroid table feeds BOTH the corpus assignment
+    # and the probe ranks; eager checkpoint runs its TakeOrdered
+    # corpus pass once instead of once per consumer (guide §5.3).
+    cents = _centroids(emb, k).localCheckpoint(eager=True)
+    a2 = _assign_blas(
+        qemb,
+        cents,
+        top_m=2,
+        row_cells=n * k,
+        out_cols=["vec_id", "embedding"],
+    ).select("vec_id", "embedding", "cent_id", "cent_rank")
     # Query cells via the JVM sample kernel (round-16, guide §2.4):
     # filtering ``a2`` for the sample's rank-1 rows re-executed the
     # corpus-wide Python assignment in the broadcast branch; the
@@ -624,7 +680,9 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     more gracefully on clustered data. The probe is a cell-id equi-join
     — per-query work is |cell|, not |corpus|."""
     emb = table(spark, sf_dir, "embeddings")
-    assigned = _assignments(emb)
+    assigned = _assignments(
+        emb, row_cells=corpus_rows(sf_dir, "embeddings") * N_CENTROIDS
+    )
     q = assigned.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -1050,17 +1108,14 @@ def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets_arr = F.array(
         *[_bucket_expr_t(F.col("qemb"), t).cast("long") for t in range(N_TABLES)]
     )
-    # Corpus-side buckets via the vectorized kernel (round-16, guide
-    # §4.2): all {N_TABLES}×{N_PLANES} hyperplane tests in one integer
-    # matmul per batch; the 40-row query side keeps the HOF array —
-    # identical integers either way (kernel docstring).
-    bucketed = emb.select(
-        "vec_id",
-        "embedding",
-        F.posexplode(_bucket_all_kernel(N_TABLES)(F.col("embedding"))).alias(
-            "t", "bucket"
-        ),
-    )
+    # Corpus-side buckets via the rows×tables-routed pass (round-16,
+    # guide §4.2): above the crossover all {N_TABLES}×{N_PLANES}
+    # hyperplane tests evaluate as one integer matmul per batch; the
+    # 40-row query side keeps the HOF array — identical integers
+    # either way (kernel docstring).
+    bucketed = _corpus_bucketed(
+        emb, corpus_rows(sf_dir, "embeddings"), N_TABLES
+    ).select("vec_id", "embedding", F.posexplode("_bkts").alias("t", "bucket"))
     # Same query-side pruning as sim_lsh_ann_topk: bucket the 1/50
     # sample directly instead of re-running the corpus bucket pass on
     # the broadcast side.
@@ -1117,20 +1172,41 @@ def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lloyd_round(
-    vecs: DataFrame, cents: DataFrame, dims: int = EMBED_DIMS
+    vecs: DataFrame,
+    cents: DataFrame,
+    dims: int = EMBED_DIMS,
+    row_cells: int | None = None,
 ) -> DataFrame:
-    """One Lloyd re-centering over (vec_id, qemb) vectors: assign via
-    the BLAS kernel, then re-center each non-empty cell at the
-    member mean as ``dims`` map-side-combinable SUM columns (no
-    posexplode row blow-up), re-quantized floor(S/n). Returns the
-    refined centroid table (cent_id, n, cemb). ``dims`` defaults to
-    the catalog embeddings width; callers training over other vector
-    tables (the streaming vector index) pass their own."""
-    a1 = _assign_blas(vecs, cents)
-    sums = a1.groupBy("cent_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.col("qemb")[d]).alias(f"s{d}") for d in range(dims)],
-    )
+    """One Lloyd re-centering over (vec_id, qemb) vectors, re-quantized
+    floor(S/n). Returns the refined centroid table (cent_id, n, cemb).
+    ``dims`` defaults to the catalog embeddings width; callers
+    training over other vector tables (the streaming vector index)
+    pass their own.
+
+    Two value-identical physical shapes, routed by ``row_cells``
+    (rows × K, same crossover as `_assign_blas`):
+
+    * small — the all-JVM projection assignment feeds a row-level
+      ``dims``-column hash agg (map-side partials); no Python pass.
+    * large — the fused assign+partial-recenter kernel
+      (`_assign_partials`) emits per-(slice, cell) member counts and
+      int64 coordinate sums, so the post-kernel shuffle carries
+      ≤ slices×K tiny rows at ANY corpus size (guide §2.3: aggregate
+      before you shuffle) and nothing corpus-sized crosses Arrow.
+
+    Both branches sum exact int64s, so floor(Σs/Σn) is bit-identical."""
+    if row_cells is not None and row_cells <= _ASSIGN_JVM_MAX_ROW_CELLS:
+        a1 = _assign_jvm(vecs, cents)
+        sums = a1.groupBy("cent_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("qemb")[d]).alias(f"s{d}") for d in range(dims)],
+        )
+    else:
+        parts = _assign_partials(vecs, cents)
+        sums = parts.groupBy("cent_id").agg(
+            F.sum("n").alias("n"),
+            *[F.sum(F.col("s")[d]).alias(f"s{d}") for d in range(dims)],
+        )
     return sums.select(
         "cent_id",
         "n",
@@ -1239,13 +1315,38 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop over K-row DataFrames; corpus passes = 2 per iteration, the
     textbook distributed-Lloyd layout."""
     emb = table(spark, sf_dir, "embeddings")
+    rc = corpus_rows(sf_dir, "embeddings") * N_CENTROIDS
     vecs = emb.select(
         "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
     )
-    cents0 = _centroids(emb)
-    newc = _lloyd_round(vecs, cents0)
-    a2 = _assign_blas(vecs, newc.select("cent_id", "cemb"))
-    c2 = a2.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n2"))
+    # K-row loop state materializes eagerly (the `lloyd_train`
+    # checkpoint discipline): cents0 feeds the assignment, the report
+    # join, and newc's own build; newc feeds c2 and the report join.
+    # Left lazy, each consumer re-executes the full corpus-scale
+    # subtree (ReuseExchange does not fire across the differently-
+    # shaped consumers) — measured ~2 redundant corpus passes per run
+    # at sf0.1 (round-16, guide §5.3: checkpoint tiny reused state).
+    cents0 = _centroids(emb).localCheckpoint(eager=True)
+    newc = _lloyd_round(vecs, cents0, row_cells=rc).localCheckpoint(
+        eager=True
+    )
+    # Induced-assignment histogram, routed like `_lloyd_round`
+    # (round-16, guide §2.3/§4.4): only per-cell COUNTS are needed, so
+    # above the crossover the corpus-row Arrow return + count aggregate
+    # collapse to a sum over slices×K partial rows; below it the
+    # all-JVM assignment feeds a plain hash count.
+    if rc <= _ASSIGN_JVM_MAX_ROW_CELLS:
+        c2 = (
+            _assign_jvm(vecs, newc.select("cent_id", "cemb"))
+            .groupBy("cent_id")
+            .agg(F.count(F.lit(1)).alias("n2"))
+        )
+    else:
+        c2 = (
+            _assign_partials(vecs, newc.select("cent_id", "cemb"))
+            .groupBy("cent_id")
+            .agg(F.sum("n").alias("n2"))
+        )
     shift = F.aggregate(
         F.zip_with("cemb0", "cemb", lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
@@ -1303,17 +1404,26 @@ def sim_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     {EMBED_DIMS}-column re-centering agg); serving cost is identical
     to sim_ivf_ann_topk. The centroid table stays K rows end to end."""
     emb = table(spark, sf_dir, "embeddings")
+    rc = corpus_rows(sf_dir, "embeddings") * N_CENTROIDS
     vecs = emb.select(
         "vec_id",
         "embedding",
         quantize_embedding(F.col("embedding")).alias("qemb"),
     )
-    refined = _lloyd_round(
-        vecs.select("vec_id", "qemb"), _centroids(emb)
-    ).select("cent_id", "cemb")
-    assigned = _assign_blas(vecs, refined).select(
-        "vec_id", "embedding", "cent_id"
+    # The K-row refined table feeds BOTH the corpus assignment and the
+    # probe ranks; eager checkpoint runs its training corpus pass once
+    # instead of once per consumer (guide §5.3, same rationale as
+    # sim_kmeans_lloyd).
+    refined = (
+        _lloyd_round(
+            vecs.select("vec_id", "qemb"), _centroids(emb), row_cells=rc
+        )
+        .select("cent_id", "cemb")
+        .localCheckpoint(eager=True)
     )
+    assigned = _assign_blas(
+        vecs, refined, row_cells=rc, out_cols=["vec_id", "embedding"]
+    ).select("vec_id", "embedding", "cent_id")
     # Query cells via the JVM sample kernel instead of filtering
     # ``assigned`` (round-16, guide §2.4): the broadcast q branch
     # re-executed the corpus-wide Python assignment per serve; the
@@ -1341,8 +1451,59 @@ def sim_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Crossover between the all-JVM projection assignment and the
+# cogrouped BLAS kernel, in row·cells (corpus rows × centroid count).
+# The cogroup path pays two Exchanges + an Arrow round-trip of fixed
+# ~0.6 s wall at 32 local cores; the JVM HOF costs ~0.12 s per 400k
+# row·cells (interleaved A/B at sf0.1, 7 rounds, same session:
+# 20k×20 → JVM 0.22 s vs kernel 0.71 s; the sf10 Lloyd loop at
+# 200k×448 = 90M row·cells measured ~20× FOR the kernel). Crossover
+# ≈ 2M row·cells — derived from corpus rowcount × K, not a local
+# constant, so big corpora keep the BLAS plan.
+_ASSIGN_JVM_MAX_ROW_CELLS = 2_000_000
+
+
+def _assign_jvm(
+    vecs: DataFrame,
+    cents: DataFrame,
+    top_m: int = 1,
+    out_cols: list[str] | None = None,
+) -> DataFrame:
+    """The all-JVM twin of `_assign_blas`: centroids fold to ONE
+    broadcast array row and the (dist, cent_id) argmin/argsort runs
+    inside a projection — no shuffle, no Python boundary. Distances
+    are exact integers in both kernels and the tie-break is identical,
+    so outputs are bit-identical (A/B'd exceptAll-empty both ways at
+    sf0.1). Cost is |rows|·K·dims interpreted lambda evals (HOFs are
+    not codegen'd) — callers route by `_ASSIGN_JVM_MAX_ROW_CELLS`.
+    ``out_cols`` mirrors `_assign_blas`'s passthrough subset."""
+    cols = out_cols if out_cols is not None else vecs.columns
+    scored = vecs.crossJoin(F.broadcast(_cent_array(cents)))
+    if top_m == 1:
+        return scored.select(
+            *cols,
+            F.array_min(_cell_scores(F.col("qemb"), F.col("cs")))[
+                "cent_id"
+            ].alias("cent_id"),
+        )
+    ranked = F.slice(
+        F.array_sort(_cell_scores(F.col("qemb"), F.col("cs"))), 1, top_m
+    )
+    return scored.select(
+        *cols, F.posexplode(ranked).alias("_pos", "_s")
+    ).select(
+        *cols,
+        F.col("_s.cent_id").alias("cent_id"),
+        (F.col("_pos") + 1).cast("int").alias("cent_rank"),
+    )
+
+
 def _assign_blas(
-    vecs: DataFrame, cents: DataFrame, top_m: int = 1
+    vecs: DataFrame,
+    cents: DataFrame,
+    top_m: int = 1,
+    row_cells: int | None = None,
+    out_cols: list[str] | None = None,
 ) -> DataFrame:
     """Lloyd/IVF assignment on the BLAS path: appends ``cent_id`` (the
     nearest centroid by integer squared-L2, ties to lowest cent_id) to
@@ -1367,19 +1528,38 @@ def _assign_blas(
     straddle a cell boundary. Ordering stays the exact (dist, cent_id)
     tie-break: distances are exact integers and the stable argsort
     over cent_id-ascending columns reproduces ROW_NUMBER ORDER BY
-    dist, cent_id bit-for-bit."""
+    dist, cent_id bit-for-bit.
+
+    ``row_cells`` (rows × centroids, when the caller has both at hand
+    from parquet footers / derived K) routes small problems to the
+    all-JVM projection twin — identical integers, no Python boundary
+    (round-16, guide §4.4: don't pay a fixed Arrow round-trip to save
+    interpreted work smaller than the round-trip).
+
+    ``out_cols`` names the input columns to CARRY THROUGH (default:
+    all). Consumers that drop ``qemb`` right after assignment should
+    say so here — the 8·dims bytes/row then never cross the Arrow
+    boundary on the way back (guide §4.2: move only the columns the
+    kernel's consumers need; top_m>1 would otherwise return them
+    top_m times)."""
+    if row_cells is not None and row_cells <= _ASSIGN_JVM_MAX_ROW_CELLS:
+        return _assign_jvm(vecs, cents, top_m=top_m, out_cols=out_cols)
     import numpy as np
     import pandas as pd
 
     n_parts = 64
-    out_cols = [f.name for f in vecs.schema.fields]
+    in_cols = [f.name for f in vecs.schema.fields]
+    if out_cols is None:
+        out_cols = in_cols
+    by_name = {f.name: f for f in vecs.schema.fields}
     out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in vecs.schema.fields
+        f"{c} {by_name[c].dataType.simpleString()}" for c in out_cols
     ) + ", cent_id bigint"
     if top_m > 1:
         out_schema += ", cent_rank int"
 
     def assign(key, vpdf, cpdf):
+        qemb_in = vpdf["qemb"]
         vpdf = vpdf[out_cols]
         if len(vpdf) == 0:
             out = vpdf.assign(cent_id=pd.Series([], dtype="int64"))
@@ -1399,7 +1579,7 @@ def _assign_blas(
         C = np.array(
             cpdf["cemb"].to_numpy()[corder].tolist(), dtype=np.float64
         )
-        X = np.array(vpdf["qemb"].tolist(), dtype=np.float64)
+        X = np.array(qemb_in.tolist(), dtype=np.float64)
         d = (
             (X * X).sum(axis=1)[:, None]
             - 2.0 * (X @ C.T)
@@ -1430,6 +1610,79 @@ def _assign_blas(
         v.groupBy("pk")
         .cogroup(c.groupBy("pk"))
         .applyInPandas(assign, out_schema)
+    )
+
+
+def _assign_partials(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Fused Lloyd assign + per-cell PARTIAL re-centering (round-16,
+    guide §2.3 "aggregate before you shuffle"): the same exact-integer
+    argmin as `_assign_blas`, but instead of returning every assigned
+    row through Arrow and hash-aggregating ``dims`` sum columns over
+    the corpus, each cogrouped slice emits ONE row per non-empty cell —
+    (cent_id, n, s array<bigint>) with the slice's member count and
+    per-dimension qemb sums. Downstream Σ over slices is exact int64
+    (|qemb| ≤ ~1000·scale, Σ ≪ 2^63), so floor(Σs/Σn) reproduces the
+    row-level formula bit-for-bit while the post-kernel shuffle carries
+    ≤ slices×K tiny rows at ANY corpus size. Callers that only need
+    cell COUNTS (the induced-assignment histogram) sum ``n`` and ignore
+    ``s`` — the kernel-side sums cost one bincount/add.at per batch,
+    nothing crosses the boundary per corpus row either way."""
+    import numpy as np
+    import pandas as pd
+
+    n_parts = 64
+
+    def recenter(key, vpdf, cpdf):
+        if len(vpdf) == 0:
+            return pd.DataFrame(
+                {
+                    "cent_id": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype=object),
+                }
+            )
+        if len(cpdf) == 0:
+            raise ValueError(
+                "_assign_partials: non-empty vector slice cogrouped with "
+                "an empty centroid table (K=0) — nothing to assign to"
+            )
+        corder = np.argsort(cpdf["cent_id"].to_numpy())
+        cids = cpdf["cent_id"].to_numpy(dtype=np.int64)[corder]
+        C = np.array(
+            cpdf["cemb"].to_numpy()[corder].tolist(), dtype=np.float64
+        )
+        Xi = np.array(vpdf["qemb"].tolist(), dtype=np.int64)
+        X = Xi.astype(np.float64)
+        d = (
+            (X * X).sum(axis=1)[:, None]
+            - 2.0 * (X @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+        best = np.argmin(d, axis=1)  # first min = lowest cent_id
+        k = len(cids)
+        counts = np.bincount(best, minlength=k)
+        sums = np.zeros((k, Xi.shape[1]), dtype=np.int64)
+        np.add.at(sums, best, Xi)
+        nz = np.nonzero(counts)[0]
+        return pd.DataFrame(
+            {
+                "cent_id": pd.Series(cids[nz], dtype="int64"),
+                "n": pd.Series(counts[nz], dtype="int64"),
+                "s": pd.Series(sums[nz].tolist(), dtype=object),
+            }
+        )
+
+    spark = vecs.sparkSession
+    v = vecs.select(
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_parts)).alias("pk"), "qemb"
+    )
+    c = cents.select("cent_id", "cemb").crossJoin(
+        F.broadcast(spark.range(n_parts).select(F.col("id").alias("pk")))
+    )
+    return (
+        v.groupBy("pk")
+        .cogroup(c.groupBy("pk"))
+        .applyInPandas(recenter, "cent_id bigint, n bigint, s array<bigint>")
     )
 
 
@@ -1466,25 +1719,7 @@ def _probe_ranks(
     ``cent_rank`` when ``top_m > 1``)."""
     if k is not None and k > _PROBE_JVM_MAX_K:
         return _assign_blas(sample, cents, top_m=top_m)
-    cols = sample.columns
-    scored = sample.crossJoin(F.broadcast(_cent_array(cents)))
-    if top_m == 1:
-        return scored.select(
-            *cols,
-            F.array_min(_cell_scores(F.col("qemb"), F.col("cs")))[
-                "cent_id"
-            ].alias("cent_id"),
-        )
-    ranked = F.slice(
-        F.array_sort(_cell_scores(F.col("qemb"), F.col("cs"))), 1, top_m
-    )
-    return scored.select(
-        *cols, F.posexplode(ranked).alias("_pos", "_s")
-    ).select(
-        *cols,
-        F.col("_s.cent_id").alias("cent_id"),
-        (F.col("_pos") + 1).cast("int").alias("cent_rank"),
-    )
+    return _assign_jvm(sample, cents, top_m=top_m)
 
 
 # ---------------------------------------------------------------------------
@@ -1510,13 +1745,15 @@ def lloyd_train(
     tol: int = 0,
     pad_trace: bool = False,
     dims: int = EMBED_DIMS,
+    row_cells: int | None = None,
 ):
     """Run Lloyd rounds until the max integer centroid shift is <= tol
     with no cell dropped, or ``max_rounds``. Returns (final centroid
     DataFrame (cent_id, cemb), trace rows [(round, n_cells, max_shift,
     total_shift), ...]). ``pad_trace`` replays the fixpoint row for
     the remaining rounds (only valid — and only done — when tol == 0,
-    where fixpoint means bit-identical later rounds)."""
+    where fixpoint means bit-identical later rounds). ``row_cells``
+    routes each round's assignment exactly as in `_lloyd_round`."""
     cents = cents0.select("cent_id", "cemb").localCheckpoint(eager=True)
     prev_k = cents.count()
     trace: list[tuple] = []
@@ -1525,7 +1762,9 @@ def lloyd_train(
         if fixed is not None:
             trace.append((rnd, *fixed))
             continue
-        newc = _lloyd_round(vecs, cents, dims=dims).localCheckpoint(eager=True)
+        newc = _lloyd_round(
+            vecs, cents, dims=dims, row_cells=row_cells
+        ).localCheckpoint(eager=True)
         shift = F.aggregate(
             F.zip_with(
                 F.col("cemb"),
@@ -1670,6 +1909,7 @@ def sim_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         LLOYD_TRACE_ROUNDS,
         tol=0,
         pad_trace=True,
+        row_cells=corpus_rows(sf_dir, "embeddings") * N_CENTROIDS,
     )
     # trace rows are plain tuples — the final centroid checkpoint is
     # unconsumed here, so release it rather than pin it per call
@@ -1813,7 +2053,8 @@ def _trained_index(spark: SparkSession, sf_dir: str):
     if grp["trained"] is not None:
         return grp["trained"]
     emb = table(spark, sf_dir, "embeddings")
-    k = derived_k(corpus_rows(sf_dir, "embeddings"))
+    n = corpus_rows(sf_dir, "embeddings")
+    k = derived_k(n)
     qemb = emb.select(
         "vec_id",
         "embedding",
@@ -1824,10 +2065,15 @@ def _trained_index(spark: SparkSession, sf_dir: str):
         _centroids(emb, k),
         max_rounds=TRAINED_DERIVED_ROUNDS,
         tol=0,
+        row_cells=n * k,
     )
-    a2 = _assign_blas(qemb, cents, top_m=2).select(
-        "vec_id", "embedding", "cent_id", "cent_rank"
-    )
+    a2 = _assign_blas(
+        qemb,
+        cents,
+        top_m=2,
+        row_cells=n * k,
+        out_cols=["vec_id", "embedding"],
+    ).select("vec_id", "embedding", "cent_id", "cent_rank")
     grp["trained"] = (qemb, cents, a2)
     return grp["trained"]
 
@@ -2923,7 +3169,8 @@ def _ivfpq_plan(
     training run instead of re-training per method (training is
     deterministic, so the output is identical either way)."""
     emb = table(spark, sf_dir, "embeddings")
-    k = derived_k(corpus_rows(sf_dir, "embeddings"))
+    n = corpus_rows(sf_dir, "embeddings")
+    k = derived_k(n)
     qemb = emb.select(
         "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
     )
@@ -2935,10 +3182,18 @@ def _ivfpq_plan(
         cents = _centroids(emb, k)
         if trained:
             cents, _ = lloyd_train(
-                qemb, cents, max_rounds=TRAINED_DERIVED_ROUNDS, tol=0
+                qemb,
+                cents,
+                max_rounds=TRAINED_DERIVED_ROUNDS,
+                tol=0,
+                row_cells=n * k,
             )
     index = _assign_blas(
-        _pq_encode(qemb, cb), cents, top_m=2
+        _pq_encode(qemb, cb),
+        cents,
+        top_m=2,
+        row_cells=n * k,
+        out_cols=["vec_id", "pqcode"],
     ).select("vec_id", "cent_id", "pqcode")
 
     raw_sample = _sample_filter(
@@ -4464,6 +4719,7 @@ def persist_ann_index(
         ),
         cents,
         top_m=2,
+        out_cols=["vec_id", "embedding", "label"],
     ).select("vec_id", "embedding", "label", "cent_id", "cent_rank")
     (
         mindex.repartition("cent_id")
@@ -6100,13 +6356,20 @@ def sim_hard_negatives_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hard_neg_ann row against the exact miner."""
     _, cents, _ = _trained_index(spark, sf_dir)
     emb = table(spark, sf_dir, "embeddings")
+    n = corpus_rows(sf_dir, "embeddings")
     embl = emb.select(
         "vec_id",
         "embedding",
         "label",
         quantize_embedding(F.col("embedding")).alias("qemb"),
     )
-    a2l = _assign_blas(embl, cents, top_m=2).select(
+    a2l = _assign_blas(
+        embl,
+        cents,
+        top_m=2,
+        row_cells=n * derived_k(n),
+        out_cols=["vec_id", "embedding", "label"],
+    ).select(
         "vec_id", "embedding", "label", "cent_id"
     )
     probes = _probe_ranks(_sample_filter(embl), cents, top_m=4).select(

@@ -75,9 +75,12 @@ def _assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, embedding, cent_id): top-2 cells per vector against an
     explicit centroid table — the batch-side assignment against the
     index's FROZEN centroids."""
-    return _assign_blas(_qemb(vectors), centroids, top_m=2).select(
-        "vec_id", "embedding", "cent_id"
-    )
+    return _assign_blas(
+        _qemb(vectors),
+        centroids,
+        top_m=2,
+        out_cols=["vec_id", "embedding"],
+    ).select("vec_id", "embedding", "cent_id")
 
 
 def _sign_cells(vectors: DataFrame, index_dir: str) -> dict:
