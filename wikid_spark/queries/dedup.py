@@ -1208,8 +1208,19 @@ def nd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # while other slots idle); at 4×K collisions drop ~4x and most
         # cells get their own task (a few 2-cell tasks remain by the
         # birthday bound — for exact one-task-per-cell, repartition by
-        # a dense rank of cent_id instead).
-        cells.repartition(4 * k, "cent_id")
+        # a dense rank of cent_id instead). Below ~100k vectors the
+        # per-cell blocks are sub-millisecond and 4×K tiny Python tasks
+        # cost more in per-task round-trips than they buy in collision
+        # avoidance (round-16, guide §2.5 — partition counts derive
+        # from the input size, not one scale's constant): small corpora
+        # cap at 2×cores (measured −17% at sf0.1, value-identical);
+        # CPU-bound corpora keep the 4×K de-collision layout.
+        cells.repartition(
+            4 * k
+            if n >= 100_000
+            else min(4 * k, 2 * spark.sparkContext.defaultParallelism),
+            "cent_id",
+        )
         .groupBy("cent_id")
         .applyInPandas(
             cell_dups, "vec_id bigint, cent_id bigint, dup_of bigint, sim double"

@@ -107,15 +107,19 @@ def pp_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<string>"))
         ).alias("span_s"),
     ).select("doc_id", F.xxhash64("span_s").alias("span"))
-    keepers = spans.groupBy("span").agg(F.min("doc_id").alias("keeper"))
+    # keeper = MIN(doc_id) per span as a WINDOW over the one span
+    # chain, not a groupBy + self-join back (round-16, guide §2.2):
+    # this Spark's AQE never fires ReusedExchange, so the join shape
+    # re-ran the CPU-dense span explode for both sides and shuffled
+    # the spans twice. Same colocation-by-span (identical skew bound),
+    # one chain + one shuffle fewer; values identical by definition.
+    keeper = F.min("doc_id").over(Window.partitionBy("span"))
     return (
-        spans.join(keepers, "span")
+        spans.select("doc_id", (keeper != F.col("doc_id")).cast("long").alias("dup"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
-            F.sum((F.col("keeper") != F.col("doc_id")).cast("long")).alias(
-                "n_dup_removed"
-            ),
+            F.sum("dup").alias("n_dup_removed"),
         )
         .orderBy("doc_id")
     )
