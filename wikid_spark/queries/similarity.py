@@ -680,10 +680,20 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     more gracefully on clustered data. The probe is a cell-id equi-join
     — per-query work is |cell|, not |corpus|."""
     emb = table(spark, sf_dir, "embeddings")
-    assigned = _assignments(
-        emb, row_cells=corpus_rows(sf_dir, "embeddings") * N_CENTROIDS
+    rc = corpus_rows(sf_dir, "embeddings") * N_CENTROIDS
+    qemb = emb.select(
+        "vec_id", "embedding", quantize_embedding(F.col("embedding")).alias("qemb")
     )
-    q = assigned.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)).select(
+    # Same round-16 shape as sim_ivf_derived_topk (guide §2.4/§5.3):
+    # the K-row seed centroids checkpoint once for both consumers, and
+    # the probe side assigns the 40-row sample via the JVM kernel
+    # instead of filtering ``assigned`` (which re-ran the corpus
+    # assignment in the broadcast branch — same cell by construction).
+    cents = _centroids(emb).localCheckpoint(eager=True)
+    assigned = _assign_blas(
+        qemb, cents, row_cells=rc, out_cols=["vec_id", "embedding"]
+    ).select("vec_id", "embedding", "cent_id")
+    q = _probe_ranks(_sample_filter(qemb), cents).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("cent_id").alias("qcell"),
