@@ -203,11 +203,28 @@ def test_q43_unpivot_is_single_pass_expand(spark):
 def test_incremental_dedup_broadcasts_batch_side(spark):
     """nd_incremental_dedup's scale contract: the batch band table and
     the candidate pair set BROADCAST into the corpus probes — the
-    corpus-sized sides never shuffle on the probe keys."""
-    plan = _plan(spark, "nd_incremental_dedup")
+    corpus-sized sides never shuffle on the probe keys. The registered
+    query materializes its bounded stages (localCheckpoint), which
+    hides the per-stage joins from the tail explain, so the contract
+    is asserted on the SAME plan composed with an identity cut — the
+    broadcasts are explicit hints, identical in both forms."""
+    import io
+    import contextlib
+
+    from wikid_spark.queries.dedup import _incremental_dedup_plan
+
+    df = _incremental_dedup_plan(spark, SF, cut=lambda d: d)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
     # batch-bands x corpus-bands probe, candidate x shingle probe, and
     # the old-docs semi filter all broadcast
     assert plan.count("BroadcastHashJoin") >= 3
+    # and the registered (checkpointed) form's tail reads materialized
+    # stages — exactly one parquet scan (the batch id list) survives
+    tail = _plan(spark, "nd_incremental_dedup")
+    assert tail.count("Scan parquet") <= 2
 
 
 def test_training_corpus_dedup_droplist_broadcasts(spark):

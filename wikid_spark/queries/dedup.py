@@ -980,6 +980,21 @@ def nd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: one row per batch doc — (doc_id, dup_of, jaccard, verdict);
     dup_of/jaccard NULL + 'keep' when no verified near-dup exists."""
+    return _incremental_dedup_plan(spark, sf_dir)
+
+
+def _incremental_dedup_plan(
+    spark: SparkSession, sf_dir: str, cut=None
+) -> DataFrame:
+    """nd_incremental_dedup's plan with an injectable materialization
+    ``cut`` (default: eager localCheckpoint). The plan-contract test
+    passes an identity cut so every broadcast probe stays visible in
+    ONE composite explain — the checkpoints only move where stages
+    materialize, never the per-stage join strategies (the broadcasts
+    are explicit hints on bounded frames)."""
+    if cut is None:
+        def cut(df):
+            return df.localCheckpoint(eager=True)
     is_new = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 5000)
     # One corpus signature pass, materialized: both join sides below
     # (the broadcast batch side AND the probe side) read the band
@@ -1002,7 +1017,7 @@ def nd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # storage caveat (executor loss after the cut forfeits lineage)
     # stands as documented — production ingest uses the persisted LSH
     # index (streaming/dedup_ingest), not this self-signing form.
-    bands = _band_table(spark, sf_dir).localCheckpoint(eager=True)
+    bands = cut(_band_table(spark, sf_dir))
     nb = bands.filter(is_new).select(
         F.col("doc_id").alias("new_id"), "band", "sig"
     )
@@ -1018,8 +1033,8 @@ def nd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # holds the FULL corpus band pass — every downstream reference
         # would re-sign the corpus (and re-plan the duplicated tree,
         # see the bands note above) without this cut
-        .localCheckpoint(eager=True)
     )
+    cand = cut(cand)
     # exact-Jaccard verify on candidates only (same funnel as
     # nd_lsh_verified_pairs: broadcast the tiny pair set into the
     # shingle probe, semi-filter the other side). Shingles and sizes
@@ -1048,8 +1063,8 @@ def nd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select("doc_id", F.xxhash64("sh").alias("sh"))
-        .localCheckpoint(eager=True)
     )
+    sh = cut(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     new_sh = sh.select(F.col("doc_id").alias("new_id"), "sh").join(
         F.broadcast(cand), "new_id"
@@ -1072,9 +1087,9 @@ def nd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sz_o, "old_id")
         .filter(jac >= 0.2)
         .select("new_id", "old_id", jac.alias("j"))
-        # tiny verified-pair set, read by best AND the attribution join
-        .localCheckpoint(eager=True)
     )
+    # tiny verified-pair set, read by best AND the attribution join
+    ver = cut(ver)
     best = ver.groupBy("new_id").agg(F.min("old_id").alias("dup_of"))
     bj = best.join(
         ver,
