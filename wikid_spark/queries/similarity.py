@@ -102,14 +102,18 @@ def _bucket_all_kernel(n_tables: int):
 
 
 # The one-matmul kernel pays a fixed Arrow-boundary cost (Python
-# worker round-trip, ~0.5 s wall at 32 local cores) that the all-JVM
-# HOF path does not, while the HOF cost grows with rows × tables.
-# Interleaved A/B at sf0.1 (20k rows, 7 rounds, same session):
-# 1 table HOF 0.28 s vs kernel 0.78 s; 3 tables HOF 1.06 s vs kernel
-# 0.39 s — crossover ≈ 40k row·tables. Routing is derived from the
-# corpus rowcount (parquet footers), so small corpora keep the all-JVM
-# plan and large ones amortize the kernel — not a local[32] constant.
-_BUCKET_KERNEL_MIN_ROW_TABLES = 40_000
+# worker round-trip, ~0.5-0.65 s wall at 32 local cores) that the
+# all-JVM HOF path does not, while the HOF cost grows with
+# rows × tables. Re-measured round-16 AFTER excluding the
+# InferFiltersFromGenerate rule (whose inferred filter had been
+# double-evaluating BOTH branches and skewed the first calibration):
+# interleaved A/B at sf0.1 (2k vectors, 3 tables = 6k row·tables) —
+# HOF 0.31 s vs kernel 0.65 s; HOF marginal ≈ 0.03 ms/row·table, so
+# the single-eval crossover sits near kernel_fixed / marginal ≈ 20k.
+# Routing is derived from the corpus rowcount (parquet footers), so
+# small corpora keep the all-JVM plan and large ones amortize the
+# kernel — not a local[32] constant.
+_BUCKET_KERNEL_MIN_ROW_TABLES = 20_000
 
 
 def _corpus_bucketed(emb: DataFrame, n_rows: int, n_tables: int = 1) -> DataFrame:

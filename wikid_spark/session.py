@@ -54,6 +54,23 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", str(max(256, 8 * cpus))),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate derives `size(g) > 0 AND isnotnull(g)`
+        # from every inner explode/posexplode and pushes it below the
+        # projection WITH THE GENERATOR INPUT INLINED — for our
+        # generators (tokenize arrays, shingle/bigram HOFs, LSH bucket
+        # kernels) that re-evaluates the expensive expression 1-2 extra
+        # times per row, and for pandas-UDF inputs it plans a SECOND
+        # ArrowEvalPython. Round-16 interleaved A/B with the rule
+        # excluded: sim_lsh_multitable_topk −57%, fts_bm25_topk −21%,
+        # q22_explode_wordcount −9%, nothing slower, results identical
+        # (the rule is row-pruning only — Generate already skips empty
+        # arrays; the filter can't reach parquet pushdown because the
+        # expressions are post-scan). Semantics-preserving, so the
+        # driver's bare-session correctness runs are unaffected.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Parquet scans: vectorized reads + pushdown are defaults, pinned
