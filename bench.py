@@ -391,6 +391,22 @@ def main() -> None:
         lambda pdf: pdf, "id long"
     ).write.mode("overwrite").format("noop").save()
 
+    # Fixed per-action overhead of this host/session (VERDICT r16 #9):
+    # p50 noop write of a 1-row in-memory frame — pure session/scheduler
+    # cost, no scan, no shuffle. Queries whose exec p50 sits within a
+    # small multiple of this floor are overhead-bound at this SF; their
+    # round-over-round deltas measure the host, not the code (the c8-
+    # faster-than-c32 scaling entries are exactly this class). Reported
+    # as "floor_s" on the line; the "overhead_bound" list (exec p50
+    # <= 3x floor) lives in bench_detail.json.
+    floor_runs = []
+    one_row = spark.range(1)
+    for _ in range(5):
+        t0 = time.perf_counter()
+        one_row.write.mode("overwrite").format("noop").save()
+        floor_runs.append(time.perf_counter() - t0)
+    floor_s = round(sorted(floor_runs)[2], 3)
+
     # "queries" times EXECUTION (the final action) — comparable round
     # over round. Iterative ops (graph_pagerank's eager checkpoints,
     # nd_dedup_clusters' convergence loop) do real cluster work while
@@ -422,6 +438,21 @@ def main() -> None:
     builds = {n: round(b, 3) for n, b in all_builds.items() if b > 0.25}
     exec_total = round(sum(timings.values()), 3)
     build_total = round(sum(all_builds.values()), 3)
+    # Per-query build+exec attribution (VERDICT r16 #1, additions-only):
+    # eager checkpoints execute at DataFrame-construction time, so exec-
+    # only comparisons reward shifting work into the untimed build phase.
+    # "total_s" is the single-cold-run headline (build + one exec p50);
+    # "totals" is the per-query build_s + exec_p50_s dict (the number a
+    # round-over-round judgement should use); "builds" on the stdout
+    # LINE is the same build data as a compact array aligned with the
+    # key order of "queries" (the driver stores only ~2000 trailing
+    # chars of stdout — a second 46-name dict would behead the line;
+    # the named dicts live in bench_detail.json). "value"/"exec_total"
+    # keep the exec-only series for continuity with rounds 1-16.
+    totals = {
+        n: round(timings[n] + all_builds[n], 3) for n in timings
+    }
+    total_s = round(exec_total + build_total, 3)
     full = "--full" in sys.argv[1:]
     calib = calibrate(spark)
     payload = {
@@ -434,7 +465,10 @@ def main() -> None:
         "unit": "sec",
         "exec_total": exec_total,
         "build_total": build_total,
+        "total_s": total_s,
+        "floor_s": floor_s,
         "queries": timings,
+        "builds": [round(all_builds[n], 2) for n in timings],
         "repeat": repeat,
         "excluded": excluded,
         "sf": sf,
@@ -443,7 +477,15 @@ def main() -> None:
             "FULLBENCH" if full else "BENCH_DETAIL", timings, calib
         ),
     }
-    detail = dict(payload, p95=p95s, build=builds)
+    detail = dict(
+        payload,
+        p95=p95s,
+        build=builds,
+        totals=totals,
+        overhead_bound=sorted(
+            n for n, s in timings.items() if s <= 3 * floor_s
+        ),
+    )
     _emit(payload, detail)
     spark.stop()
 
@@ -464,9 +506,16 @@ def _emit(payload: dict, detail: dict) -> None:
         json.dump(detail, f, indent=1)
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1900:  # keep the driver's tail window parseable
+        # Degrade gracefully: the per-query "builds" array is the first
+        # thing to go (it stays in bench_detail.json as the named
+        # "totals"/"build" dicts); only then fall back to beheading the
+        # required "queries" dict.
         slim = dict(payload)
-        slim["queries"] = {"_see": "bench_detail.json"}
+        slim["builds"] = "_see bench_detail.json"
         line = json.dumps(slim, separators=(",", ":"))
+        if len(line) > 1900:
+            slim["queries"] = {"_see": "bench_detail.json"}
+            line = json.dumps(slim, separators=(",", ":"))
     sys.stdout.flush()
     print(line, flush=True)
 

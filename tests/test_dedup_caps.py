@@ -71,3 +71,54 @@ def test_df_cap_noop_when_no_shingle_exceeds_it(spark):
     assert _pairs(ngram_jaccard_pairs(docs, df_cap=2)) == _pairs(
         ngram_jaccard_pairs(docs, df_cap=10**9)
     )
+
+
+def test_hot_shingle_aggregation_is_bounded_and_survives_1e5_df(spark):
+    """VERDICT r16 #2: a shingle with document frequency 10^5 (100x the
+    cap) must not materialize its full posting list in one aggregation
+    buffer. The plan must truncate postings BEFORE the collect_list
+    (streaming row_number + rn <= cap+1 filter below the aggregate),
+    and the query must complete with the hot shingle dropped while
+    real near-dup pairs survive with exact denominators."""
+    n = 100_000
+    docs = spark.createDataFrame(
+        [(i, f"common hot shingle x{i}") for i in range(n)]
+        + [
+            (n + 1, "alpha beta gamma delta epsilon"),
+            (n + 2, "alpha beta gamma delta zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    df = ngram_jaccard_pairs(docs)  # default cap 1000 << df 100k
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    agg_idx = [i for i, ln in enumerate(lines) if "collect_list" in ln]
+    win_idx = [i for i, ln in enumerate(lines) if "row_number" in ln]
+    flt_idx = [i for i, ln in enumerate(lines) if "Filter" in ln and "1001" in ln]
+    assert agg_idx and win_idx and flt_idx, plan[:4000]
+    # top-down print: the bounding filter + window sit BELOW the
+    # posting-list aggregate (truncation happens before collection)
+    assert agg_idx[0] < flt_idx[0] < max(win_idx), plan[:4000]
+
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in df.collect()}
+    # every cross-pair shares ONLY the over-cap boilerplate shingle →
+    # dropped; the one real pair survives: docs n+1/n+2 have 3 shingles
+    # each, 2 shared → 2/(3+3-2) = 0.5
+    assert got == {(n + 1, n + 2): 0.5}
+
+
+def test_pack_overflow_raises_instead_of_corrupting(spark):
+    """ADVICE r16: a doc_id outside the 2^42 packing budget must fail
+    loudly (raise_error in the pack projection), never silently corrupt
+    pair ids / denominators."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1 << 42, "alpha beta gamma delta epsilon"),
+            (1, "alpha beta gamma delta zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="pack overflow"):
+        ngram_jaccard_pairs(docs).collect()

@@ -159,16 +159,21 @@ def nd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's cross join does. |A∩B| from the join; |A∪B| = |A|+|B|-∩.
 
     Hot shingles (document frequency > JACCARD_DF_CAP) are removed from
-    the CANDIDATE-GENERATION join via a broadcast anti-join — the hot
-    set is tiny by construction — so no single shingle can contribute
-    more than DF_CAP² pairs. |A| and |B| are computed from the UNCAPPED
-    shingle table, so reported Jaccard values keep exact denominators
-    even when the cap fires; what the cap can cost is (a) intersections
-    through hot shingles (values become a lower bound) and (b) pairs
-    that share ONLY hot shingles (boilerplate-only overlap — the pairs
-    a dedup pass wants to ignore anyway). The cap never bites on the
-    test corpora (max df 25 at sf0.1 vs cap 1000), so the uncapped
-    oracle stays exact.
+    CANDIDATE GENERATION by the posting-list cap: each shingle's
+    postings are truncated at cap+1 rows by a streaming row_number
+    BEFORE they are collected (bounding every aggregation buffer), and
+    the size(ds) BETWEEN 2 AND cap filter then drops the over-cap
+    shingles entirely — so no single shingle can contribute more than
+    DF_CAP² pairs and no hot shingle can blow an aggregation buffer.
+    |A| and |B| are per-doc counts computed over the UNCAPPED shingle
+    chain (they ride a doc_id window packed into the posting key), so
+    reported Jaccard values keep exact denominators even when the cap
+    fires; what the cap can cost is (a) intersections through hot
+    shingles (values become a lower bound) and (b) pairs that share
+    ONLY hot shingles (boilerplate-only overlap — the pairs a dedup
+    pass wants to ignore anyway). The cap never bites on the test
+    corpora (max df 25 at sf0.1 vs cap 1000), so the uncapped oracle
+    stays exact.
 
     The join key is xxhash64(shingle), not the shingle string: ~20%
     faster end-to-end (smaller shuffle, long comparisons), exact up to
@@ -222,10 +227,52 @@ def ngram_jaccard_pairs(
     # measured ~3x slower). _PACK = 2^21 bounds per-doc DISTINCT
     # shingles at ~2M — a >2M-shingle document (~10 MB of unique text)
     # exceeds every catalog/pipeline corpus doc by orders of magnitude.
+    # The bound is ENFORCED, not assumed (ADVICE r16): a doc over either
+    # packing budget raises instead of silently corrupting pair doc_ids
+    # and Jaccard denominators. Per-row long compares — free at scale.
     n_sh = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-    packed = sh.select((F.col("doc_id") * _PACK + n_sh).alias("dn"), "sh")
+    pack_ok = (
+        (F.col("n_sh") < F.lit(_PACK))
+        & (F.col("doc_id") >= 0)
+        & (F.col("doc_id") < F.lit(1 << 42))
+    )
+    packed = sh.withColumn("n_sh", n_sh).select(
+        F.when(pack_ok, F.col("doc_id") * _PACK + F.col("n_sh"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("ngram_jaccard pack overflow: doc_id="),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" n_sh="),
+                    F.col("n_sh").cast("string"),
+                    F.lit(" (budget: doc_id < 2^42, distinct shingles < 2^21)"),
+                )
+            )
+        )
+        .alias("dn"),
+        "sh",
+    )
+    # Bounded posting-list aggregation (VERDICT r16 #2): collecting the
+    # full list and THEN filtering size > cap builds an unbounded
+    # single-key buffer for every hot shingle — a boilerplate trigram in
+    # a large slice of a 100 TB corpus is millions of postings in ONE
+    # ObjectHashAggregate state (guide §5 OOM on exactly the keys the
+    # cap exists to drop). Instead a streaming row_number over the SAME
+    # sh exchange truncates every posting list at cap+1 rows BEFORE the
+    # collect: the window sort spills gracefully, row_number streams,
+    # and the aggregation buffer is hard-bounded at cap+1 longs per
+    # shingle at ANY document frequency. Results are identical: df<=cap
+    # keeps all rows (size==df, kept when >=2); df>cap collects exactly
+    # cap+1 rows and the existing size filter drops it — the same
+    # shingles the full collect dropped. No second corpus pass (the
+    # window rides the exchange the groupBy already needed; dn is
+    # unique within a shingle, so the order — hence the plan — is
+    # deterministic).
+    rn = F.row_number().over(Window.partitionBy("sh").orderBy("dn"))
     grp = (
-        packed.groupBy("sh")
+        packed.withColumn("rn", rn)
+        .filter(F.col("rn") <= cap + 1)
+        .groupBy("sh")
         .agg(F.collect_list("dn").alias("ds"))
         .filter(F.size("ds").between(2, cap))
         .select(F.array_sort("ds").alias("ds"))
@@ -1088,16 +1135,23 @@ def _incremental_dedup_plan(
         .filter(jac >= 0.2)
         .select("new_id", "old_id", jac.alias("j"))
     )
-    # tiny verified-pair set, read by best AND the attribution join
-    ver = cut(ver)
-    best = ver.groupBy("new_id").agg(F.min("old_id").alias("dup_of"))
-    bj = best.join(
-        ver,
-        (best["new_id"] == ver["new_id"]) & (best["dup_of"] == ver["old_id"]),
-    ).select(best["new_id"], "dup_of", F.round("j", 4).alias("jaccard"))
+    # Attribution in ONE aggregation (round-17): dup_of = min(old_id)
+    # and jaccard = min_by(j, old_id) — j of that same minimum row —
+    # replace the round-16 min + self-join-back shape (one SMJ + two
+    # exchanges gone from the tail; (new_id, old_id) is unique from the
+    # inter groupBy, so min_by is deterministic and value-identical).
+    # With a single consumer the ver checkpoint is pure overhead now —
+    # dropped (it was there because best AND the join-back both read it).
+    best = ver.groupBy("new_id").agg(
+        F.min("old_id").alias("dup_of"),
+        F.round(F.min_by("j", "old_id"), 4).alias("jaccard"),
+    )
     batch = table(spark, sf_dir, "documents").filter(is_new).select("doc_id")
+    # best is batch-bounded (≤ one row per batch doc — the 500-doc cap),
+    # so the verdict join pins a broadcast like every other bounded
+    # frame in this funnel.
     return (
-        batch.join(bj, batch["doc_id"] == bj["new_id"], "left")
+        batch.join(F.broadcast(best), batch["doc_id"] == best["new_id"], "left")
         .select(
             "doc_id",
             "dup_of",

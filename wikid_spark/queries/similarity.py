@@ -694,6 +694,7 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of filtering ``assigned`` (which re-ran the corpus
     # assignment in the broadcast branch — same cell by construction).
     cents = _centroids(emb).localCheckpoint(eager=True)
+    cents._wikid_k = N_CENTROIDS  # probe-kernel routing bound
     assigned = _assign_blas(
         qemb, cents, row_cells=rc, out_cols=["vec_id", "embedding"]
     ).select("vec_id", "embedding", "cent_id")
@@ -1435,6 +1436,9 @@ def sim_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cent_id", "cemb")
         .localCheckpoint(eager=True)
     )
+    # Seed K bounds the refined cell count (Lloyd only drops cells) —
+    # enough for `_probe_ranks`' kernel routing, no extra count job.
+    refined._wikid_k = N_CENTROIDS
     assigned = _assign_blas(
         vecs, refined, row_cells=rc, out_cols=["vec_id", "embedding"]
     ).select("vec_id", "embedding", "cent_id")
@@ -1728,9 +1732,17 @@ def _probe_ranks(
     bit-identical (oracle-pinned per query).
 
     ``k`` (when the caller has the derived K at hand) routes corpora
-    past `_PROBE_JVM_MAX_K` back to the BLAS kernel. Output schema
-    matches `_assign_blas`: every input column plus ``cent_id`` (and
+    past `_PROBE_JVM_MAX_K` back to the BLAS kernel; callers that do
+    not pass it are covered by the ``_wikid_k`` attribute the index
+    builders pin on their K-row centroid frames (lloyd_train's final
+    cell count, `_centroids`' limit, the persisted-handle load) —
+    ADVICE r16: most serving sites omitted ``k``, so the documented
+    fallback could never fire and probe cost grew as interpreted
+    |sample|·K·dims HOF evals past K ≈ 4096. Output schema matches
+    `_assign_blas`: every input column plus ``cent_id`` (and
     ``cent_rank`` when ``top_m > 1``)."""
+    if k is None:
+        k = getattr(cents, "_wikid_k", None)
     if k is not None and k > _PROBE_JVM_MAX_K:
         return _assign_blas(sample, cents, top_m=top_m)
     return _assign_jvm(sample, cents, top_m=top_m)
@@ -1823,6 +1835,11 @@ def lloyd_train(
                 break
             if tol == 0:
                 fixed = (n_cells, max_shift, stats["total_shift"])
+    # Pin the exact final cell count on the returned K-row frame so
+    # `_probe_ranks` can route huge-K corpora to the BLAS kernel even
+    # when the serving call site doesn't thread K (ADVICE r16). Known
+    # from the trace — no extra job.
+    cents._wikid_k = prev_k
     return cents, trace
 
 
@@ -3756,8 +3773,16 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables localCheckpoint so the corpus encodes once per family
     instead of once per method row. One row per method:
     (method, n_hits, n_brute, recall_at_3)."""
-    brute = sim_ann_brute_topk(spark, sf_dir).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    # The exact-truth lists are sample×topk-bounded RESULTS (≤ |sample|
+    # · 3 rows) whose subtrees are full corpus passes; each is consumed
+    # twice below (the hits join AND the n_brute total), and AQE reuse
+    # does not cover both consumers — so the brute pass ran twice per
+    # report. Eager K-row checkpoints run each truth pass ONCE
+    # (VERDICT r16 #6; same discipline as the centroid tables).
+    brute = (
+        sim_ann_brute_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+        .localCheckpoint(eager=True)
     )
     methods = None
     for name, fn in (
@@ -3866,8 +3891,10 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # label-filtered brute pass), not the unfiltered brute list — a
     # same-label brute neighbor is not a miss for a miner whose job is
     # to exclude it (round-15: certifies the IVF-routed variant).
-    hn_brute = sim_hard_negatives_topk(spark, sf_dir).select(
-        "query_id", "negative_id", F.lit(1).alias("hit")
+    hn_brute = (
+        sim_hard_negatives_topk(spark, sf_dir)
+        .select("query_id", "negative_id", F.lit(1).alias("hit"))
+        .localCheckpoint(eager=True)  # same two-consumer truth pass
     )
     hn_ann = sim_hard_negatives_ann_topk(spark, sf_dir).select(
         "query_id", "negative_id"
@@ -4867,6 +4894,10 @@ def load_ann_index(
         + ["cent_id bigint"]
     )
     rindex = spark.read.schema(rindex_schema).parquet(f"{index_dir}/rindex")
+    # Pin K for `_probe_ranks`' kernel routing (ADVICE r16): one
+    # metadata-only count over the K-row centroid parquet, paid once
+    # per handle load, never per serve.
+    cents._wikid_k = cents.count()
     handle = AnnIndexHandle(spec, cents, cb, rindex)
     _INDEX_HANDLE_CACHE[key] = handle
     while len(_INDEX_HANDLE_CACHE) > _INDEX_HANDLE_MAX:
