@@ -563,3 +563,63 @@ def test_probe_ranks_routes_big_k_to_blas_kernel(spark):
         sample.select("vec_id", "qemb"), cents.limit(4), max_rounds=1, dims=4
     )
     assert isinstance(getattr(trained, "_wikid_k", None), int)
+
+
+def test_kernel_slices_derivation():
+    """Round-17 (guide §2.5): cogrouped-kernel slice counts derive from
+    the input instead of the legacy fixed 64 — compute-proportional
+    core fill, Arrow-batch and distance-matrix upper bounds, 64 only
+    when the caller cannot size the input."""
+    from wikid_spark.queries.similarity import (
+        _KERNEL_DEFAULT_SLICES,
+        _KERNEL_MAX_SLICE_CELLS,
+        _kernel_slices,
+    )
+
+    # unknown input size -> legacy fixed count (streaming micro-batches)
+    assert _kernel_slices(None) == _KERNEL_DEFAULT_SLICES
+    # a <=40-row probe sample is ONE slice, not 64
+    assert _kernel_slices(40, 40 * 142, cores=32) == 1
+    # light compute at tiny corpora stays near-serial (task overhead
+    # beats the parallel gain below ~32k cells/slice)
+    assert _kernel_slices(2_000, 2_000 * 16, cores=32) <= 2
+    # heavy compute fills the cores
+    assert _kernel_slices(20_000, 20_000 * 256, cores=32) == 32
+    # past the core count only for Arrow-batch or memory bounds:
+    # 10^9 rows x K=31623 is memory-bound at ~10^6 slices, each
+    # holding <= _KERNEL_MAX_SLICE_CELLS distance-matrix cells
+    n, k = 1_000_000_000, 31_623
+    s = _kernel_slices(n, n * k, cores=32)
+    assert s > 900_000 and (n * k) / s <= _KERNEL_MAX_SLICE_CELLS
+    # rows-only fallback fill (K unknown to the caller)
+    assert _kernel_slices(2_000, cores=32) == 2
+    assert _kernel_slices(20_000, cores=32) == 20
+
+
+def test_pq_train_single_final_checkpoint(spark):
+    """Round-17 `_pq_train` fold: the training rounds stay one lazy
+    chain and only the FINAL codebook materializes — the returned
+    frame's whole plan is the checkpoint (LogicalRDD root), and its
+    values equal the r16 per-round-checkpoint trainer's."""
+    import pyspark.sql.functions as F
+
+    import wikid_spark.queries.similarity as S
+    from wikid_spark.catalog import table as cat_table
+
+    emb = cat_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qemb = emb.select(
+        "vec_id", S.quantize_embedding(F.col("embedding")).alias("qemb")
+    )
+    cb0 = S._pq_codebooks(emb, S.PQ4)
+    cbt = S._pq_train(qemb, cb0, S.PQ_TRAIN_ROUNDS, S.PQ4, n_rows=500)
+    plan = cbt._jdf.queryExecution().analyzed()
+    assert plan.getClass().getSimpleName() == "LogicalRDD"
+    # value identity vs the per-round-checkpoint legacy trainer
+    legacy = cb0
+    for _ in range(S.PQ_TRAIN_ROUNDS):
+        legacy = S._pq_lloyd_round(qemb, legacy, S.PQ4).localCheckpoint(
+            eager=True
+        )
+    got = sorted(map(tuple, cbt.collect()))
+    want = sorted(map(tuple, legacy.collect()))
+    assert got == want

@@ -417,6 +417,7 @@ def _assignments(emb: DataFrame, row_cells: int | None = None) -> DataFrame:
         _centroids(emb),
         row_cells=row_cells,
         out_cols=["vec_id", "embedding"],
+        n_rows=row_cells // N_CENTROIDS if row_cells else None,
     ).select("vec_id", "embedding", "cent_id")
 
 
@@ -437,6 +438,7 @@ def _assignments_multi(
         top_m=top_m,
         row_cells=row_cells,
         out_cols=["vec_id", "embedding"],
+        n_rows=row_cells // k if row_cells and k else None,
     ).select(
         "vec_id", "embedding", "cent_id", "cent_rank"
     )
@@ -624,6 +626,7 @@ def sim_ivf_derived_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_m=2,
         row_cells=n * k,
         out_cols=["vec_id", "embedding"],
+        n_rows=n,
     ).select("vec_id", "embedding", "cent_id", "cent_rank")
     # Query cells via the JVM sample kernel (round-16, guide §2.4):
     # filtering ``a2`` for the sample's rank-1 rows re-executed the
@@ -684,7 +687,8 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     more gracefully on clustered data. The probe is a cell-id equi-join
     — per-query work is |cell|, not |corpus|."""
     emb = table(spark, sf_dir, "embeddings")
-    rc = corpus_rows(sf_dir, "embeddings") * N_CENTROIDS
+    n = corpus_rows(sf_dir, "embeddings")
+    rc = n * N_CENTROIDS
     qemb = emb.select(
         "vec_id", "embedding", quantize_embedding(F.col("embedding")).alias("qemb")
     )
@@ -696,7 +700,7 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _centroids(emb).localCheckpoint(eager=True)
     cents._wikid_k = N_CENTROIDS  # probe-kernel routing bound
     assigned = _assign_blas(
-        qemb, cents, row_cells=rc, out_cols=["vec_id", "embedding"]
+        qemb, cents, row_cells=rc, out_cols=["vec_id", "embedding"], n_rows=n
     ).select("vec_id", "embedding", "cent_id")
     q = _probe_ranks(_sample_filter(qemb), cents).select(
         F.col("vec_id").alias("query_id"),
@@ -1195,6 +1199,7 @@ def _lloyd_round(
     cents: DataFrame,
     dims: int = EMBED_DIMS,
     row_cells: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """One Lloyd re-centering over (vec_id, qemb) vectors, re-quantized
     floor(S/n). Returns the refined centroid table (cent_id, n, cemb).
@@ -1214,27 +1219,40 @@ def _lloyd_round(
       before you shuffle) and nothing corpus-sized crosses Arrow.
 
     Both branches sum exact int64s, so floor(Σs/Σn) is bit-identical."""
+    # The per-dimension sums build as ONE sql-string expression, not
+    # ``dims`` composed Column objects (round-17, guide §7.3 "avoid
+    # generating gigantic expression trees in loops"): the Column form
+    # cost ~4 py4j round-trips per dimension per round — measured
+    # ~1.4 s of pure DRIVER time per Lloyd round at dims=64, more than
+    # the round's whole cluster execution. Identical analyzed plan
+    # (same 64 sum aggregates; `x / n` is the same bigint÷bigint →
+    # double Divide), so outputs are bit-identical.
     if row_cells is not None and row_cells <= _ASSIGN_JVM_MAX_ROW_CELLS:
         a1 = _assign_jvm(vecs, cents)
         sums = a1.groupBy("cent_id").agg(
             F.count(F.lit(1)).alias("n"),
-            *[F.sum(F.col("qemb")[d]).alias(f"s{d}") for d in range(dims)],
+            F.expr(
+                "array("
+                + ",".join(f"sum(qemb[{d}])" for d in range(dims))
+                + ")"
+            ).alias("s"),
         )
     else:
-        parts = _assign_partials(vecs, cents)
+        parts = _assign_partials(vecs, cents, n_rows=n_rows, row_cells=row_cells)
         sums = parts.groupBy("cent_id").agg(
             F.sum("n").alias("n"),
-            *[F.sum(F.col("s")[d]).alias(f"s{d}") for d in range(dims)],
+            F.expr(
+                "array("
+                + ",".join(f"sum(s[{d}])" for d in range(dims))
+                + ")"
+            ).alias("s"),
         )
     return sums.select(
         "cent_id",
         "n",
-        F.array(
-            *[
-                F.floor(F.col(f"s{d}") / F.col("n")).cast("long")
-                for d in range(dims)
-            ]
-        ).alias("cemb"),
+        F.expr("transform(s, x -> CAST(FLOOR(x / n) AS BIGINT))").alias(
+            "cemb"
+        ),
     )
 
 
@@ -1334,7 +1352,8 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop over K-row DataFrames; corpus passes = 2 per iteration, the
     textbook distributed-Lloyd layout."""
     emb = table(spark, sf_dir, "embeddings")
-    rc = corpus_rows(sf_dir, "embeddings") * N_CENTROIDS
+    n = corpus_rows(sf_dir, "embeddings")
+    rc = n * N_CENTROIDS
     vecs = emb.select(
         "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
     )
@@ -1346,7 +1365,7 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shaped consumers) — measured ~2 redundant corpus passes per run
     # at sf0.1 (round-16, guide §5.3: checkpoint tiny reused state).
     cents0 = _centroids(emb).localCheckpoint(eager=True)
-    newc = _lloyd_round(vecs, cents0, row_cells=rc).localCheckpoint(
+    newc = _lloyd_round(vecs, cents0, row_cells=rc, n_rows=n).localCheckpoint(
         eager=True
     )
     # Induced-assignment histogram, routed like `_lloyd_round`
@@ -1362,7 +1381,9 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     else:
         c2 = (
-            _assign_partials(vecs, newc.select("cent_id", "cemb"))
+            _assign_partials(
+                vecs, newc.select("cent_id", "cemb"), n_rows=n, row_cells=rc
+            )
             .groupBy("cent_id")
             .agg(F.sum("n").alias("n2"))
         )
@@ -1423,7 +1444,8 @@ def sim_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     {EMBED_DIMS}-column re-centering agg); serving cost is identical
     to sim_ivf_ann_topk. The centroid table stays K rows end to end."""
     emb = table(spark, sf_dir, "embeddings")
-    rc = corpus_rows(sf_dir, "embeddings") * N_CENTROIDS
+    n = corpus_rows(sf_dir, "embeddings")
+    rc = n * N_CENTROIDS
     vecs = emb.select(
         "vec_id",
         "embedding",
@@ -1435,7 +1457,10 @@ def sim_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sim_kmeans_lloyd).
     refined = (
         _lloyd_round(
-            vecs.select("vec_id", "qemb"), _centroids(emb), row_cells=rc
+            vecs.select("vec_id", "qemb"),
+            _centroids(emb),
+            row_cells=rc,
+            n_rows=n,
         )
         .select("cent_id", "cemb")
         .localCheckpoint(eager=True)
@@ -1444,7 +1469,7 @@ def sim_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # enough for `_probe_ranks`' kernel routing, no extra count job.
     refined._wikid_k = N_CENTROIDS
     assigned = _assign_blas(
-        vecs, refined, row_cells=rc, out_cols=["vec_id", "embedding"]
+        vecs, refined, row_cells=rc, out_cols=["vec_id", "embedding"], n_rows=n
     ).select("vec_id", "embedding", "cent_id")
     # Query cells via the JVM sample kernel instead of filtering
     # ``assigned`` (round-16, guide §2.4): the broadcast q branch
@@ -1483,6 +1508,62 @@ def sim_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ≈ 2M row·cells — derived from corpus rowcount × K, not a local
 # constant, so big corpora keep the BLAS plan.
 _ASSIGN_JVM_MAX_ROW_CELLS = 2_000_000
+
+# Cogrouped-kernel slice sizing (round-17, guide §2.5/§4.2): the
+# kernels used to hash every input into a FIXED 64 slices — 64 Arrow
+# round-trips for a ≤40-row probe sample, AND a hard 64-task ceiling
+# on a 10^9-row corpus, where one slice would also hold rows/64 × K
+# distance-matrix cells (an OOM, not a slowdown). Slice count now
+# derives from the input and the session:
+#
+# * parallelize by COMPUTE, one slice per `_KERNEL_FILL_CELLS`
+#   distance-matrix cells (rows × K), capped at the core count —
+#   measured optimum across a {1..128}-slice sweep at sf0.1 AND sf1
+#   (OPTIMIZATION_r17.md): heavy kernels (PQ8: 256 codes) fill the
+#   cores, light ones (PQ4 at 2k rows: 32k cells) run 1-4 slices
+#   because task+Arrow overhead beats the parallel gain below that;
+# * when the caller knows rows but not K, fill by
+#   `_KERNEL_FILL_ROWS` instead (same sweep, assign-kernel row);
+# * grow PAST the core count only when a slice would otherwise
+#   exceed `_KERNEL_SLICE_ROWS` rows (Arrow batch bound) or
+#   `_KERNEL_MAX_SLICE_CELLS` cells (~256 MB of float64 — the §5
+#   per-task state bound; at 10^9 rows × K=√n this is what forces
+#   ~10^6 slices instead of 64 OOM-sized ones).
+#
+# Callers that cannot size their input (unbounded streaming
+# micro-batches) keep the legacy 64.
+_KERNEL_SLICE_ROWS = 8_192
+_KERNEL_MAX_SLICE_CELLS = 32_000_000
+_KERNEL_FILL_CELLS = 32_768
+_KERNEL_FILL_ROWS = 1_024
+_KERNEL_DEFAULT_SLICES = 64
+
+
+def _kernel_slices(
+    n_rows: int | None,
+    row_cells: int | None = None,
+    cores: int | None = None,
+) -> int:
+    """Slice count for a cogrouped corpus×(centroids|codebook) kernel
+    pass: ``n_rows`` input rows, ``row_cells`` = rows × K when the
+    caller knows K (sizes the compute fill and bounds the per-slice
+    distance matrix), ``cores`` the session's defaultParallelism.
+    Returns the legacy 64 when the caller cannot size the input."""
+    import math
+
+    if n_rows is None:
+        return _KERNEL_DEFAULT_SLICES
+    # hard lower bounds: Arrow batch size and per-slice matrix memory
+    need = max(
+        math.ceil(n_rows / _KERNEL_SLICE_ROWS),
+        math.ceil((row_cells or 0) / _KERNEL_MAX_SLICE_CELLS),
+    )
+    # fill the cores in proportion to the compute on the table
+    if row_cells is not None:
+        fill = min(cores or 1, math.ceil(row_cells / _KERNEL_FILL_CELLS))
+    else:
+        fill = min(cores or 1, math.ceil(n_rows / _KERNEL_FILL_ROWS))
+    return max(1, need, fill)
 
 
 def _assign_jvm(
@@ -1526,6 +1607,7 @@ def _assign_blas(
     top_m: int = 1,
     row_cells: int | None = None,
     out_cols: list[str] | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Lloyd/IVF assignment on the BLAS path: appends ``cent_id`` (the
     nearest centroid by integer squared-L2, ties to lowest cent_id) to
@@ -1563,13 +1645,19 @@ def _assign_blas(
     say so here — the 8·dims bytes/row then never cross the Arrow
     boundary on the way back (guide §4.2: move only the columns the
     kernel's consumers need; top_m>1 would otherwise return them
-    top_m times)."""
+    top_m times).
+
+    ``n_rows`` (the input rowcount, when the caller has it from
+    parquet footers / a sample bound) sizes the slice count via
+    `_kernel_slices` instead of the legacy fixed 64."""
     if row_cells is not None and row_cells <= _ASSIGN_JVM_MAX_ROW_CELLS:
         return _assign_jvm(vecs, cents, top_m=top_m, out_cols=out_cols)
     import numpy as np
     import pandas as pd
 
-    n_parts = 64
+    n_parts = _kernel_slices(
+        n_rows, row_cells, vecs.sparkSession.sparkContext.defaultParallelism
+    )
     in_cols = [f.name for f in vecs.schema.fields]
     if out_cols is None:
         out_cols = in_cols
@@ -1635,7 +1723,12 @@ def _assign_blas(
     )
 
 
-def _assign_partials(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign_partials(
+    vecs: DataFrame,
+    cents: DataFrame,
+    n_rows: int | None = None,
+    row_cells: int | None = None,
+) -> DataFrame:
     """Fused Lloyd assign + per-cell PARTIAL re-centering (round-16,
     guide §2.3 "aggregate before you shuffle"): the same exact-integer
     argmin as `_assign_blas`, but instead of returning every assigned
@@ -1648,11 +1741,14 @@ def _assign_partials(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     ≤ slices×K tiny rows at ANY corpus size. Callers that only need
     cell COUNTS (the induced-assignment histogram) sum ``n`` and ignore
     ``s`` — the kernel-side sums cost one bincount/add.at per batch,
-    nothing crosses the boundary per corpus row either way."""
+    nothing crosses the boundary per corpus row either way.
+    ``n_rows``/``row_cells`` size the slice count (`_kernel_slices`)."""
     import numpy as np
     import pandas as pd
 
-    n_parts = 64
+    n_parts = _kernel_slices(
+        n_rows, row_cells, vecs.sparkSession.sparkContext.defaultParallelism
+    )
 
     def recenter(key, vpdf, cpdf):
         if len(vpdf) == 0:
@@ -1748,7 +1844,9 @@ def _probe_ranks(
     if k is None:
         k = getattr(cents, "_wikid_k", None)
     if k is not None and k > _PROBE_JVM_MAX_K:
-        return _assign_blas(sample, cents, top_m=top_m)
+        # the probe sample is bounded by the fixed query budget
+        # (`_QUERY_SAMPLE_SQL`, ≤ 40 rows) — one kernel slice, not 64
+        return _assign_blas(sample, cents, top_m=top_m, n_rows=40)
     return _assign_jvm(sample, cents, top_m=top_m)
 
 
@@ -1776,47 +1874,62 @@ def lloyd_train(
     pad_trace: bool = False,
     dims: int = EMBED_DIMS,
     row_cells: int | None = None,
+    n_rows: int | None = None,
 ):
     """Run Lloyd rounds until the max integer centroid shift is <= tol
     with no cell dropped, or ``max_rounds``. Returns (final centroid
     DataFrame (cent_id, cemb), trace rows [(round, n_cells, max_shift,
     total_shift), ...]). ``pad_trace`` replays the fixpoint row for
     the remaining rounds (only valid — and only done — when tol == 0,
-    where fixpoint means bit-identical later rounds). ``row_cells``
-    routes each round's assignment exactly as in `_lloyd_round`."""
+    where fixpoint means bit-identical later rounds). ``row_cells``/
+    ``n_rows`` route and slice each round's assignment exactly as in
+    `_lloyd_round`.
+
+    Per-round action budget (round-17, guide §1.2): the convergence
+    shift joins the K-row previous centroids INSIDE the round's
+    checkpointed frame, so a round is ONE corpus-pass materialization
+    plus one trivial agg-collect over the materialized K rows — the
+    old shape paid a third job re-checkpointing cents (newc minus the
+    shift column) every round. The (cent_id, cemb, shift) checkpoint
+    is still K rows; the loop state is its (cent_id, cemb) projection;
+    one final K-row re-checkpoint restores the clean two-column
+    contract (and the LogicalRDD root `_unpersist_checkpoint` needs)
+    for callers."""
     cents = cents0.select("cent_id", "cemb").localCheckpoint(eager=True)
+    prev_backing = cents  # checkpoint whose blocks back the loop state
+    did_round = False
     prev_k = cents.count()
     trace: list[tuple] = []
     fixed: tuple | None = None
+    shift = F.aggregate(
+        F.zip_with(
+            F.col("cemb"),
+            F.col("prev"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     for rnd in range(1, max_rounds + 1):
         if fixed is not None:
             trace.append((rnd, *fixed))
             continue
-        newc = _lloyd_round(
-            vecs, cents, dims=dims, row_cells=row_cells
-        ).localCheckpoint(eager=True)
-        shift = F.aggregate(
-            F.zip_with(
-                F.col("cemb"),
-                F.col("prev"),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        stats = (
-            newc.join(
-                cents.select("cent_id", F.col("cemb").alias("prev")),
+        newc = (
+            _lloyd_round(vecs, cents, dims=dims, row_cells=row_cells, n_rows=n_rows)
+            .join(
+                F.broadcast(
+                    cents.select("cent_id", F.col("cemb").alias("prev"))
+                ),
                 "cent_id",
             )
-            .select(shift.alias("shift"))
-            .agg(
-                F.count(F.lit(1)).alias("n_cells"),
-                F.max("shift").alias("max_shift"),
-                F.sum("shift").alias("total_shift"),
-            )
-            .collect()[0]  # k-bounded collect: one scalar stats row/round
+            .select("cent_id", "cemb", shift.alias("shift"))
+            .localCheckpoint(eager=True)
         )
+        stats = newc.agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.max("shift").alias("max_shift"),
+            F.sum("shift").alias("total_shift"),
+        ).collect()[0]  # k-bounded collect: one scalar stats row/round
         n_cells = int(stats["n_cells"])
         max_shift = stats["max_shift"]
         trace.append(
@@ -1825,20 +1938,28 @@ def lloyd_train(
         converged = n_cells == prev_k and (
             max_shift is None or max_shift <= tol
         )
-        prev_cents = cents
-        cents = newc.select("cent_id", "cemb").localCheckpoint(eager=True)
-        # the round's intermediate (newc) and the superseded previous
-        # round are dead once the new checkpoint materializes — free
-        # their blocks instead of accumulating one K-row generation
-        # per round for the life of the process (round 14)
-        _unpersist_checkpoint(newc)
-        _unpersist_checkpoint(prev_cents)
+        # the superseded previous round is dead once the new checkpoint
+        # materializes — free its blocks instead of accumulating one
+        # K-row generation per round for the life of the process
+        # (round 14); the loop state is a projection of the fresh one.
+        _unpersist_checkpoint(prev_backing)
+        prev_backing = newc
+        did_round = True
+        cents = newc.select("cent_id", "cemb")
         prev_k = n_cells
         if converged:
             if not pad_trace:
                 break
             if tol == 0:
                 fixed = (n_cells, max_shift, stats["total_shift"])
+    if did_round:
+        # Clean-contract re-checkpoint: ONE extra K-row job per whole
+        # training run (vs one per round before), giving callers a
+        # two-column LogicalRDD they can release via
+        # `_unpersist_checkpoint`; the shift-carrying round checkpoint
+        # frees here.
+        cents = cents.localCheckpoint(eager=True)
+        _unpersist_checkpoint(prev_backing)
     # Pin the exact final cell count on the returned K-row frame so
     # `_probe_ranks` can route huge-K corpora to the BLAS kernel even
     # when the serving call site doesn't thread K (ADVICE r16). Known
@@ -1938,13 +2059,15 @@ def sim_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select(
         "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
     )
+    n = corpus_rows(sf_dir, "embeddings")
     cents, trace = lloyd_train(
         vecs,
         _centroids(emb),
         LLOYD_TRACE_ROUNDS,
         tol=0,
         pad_trace=True,
-        row_cells=corpus_rows(sf_dir, "embeddings") * N_CENTROIDS,
+        row_cells=n * N_CENTROIDS,
+        n_rows=n,
     )
     # trace rows are plain tuples — the final centroid checkpoint is
     # unconsumed here, so release it rather than pin it per call
@@ -2101,6 +2224,7 @@ def _trained_index(spark: SparkSession, sf_dir: str):
         max_rounds=TRAINED_DERIVED_ROUNDS,
         tol=0,
         row_cells=n * k,
+        n_rows=n,
     )
     a2 = _assign_blas(
         qemb,
@@ -2108,6 +2232,7 @@ def _trained_index(spark: SparkSession, sf_dir: str):
         top_m=2,
         row_cells=n * k,
         out_cols=["vec_id", "embedding"],
+        n_rows=n,
     ).select("vec_id", "embedding", "cent_id", "cent_rank")
     grp["trained"] = (qemb, cents, a2)
     return grp["trained"]
@@ -2392,6 +2517,7 @@ def _pq_encode(
     cb: DataFrame,
     with_dist: bool = False,
     spec: PQSpec = PQ4,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Appends the packed PQ code word columns (``spec.cols``) to every
     input row in ONE corpus pass: a cogrouped-pandas kernel computes
@@ -2411,11 +2537,16 @@ def _pq_encode(
     the chosen sub-distances) — for the index-quality audit.
 
     ``vecs`` must carry ``vec_id`` and ``qemb``; all columns pass
-    through."""
+    through. ``n_rows`` (input rowcount, when known) sizes the slice
+    count — the per-sub distance matrix is rows × spec.codes cells."""
     import numpy as np
     import pandas as pd
 
-    n_parts = 64
+    n_parts = _kernel_slices(
+        n_rows,
+        n_rows * spec.codes if n_rows is not None else None,
+        vecs.sparkSession.sparkContext.defaultParallelism,
+    )
     # Destructure the spec to plain ints/strings BEFORE the closure:
     # a PQSpec instance in the closure would pickle its class by
     # reference, which workers driven from a sys.path-injected repo
@@ -2511,7 +2642,10 @@ def _pq_unpack(word_cols, spec: PQSpec = PQ4):
 
 
 def _pq_lloyd_round(
-    qemb_df: DataFrame, cb: DataFrame, spec: PQSpec = PQ4
+    qemb_df: DataFrame,
+    cb: DataFrame,
+    spec: PQSpec = PQ4,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """One Lloyd re-centering of the PQ codebooks, ALL subspaces in a
     single corpus pass: encode under the current codebooks (the same
@@ -2522,7 +2656,9 @@ def _pq_lloyd_round(
     applied per subspace. The subspace is DATA here, not a loop bound:
     training cost per round is one encode pass + one spec.dims-column
     aggregation, independent of spec.subs."""
-    enc = _pq_encode(qemb_df.select("vec_id", "qemb"), cb, spec=spec)
+    enc = _pq_encode(
+        qemb_df.select("vec_id", "qemb"), cb, spec=spec, n_rows=n_rows
+    )
     sv = F.slice(F.col("qemb"), F.col("sub") * spec.dims + 1, spec.dims)
     ex = enc.select(
         "qemb",
@@ -2530,37 +2666,46 @@ def _pq_lloyd_round(
             _pq_unpack([F.col(c) for c in spec.cols], spec)
         ).alias("sub", "code_id"),
     ).select("sub", "code_id", sv.alias("sv"))
+    # one sql-string expression instead of spec.dims composed Columns
+    # (guide §7.3 — the `_lloyd_round` py4j finding; identical plan)
     sums = ex.groupBy("sub", "code_id").agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.col("sv")[d]).alias(f"s{d}") for d in range(spec.dims)],
+        F.expr(
+            "array("
+            + ",".join(f"sum(sv[{d}])" for d in range(spec.dims))
+            + ")"
+        ).alias("s"),
     )
     return sums.select(
         "sub",
         "code_id",
-        F.array(
-            *[
-                F.floor(F.col(f"s{d}") / F.col("n")).cast("long")
-                for d in range(spec.dims)
-            ]
-        ).alias("cw"),
+        F.expr("transform(s, x -> CAST(FLOOR(x / n) AS BIGINT))").alias(
+            "cw"
+        ),
     )
 
 
 def _pq_train(
-    qemb_df: DataFrame, cb0: DataFrame, rounds: int, spec: PQSpec = PQ4
+    qemb_df: DataFrame,
+    cb0: DataFrame,
+    rounds: int,
+    spec: PQSpec = PQ4,
+    n_rows: int | None = None,
 ) -> DataFrame:
-    """``rounds`` Lloyd refinements of the seeded codebooks; the
-    codebook state (subs x codes rows) localCheckpoints per round
-    (flat lineage, the `lloyd_train` discipline); superseded rounds
-    unpersist as training advances — only the caller's seed (which it
-    may share, e.g. the recall report's untrained/trained pair) and
-    the returned codebook stay materialized."""
+    """``rounds`` Lloyd refinements of the seeded codebooks. The
+    rounds form a LINEAR chain — round r's encode is the only consumer
+    of round r-1's codebook — so the chain stays one lazy DAG and only
+    the FINAL subs×codes codebook localCheckpoints (round-17, guide
+    §1.2: same per-round encode passes, two fewer materialization
+    barriers per trained family; the per-round checkpoints dated from
+    the no-ReusedExchange finding, which only matters for
+    MULTI-consumer subtrees). ``n_rows`` threads the corpus rowcount
+    into each round's encode kernel for slice sizing."""
     cb = cb0
     for _ in range(rounds):
-        new = _pq_lloyd_round(qemb_df, cb, spec).localCheckpoint(eager=True)
-        if cb is not cb0:
-            _unpersist_checkpoint(cb)
-        cb = new
+        cb = _pq_lloyd_round(qemb_df, cb, spec, n_rows=n_rows)
+    if cb is not cb0:
+        cb = cb.localCheckpoint(eager=True)
     return cb
 
 
@@ -2714,6 +2859,7 @@ def _pq_parts(
     packed encode, and the fixed query sample carrying raw + quantized
     forms."""
     emb = table(spark, sf_dir, "embeddings")
+    n = corpus_rows(sf_dir, "embeddings")
     qemb = emb.select(
         "vec_id",
         "embedding",
@@ -2721,10 +2867,10 @@ def _pq_parts(
     )
     cb = _pq_codebooks(emb, spec)
     if train_rounds:
-        cb = _pq_train(qemb, cb, train_rounds, spec)
-    codes = _pq_encode(qemb.select("vec_id", "qemb"), cb, spec=spec).select(
-        "vec_id", *spec.cols
-    )
+        cb = _pq_train(qemb, cb, train_rounds, spec, n_rows=n)
+    codes = _pq_encode(
+        qemb.select("vec_id", "qemb"), cb, spec=spec, n_rows=n
+    ).select("vec_id", *spec.cols)
     sample = _sample_filter(qemb).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -3212,7 +3358,7 @@ def _ivfpq_plan(
     if cb is None:
         cb = _pq_codebooks(emb)
         if trained:
-            cb = _pq_train(qemb, cb, PQ_TRAIN_ROUNDS)
+            cb = _pq_train(qemb, cb, PQ_TRAIN_ROUNDS, n_rows=n)
     if cents is None:
         cents = _centroids(emb, k)
         if trained:
@@ -3222,13 +3368,15 @@ def _ivfpq_plan(
                 max_rounds=TRAINED_DERIVED_ROUNDS,
                 tol=0,
                 row_cells=n * k,
+                n_rows=n,
             )
     index = _assign_blas(
-        _pq_encode(qemb, cb),
+        _pq_encode(qemb, cb, n_rows=n),
         cents,
         top_m=2,
         row_cells=n * k,
         out_cols=["vec_id", "pqcode"],
+        n_rows=n,
     ).select("vec_id", "cent_id", "pqcode")
 
     raw_sample = _sample_filter(
@@ -3957,6 +4105,7 @@ def sim_pq_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric (distortion creep signals the codebooks no longer fit the
     corpus distribution — retrain trigger)."""
     emb = table(spark, sf_dir, "embeddings")
+    n = corpus_rows(sf_dir, "embeddings")
     qemb = emb.select(
         "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
     )
@@ -3964,10 +4113,10 @@ def sim_pq_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for variant, cb in (
         ("seeded", cb0),
-        ("trained", _pq_train(qemb, cb0, PQ_TRAIN_ROUNDS)),
+        ("trained", _pq_train(qemb, cb0, PQ_TRAIN_ROUNDS, n_rows=n)),
     ):
         stats = (
-            _pq_encode(qemb, cb, with_dist=True)
+            _pq_encode(qemb, cb, with_dist=True, n_rows=n)
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_vectors"),
                 F.sum("pqdist").cast("long").alias("total_distortion"),
@@ -4137,12 +4286,13 @@ def _residual_index(
         if got is not None:
             return got
     emb = table(spark, sf_dir, "embeddings")
+    n = corpus_rows(sf_dir, "embeddings")
     qemb = emb.select(
         "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
     )
     if cents is None:
         cents = _trained_index(spark, sf_dir)[1]
-    a1 = _assign_blas(qemb, cents, top_m=1)
+    a1 = _assign_blas(qemb, cents, top_m=1, n_rows=n)
     rv = a1.join(F.broadcast(cents), "cent_id").select(
         "vec_id",
         "cent_id",
@@ -4153,8 +4303,9 @@ def _residual_index(
         _pq_seed_codebooks(rv, spec),
         PQ_TRAIN_ROUNDS,
         spec,
+        n_rows=n,
     )
-    rindex = _pq_encode(rv, cb, spec=spec).select(
+    rindex = _pq_encode(rv, cb, spec=spec, n_rows=n).select(
         "vec_id", "cent_id", *spec.cols
     )
     out = (emb, cents, cb, rindex)
@@ -4603,14 +4754,15 @@ def sim_pq8_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     qemb = emb.select(
         "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
     )
+    n = corpus_rows(sf_dir, "embeddings")
     cb0 = _pq_codebooks(emb, PQ8)
     out = None
     for variant, cb in (
         ("seeded", cb0),
-        ("trained", _pq_train(qemb, cb0, PQ_TRAIN_ROUNDS, PQ8)),
+        ("trained", _pq_train(qemb, cb0, PQ_TRAIN_ROUNDS, PQ8, n_rows=n)),
     ):
         stats = (
-            _pq_encode(qemb, cb, with_dist=True, spec=PQ8)
+            _pq_encode(qemb, cb, with_dist=True, spec=PQ8, n_rows=n)
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_vectors"),
                 F.sum("pqdist").cast("long").alias("total_distortion"),
@@ -4694,12 +4846,14 @@ def persist_ann_index(
     if spec is None:
         spec = pq_spec_for(corpus_rows(sf_dir, "embeddings"))
     emb = table(spark, sf_dir, "embeddings")
+    n = corpus_rows(sf_dir, "embeddings")
     qemb = emb.select(
         "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
     )
-    k = derived_k(corpus_rows(sf_dir, "embeddings"))
+    k = derived_k(n)
     cents, _ = lloyd_train(
-        qemb, _centroids(emb, k), max_rounds=TRAINED_DERIVED_ROUNDS, tol=0
+        qemb, _centroids(emb, k), max_rounds=TRAINED_DERIVED_ROUNDS, tol=0,
+        n_rows=n,
     )
     # Each stage builds from the CHECKPOINTED predecessor so training
     # runs once per artifact, not once per downstream consumer.
@@ -4708,7 +4862,7 @@ def persist_ann_index(
     rv = _residual_vectors(spark, sf_dir, cents)
     cb = _pq_train(
         rv.select("vec_id", "qemb"), _pq_seed_codebooks(rv, spec),
-        PQ_TRAIN_ROUNDS, spec,
+        PQ_TRAIN_ROUNDS, spec, n_rows=n,
     ).localCheckpoint(eager=True)
     cb.write.mode("overwrite").parquet(f"{out_dir}/codebooks")
     # with_dist rides the SAME encode pass (one cogrouped kernel run,
@@ -4716,7 +4870,7 @@ def persist_ann_index(
     # refresh_ann_index retrain trigger's denominator — costs an
     # aggregate over the checkpoint, not a second corpus encode.
     encoded = (
-        _pq_encode(rv, cb, with_dist=True, spec=spec)
+        _pq_encode(rv, cb, with_dist=True, spec=spec, n_rows=n)
         .select("vec_id", "cent_id", "pqdist", *spec.cols)
         .localCheckpoint(eager=True)
     )
@@ -4765,6 +4919,7 @@ def persist_ann_index(
         cents,
         top_m=2,
         out_cols=["vec_id", "embedding", "label"],
+        n_rows=n,
     ).select("vec_id", "embedding", "label", "cent_id", "cent_rank")
     (
         mindex.repartition("cent_id")
@@ -4806,7 +4961,9 @@ def _residual_vectors(
     qemb = emb.select(
         "vec_id", quantize_embedding(F.col("embedding")).alias("qemb")
     )
-    a1 = _assign_blas(qemb, cents, top_m=1)
+    a1 = _assign_blas(
+        qemb, cents, top_m=1, n_rows=corpus_rows(sf_dir, "embeddings")
+    )
     return a1.join(F.broadcast(cents), "cent_id").select(
         "vec_id",
         "cent_id",
@@ -5054,7 +5211,13 @@ def measure_index_distortion(
     handle = load_ann_index(spark, index_dir)
     rv = _residual_vectors(spark, sf_dir, handle.cents)
     row = (
-        _pq_encode(rv, handle.cb, with_dist=True, spec=handle.spec)
+        _pq_encode(
+            rv,
+            handle.cb,
+            with_dist=True,
+            spec=handle.spec,
+            n_rows=corpus_rows(sf_dir, "embeddings"),
+        )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.avg("pqdist").alias("m"),
@@ -6418,6 +6581,7 @@ def sim_hard_negatives_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_m=2,
         row_cells=n * derived_k(n),
         out_cols=["vec_id", "embedding", "label"],
+        n_rows=n,
     ).select(
         "vec_id", "embedding", "label", "cent_id"
     )

@@ -740,6 +740,13 @@ def _bpe_wf_train(docs: DataFrame, rounds: int):
     ).localCheckpoint(eager=True)
 
     rows: list[tuple] = []
+    # Round-17 NEGATIVE result (kept as the r16 two-job round): folding
+    # the rewrite into the winner selection (1-row winner crossJoined
+    # into the replace, winner read back off the checkpoint) measured
+    # SLOWER — tx_bpe_wordfreq +3.7 s/build at sf0.1 — because the
+    # broadcast build of the winner frame adds a third job per round
+    # and its own ~0.15 s of broadcast machinery, outweighing the saved
+    # collect. See OPTIMIZATION_r17.md.
     for rnd in range(1, rounds + 1):
         ts = F.split(F.btrim(F.col("s"), F.lit(BPE_SEP)), BPE_SEP + BPE_SEP)
         pairs = s.select(ts.alias("ts"), "freq").select(

@@ -110,7 +110,8 @@ def persist_vector_index(
     unchanged (the centroid table is frozen either way)."""
     from wikid_spark.queries.similarity import lloyd_train
 
-    k = derived_k(vectors.count())
+    n = vectors.count()
+    k = derived_k(n)
     cents = _centroids(vectors, k)
     if train_rounds > 0:
         dims = len(vectors.select("embedding").head()[0])
@@ -119,6 +120,7 @@ def persist_vector_index(
             cents,
             max_rounds=train_rounds,
             dims=dims,
+            n_rows=n,
         )
     cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     _engine.persist_index(_sign_cells, vectors, index_dir)
