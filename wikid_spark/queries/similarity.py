@@ -1224,9 +1224,11 @@ def _lloyd_round(
     # generating gigantic expression trees in loops"): the Column form
     # cost ~4 py4j round-trips per dimension per round — measured
     # ~1.4 s of pure DRIVER time per Lloyd round at dims=64, more than
-    # the round's whole cluster execution. Identical analyzed plan
-    # (same 64 sum aggregates; `x / n` is the same bigint÷bigint →
-    # double Divide), so outputs are bit-identical.
+    # the round's whole cluster execution. The aggregation plan is
+    # identical (same ``dims`` sum aggregates, array-wrapped in the
+    # post-agg projection); the re-quantization becomes a K-row
+    # ``transform`` whose `x / n` is the same bigint÷bigint → double
+    # Divide — outputs bit-identical (oracle-pinned at both small SFs).
     if row_cells is not None and row_cells <= _ASSIGN_JVM_MAX_ROW_CELLS:
         a1 = _assign_jvm(vecs, cents)
         sums = a1.groupBy("cent_id").agg(
